@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import sorting
+from ..operators import hybrid, sorting
 from ..sources import datagen
 from ..sources.tables import load_table
 from ..queries import query
@@ -93,6 +93,31 @@ def sort_seeded_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ints = datagen.seeded_ints(spark, _GEN_N, modulus=datagen.DIST_B_MOD, seed=42)
     out = sorting.ranked(ints, ["value", "id"], rank_col="rnk")
     return out.select("rnk", "id", "value")
+
+
+# ---------------------------------------------------------------------------
+# 3b. Hybrid quick+insertion-sort demo (reference kernel, distributed)
+# ---------------------------------------------------------------------------
+
+_HYBRID_N = 50_000
+
+_HYBRID_ORACLE = f"""
+SELECT
+  row_number() OVER (ORDER BY value) AS rnk,
+  value
+FROM ({datagen.seeded_ints_sql(_HYBRID_N, modulus=datagen.DIST_B_MOD, seed=42)})
+"""
+
+
+@query("sort_hybrid_quickinsertion", sql=_HYBRID_ORACLE)
+def sort_hybrid_quickinsertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own algorithm end-to-end: range scatter →
+    per-partition hybrid quicksort+insertion sort (threshold 25,
+    QuickInsertionHeap.c:41-51) → ordered reassembly with global rank.
+    Ties make (rnk, value) deterministic as a multiset, so the DuckDB
+    row_number oracle matches exactly."""
+    ints = datagen.seeded_ints(spark, _HYBRID_N, modulus=datagen.DIST_B_MOD, seed=42)
+    return hybrid.hybrid_ranked(ints, "value", threshold=hybrid.DEFAULT_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,13 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["sort_total_lineitem", "sort_topk_lineitem", "sort_seeded_ints", "sort_multikey_orders"],
+    [
+        "sort_total_lineitem",
+        "sort_topk_lineitem",
+        "sort_seeded_ints",
+        "sort_multikey_orders",
+        "sort_hybrid_quickinsertion",
+    ],
 )
 def test_oracle_parity(spark, name):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
