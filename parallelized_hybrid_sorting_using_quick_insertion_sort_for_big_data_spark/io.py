@@ -1,0 +1,64 @@
+"""Ordered sinks — the engine's counterpart of the reference's output paths.
+
+The reference has two sinks (SURVEY.md §2a #14/#15): an ordered stdout print
+and a one-int-per-line ``sorted.txt`` file (QuickInsertionHeap.cu:118-131).
+Spark-first equivalents:
+
+- ``show_ordered``   — bounded preview (never prints 100 TB to a terminal).
+- ``write_sorted``   — partitioned parquet/csv/text where the GLOBAL order is
+  preserved by range partitioning: file i's keys all precede file i+1's
+  (Spark writes one file per partition, partitions are range-ordered after
+  ``orderBy``). This is the 100 TB-correct "sorted file" — a manifest of
+  range-ordered parts, not one giant file.
+- ``write_sorted_single`` — the literal single-file ``sorted.txt`` analogue
+  (coalesce(1)); only for small outputs, flagged accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators.sorting import total_sort
+
+
+def show_ordered(df: DataFrame, keys: Iterable[str | Column], n: int = 20) -> None:
+    """Preview the first n rows in global key order (reference's stdout sink,
+    bounded — uses the top-k plan, not a full sort)."""
+    df.orderBy(*[F.col(k) if isinstance(k, str) else k for k in keys]).show(n)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    keys: Iterable[str | Column],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    ascending: bool | Iterable[bool] = True,
+) -> None:
+    """Write globally sorted output as range-ordered part files.
+
+    ``orderBy`` plans a range exchange, so part-00000 holds the smallest
+    keys, part-00001 the next range, etc.; concatenating parts in filename
+    order reproduces the total order — the distributed ``sorted.txt``."""
+    out = total_sort(df, keys, ascending)
+    out.write.mode(mode).format(fmt).save(path)
+
+
+def write_sorted_single(
+    df: DataFrame,
+    path: str,
+    keys: Iterable[str | Column],
+    fmt: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """One-file ordered sink mirroring writeArrayToFile
+    (QuickInsertionHeap.cu:118-131). Single-task write — small outputs only
+    (top-k results, aggregates); at scale use ``write_sorted``."""
+    out = total_sort(df, keys)
+    if fmt == "text":
+        cols = [c for c in out.columns]
+        out = out.select(F.concat_ws("\t", *[F.col(c).cast("string") for c in cols]).alias("value"))
+    out.coalesce(1).write.mode(mode).format(fmt).save(path)

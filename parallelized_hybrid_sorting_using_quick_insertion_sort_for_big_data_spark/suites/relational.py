@@ -1,1 +1,342 @@
-"""Placeholder — filled in as operators land."""
+"""Breadth suite (SURVEY.md §7.2 M6): filter / join / agg / window / set-ops
+/ scalar functions over the TPC-H-ish tables, all oracle-checked.
+
+The reference has none of these operators (SURVEY.md §2b — verified absent);
+Spark's built-ins provide them, and these queries exercise the engine surface
+so the oracle harness covers every §2b category.
+
+Float discipline: every double aggregate is computed on DECIMAL (exact,
+order-independent) and cast back to DOUBLE so Spark's and DuckDB's summation
+orders can't diverge (per-row double arithmetic is IEEE-identical across
+engines; only reduction order varies, and decimal removes that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+
+# 8 decimal digits: source doubles carry ≤2 decimals, so products of three
+# such values carry ≤6 — at scale 8 no value lands on a rounding tie, keeping
+# Spark (HALF_UP) and DuckDB (HALF_EVEN) casts identical.
+_DEC = "decimal(27,8)"
+
+
+def _dsum(col):
+    """Order-independent sum of a double column via decimal, back to double."""
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _davg(col):
+    return (F.sum(col.cast(_DEC)).cast("double") / F.count(col)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# 1. TPC-H Q1-style pricing summary: filter + groupBy + many aggregates
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,8))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(27,8))) AS DOUBLE) / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("rel_q1_pricing_summary", sql=_Q1_ORACLE)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate (pushed to parquet) + hash agg with
+    map-side partial aggregation — one shuffle of pre-aggregated rows, the
+    at-scale shape for groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Multi-way join with broadcast dims: revenue by nation
+# ---------------------------------------------------------------------------
+
+_REVENUE_ORACLE = """
+SELECT
+  n.n_name AS nation,
+  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+@query("rel_join_revenue_by_nation", sql=_REVENUE_ORACLE)
+def rel_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders (shuffle or broadcast by size) with
+    nation/region explicitly broadcast (fixed 25/5-row dims — broadcastable
+    at ANY scale factor, so no shuffle for the dimension legs even at
+    100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Window functions: top-3 orders per market segment + running totals
+# ---------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT * FROM (
+  SELECT
+    c.c_mktsegment AS segment,
+    o.o_orderkey,
+    o.o_totalprice,
+    row_number() OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk,
+    CAST(sum(CAST(o.o_totalprice AS DECIMAL(27,8))) OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rnk <= 3
+"""
+
+
+@query("rel_window_top_orders_per_segment", sql=_WINDOW_ORACLE)
+def rel_window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k + running sum — windows PARTITIONED by segment (scales:
+    each group sorts independently after one hash shuffle; no global window)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "running_total",
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"),
+        )
+        .where(F.col("rnk") <= 3)
+        .select("segment", "o_orderkey", "o_totalprice", "rnk", "running_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Semi/anti joins: customers with F-orders but no O-orders
+# ---------------------------------------------------------------------------
+
+_SEMI_ANTI_ORACLE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+@query("rel_semi_anti_join", sql=_SEMI_ANTI_ORACLE)
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) — the set-membership joins
+    (absent from the reference, §2b)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    o_orders = orders.where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi")
+        .join(o_orders, cust.c_custkey == o_orders.o_custkey, "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Set operations: UNION / INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH big_parts AS (SELECT p_partkey FROM part WHERE p_size >= 30),
+     cheap_parts AS (SELECT p_partkey FROM part WHERE p_retailprice < 1200.0)
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM big_parts UNION SELECT * FROM cheap_parts)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM big_parts INTERSECT SELECT * FROM cheap_parts)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM big_parts EXCEPT SELECT * FROM cheap_parts)
+"""
+
+
+@query("rel_set_operations", sql=_SETOPS_ORACLE)
+def rel_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") >= 30).select("p_partkey")
+    cheap = part.where(F.col("p_retailprice") < 1200.0).select("p_partkey")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", big.union(cheap).distinct())
+        .unionAll(one("intersect", big.intersect(cheap)))
+        .unionAll(one("except", big.exceptAll(cheap.distinct()).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Scalar functions: string / date / math / conditional
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT
+  o_orderkey,
+  upper(o_orderpriority) AS prio_upper,
+  length(o_orderpriority) AS prio_len,
+  substr(o_orderpriority, 1, 1) AS prio_code,
+  CAST(year(o_orderdate) AS INT) AS order_year,
+  CAST(month(o_orderdate) AS INT) AS order_month,
+  round(o_totalprice, 0) AS price_rounded,
+  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+  CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+  abs(o_orderkey % 7 - 3) AS mod_demo
+FROM orders
+"""
+
+
+@query("rel_scalar_functions", sql=_SCALAR_ORACLE)
+def rel_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface — all JVM-side built-ins inside
+    whole-stage codegen, zero Python in the hot path."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round("o_totalprice", 0).alias("price_rounded"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.abs(F.col("o_orderkey") % 7 - 3).alias("mod_demo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Rollup (grouping sets) over nation/region revenue
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  coalesce(r.r_name, 'ALL') AS region,
+  coalesce(n.n_name, 'ALL') AS nation,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c.c_acctbal AS DECIMAL(27,8))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@query("rel_rollup_customers", sql=_ROLLUP_ORACLE)
+def rel_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region→nation→grand total) — one pass,
+    partial-agg friendly."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Distinct aggregates
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT
+  l_returnflag,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("rel_distinct_aggregates", sql=_DISTINCT_ORACLE)
+def rel_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) — planned as expand + two-phase agg. At
+    100 TB prefer approx_count_distinct (HLL, one pass, no expand); exact
+    kept here because the oracle must match bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
