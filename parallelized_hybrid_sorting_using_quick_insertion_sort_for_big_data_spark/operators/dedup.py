@@ -1,0 +1,291 @@
+"""Deduplication operators for LLM-data pipelines (extension layer, SURVEY
+§2c): exact, char-n-gram Jaccard, MinHash + LSH banding, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup is a hash-aggregate on a fingerprint — one shuffle of
+  (fingerprint, doc_id), never of document bodies;
+- n-gram Jaccard enumerates candidate pairs ONLY through a shared-shingle
+  equi-join (never a cross join); at petabyte scale the shared-shingle join
+  itself is bounded by first dropping ultra-frequent shingles (stop-shingles)
+  — exposed via ``max_shingle_freq``;
+- MinHash/LSH reduces each doc to a k-int signature, bands it, and
+  equi-joins on (band, band-hash) — candidate count is controlled by the
+  banding parameters, independent of corpus size;
+- SimHash reduces each doc to one 64-bit int; near-dup = small Hamming
+  distance, bucketed by bit-chunks for join-based candidate generation.
+
+All hashing uses ``xxhash64`` (JVM built-in, vectorized). MinHash/SimHash
+queries are rows-only in the oracle harness (no portable 64-bit string hash
+across Spark and DuckDB); their correctness is property-tested against exact
+Jaccard in tests/test_text_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) texts: one row per distinct content with
+    the canonical (minimum) id and the duplicate count. Shuffles only
+    (fingerprint, id) pairs — document bodies never cross the wire."""
+    fp = df.select(
+        T.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly the canonical row per distinct content (deterministic:
+    min id wins) — the `dropDuplicates` semantics but with a defined winner."""
+    w = Window.partitionBy(T.fingerprint_md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Char-n-gram shingles + exact Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Distinct char-n-gram shingles per document: (id, shingle).
+    Lowercased; documents shorter than n contribute their whole text."""
+    t = F.trim(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return (
+        df.select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("__i"))
+        .select(F.col(id_col), F.expr(f"substring(__t, __i, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥
+    threshold).
+
+    Candidates come from a shared-shingle equi-join; ``max_shingle_freq``
+    drops shingles appearing in more than that many docs before the join
+    (stop-shingle pruning — at corpus scale a shingle shared by millions of
+    docs generates quadratic candidates while carrying ~zero Jaccard
+    signal). Default None keeps the result exact."""
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: keeps a*h+b within int64 under ANSI overflow checks
+# (h < 2^31, a < 2^31 would overflow — a stays < 2^7 here).
+_MH_PRIME = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signatures as (id, array<long>[k]).
+
+    h_j(s) = (a_j * xxhash64(s) + b_j) mod p, with (a_j, b_j) derived
+    deterministically from the seed. One aggregation over the shingle
+    relation computes all k mins at once (map-side partial min — the shuffle
+    carries k longs per doc, not the shingles)."""
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "__h", F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(_MH_PRIME))
+    )
+    mins = [
+        F.min(
+            (F.col("__h") * F.lit(2 * j + 1) + F.lit(seed * 31 + j)) % F.lit(_MH_PRIME)
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{j}" for j in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: signature → ``bands`` bands of
+    r = num_hashes/bands rows; docs colliding on any (band, band-slice) are
+    candidates; candidates are scored by estimated Jaccard (signature
+    agreement fraction) and filtered at ``threshold``.
+
+    Only (band-key → id) pairs are joined — never documents, never a cross
+    join; this is the 100 TB near-dup path."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+
+    band_rows = sig.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.col("signature")[bi * r + j] for j in range(r)])
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), "signature", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+
+    lhs = band_rows.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bkey"
+    )
+    rhs = band_rows.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        lhs.join(rhs, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority vote of token
+    hashes, entirely with built-in expressions (explode → 64 conditional
+    sums → bit reassembly). Returns (id, simhash BIGINT)."""
+    def mask(b: int) -> int:
+        # bit 63 of a signed long is the sign bit: 1<<63 overflows, use its
+        # two's-complement value
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    tok = df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).withColumn("__h", F.xxhash64("tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bits = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0))
+        bits = bit if bits is None else bits.bitwiseOR(bit)
+    return votes.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming. Candidate
+    generation: split the 64-bit hash into ``chunks`` pieces — any pair
+    within distance < chunks must agree on ≥1 piece (pigeonhole), so an
+    equi-join per piece finds all candidates without a cross join."""
+    sh = simhash(df, text_col, id_col)
+    width = 64 // chunks
+    pieces = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), ci * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("piece"),
+                    )
+                    for ci in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), "simhash", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+
+    lhs = pieces.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "piece")
+    rhs = pieces.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "piece")
+    cand = (
+        lhs.join(rhs, ["chunk", "piece"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,189 @@
+"""Text analysis operators for LLM-data pipelines (extension layer, SURVEY
+§2c): tokenization, token counting, language ID, quality scoring, document
+fingerprinting.
+
+Everything here is JVM-side built-in expressions (whole-stage codegen, no
+Python in the hot path) and is expressed so the identical computation is
+writable in ANSI SQL for the DuckDB oracle: per-row double arithmetic only
+(IEEE-identical across engines), regexes restricted to the `[a-z0-9]`
+character-class subset that Java regex and RE2 agree on.
+
+100 TB notes: all operators are narrow (per-row map) — no shuffle at all;
+they pipeline into whatever scan/filter precedes them and the parquet scan
+prunes to the `text` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deterministic scoring: count marker hits per language, pick by
+# fixed precedence en > de > es > fr on ties; CJK short-circuits via a
+# unicode-range test.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "los", "las", "es", "una", "y", "por"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+}
+# \x{...} escapes: the form Java regex (Spark) and RE2 (DuckDB) agree on.
+CJK_RE = "[\\x{4e00}-\\x{9fff}]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens — the whitespace + BPE-ish regex tokenizer."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("bigint")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic language-ID heuristic: CJK unicode-range test, then
+    argmax of per-language marker-stopword hit counts with fixed-precedence
+    tiebreak. (A real pipeline plugs fastText/cld3 in the same column slot;
+    that model isn't in this container, and the heuristic keeps the operator
+    oracle-checkable.)"""
+    toks = tokens(text)
+    en = _marker_hits(toks, LANG_MARKERS["en"])
+    de = _marker_hits(toks, LANG_MARKERS["de"])
+    es = _marker_hits(toks, LANG_MARKERS["es"])
+    fr = _marker_hits(toks, LANG_MARKERS["fr"])
+    return (
+        F.when(F.regexp_count(text, F.lit(CJK_RE)) > 0, "zh")
+        .when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+
+
+def lang_id_sql(text_expr: str) -> str:
+    """The identical heuristic as DuckDB SQL."""
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (
+            f"len(list_filter(regexp_extract_all(lower({text_expr}), '{TOKEN_RE}'),"
+            f" t -> t IN ({lst})))"
+        )
+
+    en, de, es, fr = (hits(lang) for lang in ("en", "de", "es", "fr"))
+    return f"""CASE
+      WHEN regexp_matches({text_expr}, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+      WHEN {en} >= {de} AND {en} >= {es} AND {en} >= {fr} THEN 'en'
+      WHEN {de} >= {es} AND {de} >= {fr} THEN 'de'
+      WHEN {es} >= {fr} THEN 'es'
+      ELSE 'fr' END"""
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are not [a-z0-9 ] after lowercasing."""
+    stripped = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", ""))
+    return (stripped.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return (
+        _marker_hits(toks, STOPWORDS).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    # total token chars via join-then-length: portable to DuckDB as
+    # length(array_to_string(tokens, ''))
+    toks = tokens(text)
+    total = F.length(F.array_join(toks, ""))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs and
+    normal stopword density, penalizes punctuation soup. Pure per-row double
+    arithmetic — bit-identical across engines."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(text) * 5.0, F.lit(0.0))
+    return (length_term * 0.4 + stop_term * 0.3 + punct_term * 0.3).cast("double")
+
+
+def quality_score_sql(text_expr: str) -> str:
+    t = text_expr
+    n_tok = f"CAST(len(regexp_extract_all(lower({t}), '{TOKEN_RE}')) AS DOUBLE)"
+    stop_list = ", ".join(f"'{m}'" for m in STOPWORDS)
+    stop_hits = (
+        f"CAST(len(list_filter(regexp_extract_all(lower({t}), '{TOKEN_RE}'),"
+        f" x -> x IN ({stop_list}))) AS DOUBLE)"
+    )
+    punct = (
+        f"(CAST(length(regexp_replace(lower({t}), '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+        f" / greatest(length({t}), 1))"
+    )
+    return (
+        f"(least({n_tok} / 100.0, 1.0) * 0.4"
+        f" + least(({stop_hits} / greatest({n_tok}, 1)) * 4.0, 1.0) * 0.3"
+        f" + greatest(1.0 - {punct} * 5.0, 0.0) * 0.3)"
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (hex string). The
+    exact-dedup key."""
+    return F.md5(F.encode(normalized_text(text), "UTF-8"))
+
+
+NORMALIZED_SQL = "trim(regexp_replace(lower({t}), '\\s+', ' ', 'g'))"
+FINGERPRINT_SQL = "md5(" + NORMALIZED_SQL + ")"
+
+
+def rolling_hash(text: Column, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style) — the
+    reference-style 'document fingerprint' as a single fold, computed with a
+    higher-order aggregate entirely JVM-side. Not oracle-paired (DuckDB's
+    list_reduce disagrees on empty input); property-tested instead."""
+    chars = F.split(normalized_text(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.coalesce(F.ascii(c), F.lit(0))) % mod,
+    )
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis annotation: every operator above as a column."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_computed": char_count(t),
+            "detected_lang": lang_id(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "mean_token_len": mean_token_len(t),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint_md5(t),
+        }
+    )

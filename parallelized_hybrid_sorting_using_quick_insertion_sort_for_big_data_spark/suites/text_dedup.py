@@ -1,1 +1,176 @@
-"""Placeholder — filled in as operators land."""
+"""Extension-layer queries: text analysis + deduplication over `documents`
+(SURVEY.md §2c), oracle-checked where the computation is portable SQL.
+
+The testdata's 500 documents are all content-distinct, so the exact-dedup
+query manufactures true duplicates by unioning the corpus with an id-shifted
+copy of itself (mirrored identically in the oracle) — the operator is then
+exercised on real duplicate groups instead of vacuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text as T
+from ..queries import query
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# 1. Text analysis annotation (tokens, lang-id, quality, fingerprint)
+# ---------------------------------------------------------------------------
+
+_ANALYSIS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT) AS n_tokens,
+  {T.lang_id_sql('text')} AS detected_lang,
+  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+    / greatest(length(text), 1) AS punct_ratio,
+  CAST(length(array_to_string(regexp_extract_all(lower(text), '{T.TOKEN_RE}'), '')) AS DOUBLE)
+    / greatest(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')), 1) AS mean_token_len,
+  {T.quality_score_sql('text')} AS quality,
+  {T.FINGERPRINT_SQL.format(t='text')} AS fingerprint
+FROM documents
+"""
+
+
+@query("text_analysis", sql=_ANALYSIS_ORACLE)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics — one narrow JVM-side pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.lang_id(t).alias("detected_lang"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.mean_token_len(t).alias("mean_token_len"),
+        T.quality_score(t).alias("quality"),
+        T.fingerprint_md5(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Corpus token frequency (tokenize → explode → agg → ranked top 50)
+# ---------------------------------------------------------------------------
+
+_TOKFREQ_ORACLE = f"""
+SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+FROM (
+  SELECT token, count(*) AS n
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS token
+    FROM documents
+  )
+  GROUP BY token
+)
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
+@query("text_token_frequency", sql=_TOKFREQ_ORACLE)
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary histogram, top-50. Map-side partial counts make the
+    shuffle carry one row per distinct token per partition; hot tokens are a
+    skew concern at corpus scale — AQE handles, or pre-salt for extreme
+    Zipf."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# 3. Exact dedup over corpus ∪ id-shifted copy (true duplicate groups)
+# ---------------------------------------------------------------------------
+
+_ID_SHIFT = 1_000_000
+
+_EXACT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_ID_SHIFT} AS doc_id, text FROM documents
+)
+SELECT
+  {T.FINGERPRINT_SQL.format(t='text')} AS fingerprint,
+  min(doc_id) AS canonical_id,
+  count(*) AS n_dups
+FROM corpus
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", sql=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5-of-normalized-text hash-agg; canonical row =
+    min id (deterministic winner). Only (fingerprint, id) pairs shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "text")
+    corpus = docs.unionAll(shifted)
+    return dedup.exact_dedup_groups(corpus)
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard near-dup pairs (exact, shared-shingle candidates)
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+_JACCARD_T = 0.5
+
+_JACCARD_ORACLE = f"""
+WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{_NGRAM_N - 1}, 1))) AS i FROM d),
+sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON shared.id_a = sa.doc_id
+JOIN sizes sb ON shared.id_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {_JACCARD_T}
+"""
+
+
+@query("dedup_ngram_jaccard", sql=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-8-gram Jaccard near-duplicates at threshold 0.5; candidate
+    pairs only through the shared-shingle equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_T)
+
+
+# ---------------------------------------------------------------------------
+# 5. MinHash + LSH banding (rows-only: xxhash64 isn't portable to DuckDB;
+#    property-tested against exact Jaccard in tests/test_text_dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh", sql=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) near-dup candidates at est-Jaccard ≥
+    0.5 — the sublinear near-dup path for corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T
+    )
+
+
+@query("dedup_simhash", sql=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 12 via 4-chunk pigeonhole
+    candidate join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=12, chunks=4)

@@ -1,0 +1,83 @@
+"""Text-analysis + dedup tests: oracle parity, and property checks for the
+non-SQL-expressible paths (MinHash vs exact Jaccard, SimHash sanity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    dedup,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = [
+    "text_analysis",
+    "text_token_frequency",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_dedup_keeps_canonical(spark, docs):
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    kept = dedup.exact_dedup(doubled)
+    n_docs = docs.count()
+    assert kept.count() == n_docs
+    # canonical winner is the min id → all kept ids are the originals
+    assert kept.where(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates at est-jaccard ≥ 0.5 must recover the exact-jaccard
+    pairs at ≥ 0.5 with high recall and estimate within tolerance."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, n=8, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=8, num_hashes=32, bands=8, threshold=0.35
+        ).collect()
+    }
+    assert exact, "expected planted near-dup pairs in testdata"
+    found = sum(1 for p in exact if p in approx)
+    recall = found / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({found}/{len(exact)})"
+    for p, j in exact.items():
+        if p in approx:
+            assert abs(approx[p] - j) <= 0.35, (p, j, approx[p])
+
+
+def test_simhash_near_dups_align_with_jaccard(spark, docs):
+    """High-Jaccard pairs should be close in SimHash space (sanity, not a
+    tight bound — simhash is token-based, jaccard char-based)."""
+    exact = dedup.jaccard_pairs(docs, n=8, threshold=0.8).collect()
+    sim = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=20, chunks=4).collect()
+    }
+    assert exact
+    hits = sum(1 for r in exact if (r["id_a"], r["id_b"]) in sim)
+    assert hits / len(exact) >= 0.8
+
+
+def test_simhash_is_deterministic(spark, docs):
+    a = sorted(dedup.simhash(docs.limit(50)).collect())
+    b = sorted(dedup.simhash(docs.limit(50)).collect())
+    assert a == b
