@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (extension layer, SURVEY §2c):
+brute-force cosine top-k baseline, LSH-bucketed ANN scale path, exact
+near-dup pairs, per-label centroids.
+
+Scale design:
+- brute-force top-k BROADCASTS the (small) query set and streams the corpus
+  once — a broadcast nested-loop join followed by per-query top-k; no corpus
+  shuffle, no driver collect. Right answer for "a handful of queries against
+  100 TB of vectors".
+- the ANN path reduces each vector to an nbits-bit random-hyperplane
+  signature (sign of dot with deterministic pseudo-random planes, built from
+  pure column arithmetic — no Python in the loop) and equi-joins on bucket;
+  candidates are re-ranked exactly. Probe radius 1 (flip each bit) trades
+  recall vs cost without ever going quadratic.
+- all vector math is built-in higher-order functions (zip_with/aggregate/
+  transform) on array<double> — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (sequential fold —
+    deterministic order, engine-portable to 1 ulp)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int | None = 9,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast(queries) ⨯ corpus → window
+    top-k partitioned by query. Output: (q_id, vec_id, sim, rnk)."""
+    sim = cosine(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec)))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = F.broadcast(queries).crossJoin(corpus).select(
+        F.col(query_id), F.col(corpus_id), sim.alias("sim")
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id, corpus_id, "sim", "rnk")
+    )
+
+
+def exact_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via self cross join.
+    Quadratic: correct baseline at test scale; at corpus scale use
+    ``lsh_near_dup_pairs`` (bucketed candidates) instead."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: int, dim_idx: Column, seed: int) -> Column:
+    """Deterministic pseudo-random N(0,1)-ish plane component from pure
+    column arithmetic: two xxhash64 draws → uniform(0,1] pair → Box-Muller.
+    Entirely JVM-side; identical on every executor with no broadcast."""
+    h1 = F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), dim_idx), F.lit(1 << 30))
+    h2 = F.pmod(F.xxhash64(F.lit(seed + 1), F.lit(plane), dim_idx), F.lit(1 << 30))
+    u1 = (h1 + 1).cast("double") / F.lit(float(1 << 30))
+    u2 = (h2 + 1).cast("double") / F.lit(float(1 << 30))
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+
+
+def lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nbits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Append an nbits-bit random-hyperplane signature column ``bucket``:
+    bit p = sign(v · plane_p). Same-bucket vectors are cosine-close with
+    probability rising in cos — the standard SimHash-for-angles scheme."""
+    v = _as_double(F.col(vec_col))
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(nbits):
+        proj = F.aggregate(
+            F.zip_with(v, idx, lambda x, i: x * _plane_component(p, i, seed)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket.bitwiseOR(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 12,
+    seed: int = 42,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Near-dup pairs via LSH buckets: candidates = same bucket OR buckets
+    at Hamming distance 1 (multi-probe), re-ranked by exact cosine. Never
+    quadratic in corpus size; bucket-key join only."""
+    sig = lsh_signature(df, vec_col, nbits, seed).select(
+        F.col(id_col), F.col(vec_col), "bucket"
+    )
+    # multi-probe: emit own bucket + each 1-bit flip
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(nbits)]
+    )
+    lhs = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("bucket").alias("bkey")
+    )
+    rhs = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.explode(probes).alias("bkey"),
+    )
+    sim = cosine(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        lhs.join(rhs, "bkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid components: (label, dim_idx, centroid). posexplode
+    → partial-agg sums — one shuffle of (label, dim) partial sums. Decimal
+    accumulation keeps the result order-independent and oracle-exact."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "e")
+    )
+    return (
+        exploded.groupBy(label_col, "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.col("e").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)), 9
+            ).alias("centroid")
+        )
+        .withColumn("dim_idx", F.col("dim_idx").cast("bigint"))
+    )

@@ -1,1 +1,112 @@
-"""Placeholder — filled in as operators land."""
+"""Extension-layer queries: similarity search over `embeddings` (SURVEY
+§2c). Cosine values are rounded to 9 decimals on BOTH engines: Spark's
+sequential fold and DuckDB's list_cosine_similarity agree to ≤1 ulp
+(measured 2.2e-16), so round(9) makes them hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..queries import query
+from ..sources.tables import load_table
+
+_K = 5
+_N_QUERIES = 5
+
+_TOPK_ORACLE = f"""
+WITH sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 9) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= {_K}
+"""
+
+
+@query("vec_cosine_topk", sql=_TOPK_ORACLE)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors against the corpus: broadcast
+    queries, stream corpus once, per-query window top-k — the ANN baseline
+    and the reference's sort capability (top-k) applied to similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.brute_force_topk(queries, emb, k=_K)
+
+
+# The testdata embeddings are near-orthogonal random vectors (max pairwise
+# cosine ≈0.51 at sf0.01), so near-dup pairs are planted by unioning an
+# id-shifted copy of the corpus — mirrored identically in the oracle. The
+# planted pairs have cosine exactly 1.0; threshold 0.98 finds exactly those.
+_NEARDUP_T = 0.98
+_VEC_SHIFT = 1_000_000
+
+_NEARDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VEC_SHIFT} AS vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 9) AS sim
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 9) >= {_NEARDUP_T}
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select((F.col("vec_id") + _VEC_SHIFT).alias("vec_id"), "embedding")
+    return emb.unionAll(shifted)
+
+
+@query("vec_exact_near_dup", sql=_NEARDUP_ORACLE)
+def vec_exact_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.98) over the corpus ∪
+    id-shifted copy, exact — the correctness baseline for the LSH path."""
+    return similarity.exact_near_dup_pairs(_dup_corpus(spark, sf_dir), threshold=_NEARDUP_T)
+
+
+@query("vec_lsh_near_dup", sql=None)
+def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH buckets + multi-probe +
+    exact re-rank — the non-quadratic corpus-scale path. Rows-only in the
+    oracle harness; recall vs the exact query is asserted in tests."""
+    return similarity.lsh_near_dup_pairs(
+        _dup_corpus(spark, sf_dir), threshold=_NEARDUP_T, nbits=10
+    )
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+       round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS centroid
+FROM ex
+GROUP BY label, i
+"""
+
+
+@query("vec_label_centroids", sql=_CENTROID_ORACLE)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (label, dim_idx, centroid) — the
+    aggregation half of IVF index building; decimal-exact accumulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)

@@ -1,0 +1,82 @@
+"""Similarity-search tests: oracle parity + LSH recall vs exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    similarity,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = ["vec_cosine_topk", "vec_exact_near_dup", "vec_label_centroids"]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _perturbed_corpus(spark, emb, eps=0.02, shift=50_000):
+    """Corpus ∪ slightly-perturbed copy (cos ≈ 0.998): the realistic near-dup
+    case LSH must recover (identical copies would be trivial)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    rng = np.random.default_rng(42)
+    pert = pdf.copy()
+    pert["vec_id"] = pert["vec_id"] + shift
+    pert["embedding"] = pert["embedding"].map(
+        lambda v: (np.asarray(v, dtype="float64") + eps * rng.standard_normal(len(v))).tolist()
+    )
+    both = pd.concat([pdf, pert], ignore_index=True)
+    both["embedding"] = both["embedding"].map(lambda v: [float(x) for x in v])
+    return spark.createDataFrame(both, schema="vec_id long, embedding array<double>")
+
+
+def test_lsh_recall_vs_exact_on_perturbed(spark, emb):
+    corpus = _perturbed_corpus(spark, emb.limit(200))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.exact_near_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_near_dup_pairs(corpus, threshold=0.95, nbits=10).collect()
+    }
+    assert len(exact) >= 150, f"expected ~200 planted pairs, got {len(exact)}"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} ({len(exact & approx)}/{len(exact)})"
+    # precision is 1.0 by construction (exact re-rank): no false positives
+    assert approx <= exact
+
+
+def test_lsh_signature_deterministic(spark, emb):
+    a = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
+    b = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
+    assert a == b
+
+
+def test_cosine_self_is_one(spark, emb):
+    v = F.col("embedding").cast("array<double>")
+    out = emb.limit(20).select(F.round(similarity.cosine(v, v), 9).alias("c")).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-9 for r in out)
+
+
+def test_topk_rank_is_dense_per_query(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = similarity.brute_force_topk(queries, emb, k=4).toPandas()
+    for qid, grp in out.groupby("q_id"):
+        assert sorted(grp["rnk"].tolist()) == [1, 2, 3, 4]
+        assert grp.sort_values("rnk")["sim"].is_monotonic_decreasing
