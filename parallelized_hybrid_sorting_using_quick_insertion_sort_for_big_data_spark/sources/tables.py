@@ -43,7 +43,26 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the Spark
+    parquet reader rejects outright. Read nanos as long and truncate to
+    microseconds — exactly what DuckDB's nanos→micros read does, so the
+    oracle sees identical instants."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as STypes
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if isinstance(df.schema["ts"].dataType, STypes.LongType):
+        # `ts / 1000` would go through DOUBLE (53-bit mantissa) and corrupt
+        # nano-epoch values (~2^60); `div` is exact integer division.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,125 @@
+"""Event-time windowing + sessionization, batch and Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2b: no streaming of any kind);
+this extension layer supplies the streaming surface a pipeline needs:
+tumbling/sliding watermarked aggregation and gap-based sessionization, each
+usable identically in batch (oracle-checkable) and as a readStream →
+writeStream job.
+
+Scale notes: state size is bounded by the watermark horizon; aggregations
+are partial-agg friendly (count/sum); session windows use Spark's native
+``session_window`` (state-store backed merge, no per-user collect).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as _types
+
+_DEC = "decimal(27,8)"
+
+
+def tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type: count + exact value sum.
+    Works on batch and streaming frames alike."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user via native session_window (merging state
+    windows; the streaming-safe sessionization). Output: one row per
+    (user_id, session) with bounds as integer epoch MICROSECONDS — exact on
+    both the Spark and oracle side, so the driver's value-hash can't flap on
+    float low bits — and event count."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def stream_tumbling_agg(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the tumbling aggregation as a real Structured Streaming job over
+    a parquet directory source with an event-time watermark, drain it to a
+    memory sink synchronously, and return the materialized result.
+
+    The watermark bounds state: windows older than (max event time -
+    watermark) are finalized and evicted — the late-data contract a
+    continuous pipeline needs. With a static source, processAllAvailable
+    drains everything, so the result equals the batch aggregation (asserted
+    in tests)."""
+    name = f"phsqis_stream_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        # the file-stream source only accepts directories: stage the single
+        # parquet file into a scratch dir (test-scale convenience; a real
+        # deployment streams from a directory/Kafka anyway)
+        staged = os.path.join(tempfile.gettempdir(), name + "_src")
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    # nanos-as-long ts → truncate to micros (same as the batch loader)
+    if isinstance(events.schema["ts"].dataType, _types.LongType):
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

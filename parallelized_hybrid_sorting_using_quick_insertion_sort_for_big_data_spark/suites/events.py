@@ -1,1 +1,127 @@
-"""Placeholder — filled in as operators land."""
+"""Extension-layer queries: event-time analytics over `events` (SURVEY §2c)
+— tumbling windows, sessionization, JSON props — plus the Structured
+Streaming form (rows-only; equality with the batch form is pytest-asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.tables import load_table
+from ..streaming import windows as W
+
+# ---------------------------------------------------------------------------
+# 1. Tumbling 1-hour window per event type (batch; oracle via epoch math)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", sql=_TUMBLING_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type — the batch form of
+    the streaming aggregation (F.window ≡ epoch-floor bucketing for tumbling
+    windows, which is what the oracle computes)."""
+    return W.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# 2. Gap-based sessionization via native session_window
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds (integer-exact)
+
+# All epoch math in integer MICROSECONDS (epoch_us) — float epoch seconds
+# lose sub-microsecond bits at 2026-era magnitudes and flap the value-hash.
+# Boundary semantics verified against Spark: an event exactly `gap` after the
+# previous one MERGES into the session, so a new session starts only when the
+# gap is strictly greater.
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@query("events_sessionize", sql=_SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via Spark's native session_window
+    (merging window state — the streaming-safe mechanism). The oracle
+    derives identical sessions with the classic lag/cumsum construction:
+    session_window(start, end) ≡ (min ts, max ts + gap)."""
+    return W.sessionize(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# 3. JSON props extraction + aggregation
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS n,
+  CAST(sum(CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(27,8))) AS DOUBLE) AS sum_k,
+  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+  max(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_props", sql=_JSON_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: parse the JSON string column with a typed
+    schema (from_json — JVM-side Jackson, no Python) and aggregate. The
+    multimodal 'typed metadata next to opaque payload' pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "struct<k:bigint>").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("k").cast("decimal(27,8)")).cast("double").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Structured Streaming tumbling window (rows-only; batch-equality in tests)
+# ---------------------------------------------------------------------------
+
+
+@query("events_stream_tumbling", sql=None)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as events_tumbling_window but executed
+    as a real readStream → watermark → writeStream(memory) job, drained
+    synchronously. Rows-only here; tests assert it equals the batch form."""
+    # raw file schema: ts arrives as INT64 nanos (read via nanosAsLong);
+    # stream_tumbling_agg converts it to a proper event-time column
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return W.stream_tumbling_agg(
+        spark, f"{sf_dir}/events.parquet", schema, window="1 hour", watermark="2 hours"
+    )

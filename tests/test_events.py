@@ -1,0 +1,43 @@
+"""Event-time analytics tests: oracle parity + streaming/batch equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = ["events_tumbling_window", "events_sessionize", "events_json_props"]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+def test_stream_equals_batch(spark):
+    """The watermarked streaming aggregation, fully drained over a static
+    source, must equal the batch aggregation exactly."""
+    qs = entrymod.queries()
+    batch = {tuple(r) for r in qs["events_tumbling_window"](spark, SF_DIR).collect()}
+    stream = {tuple(r) for r in qs["events_stream_tumbling"](spark, SF_DIR).collect()}
+    assert batch == stream
+    assert len(batch) > 0
+
+
+def test_sessions_cover_all_events(spark):
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sessions = qs["events_sessionize"](spark, SF_DIR)
+    total = sessions.agg(F.sum("n_events")).collect()[0][0]
+    assert total == ev.count()
+    # sessions for one user never overlap: start >= previous end ⇒ gap holds
+    pdf = sessions.orderBy("user_id", "session_start_us").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        starts = grp["session_start_us"].tolist()
+        ends = grp["session_end_us"].tolist()
+        for s, e_prev in zip(starts[1:], ends[:-1]):
+            assert s >= e_prev
