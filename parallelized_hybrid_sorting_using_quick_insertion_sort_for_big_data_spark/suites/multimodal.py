@@ -1,0 +1,101 @@
+"""Multimodal-column queries (extension layer, SURVEY §2c): opaque binary
+payloads + typed metadata over `documents`, with metadata math oracle-checked
+in DuckDB and the mapInPandas decode paths pytest-verified against a pure-
+Python reimplementation (rows-only for the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..queries import query
+from ..sources.tables import load_table
+
+_FMT_CASE = """
+CASE source WHEN 'web' THEN 'image/png'
+            WHEN 'books' THEN 'audio/wav'
+            WHEN 'code' THEN 'text/plain'
+            ELSE 'video/raw' END
+"""
+
+# ---------------------------------------------------------------------------
+# 1. Metadata-only summary: never touches payload bytes (column pruning)
+# ---------------------------------------------------------------------------
+
+_METADATA_ORACLE = f"""
+SELECT {_FMT_CASE} AS format,
+       count(*) AS n_assets,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes,
+       sum((octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE}) AS total_frames
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("mm_metadata_summary", sql=_METADATA_ORACLE)
+def mm_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate typed metadata per media format. The plan reads only the
+    struct fields — at scale, parquet column pruning means the multi-TB
+    payload column is never scanned for this query."""
+    assets = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return assets.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+        F.sum("meta.n_frames").alias("total_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Per-asset frame inventory: integer frame/sample math, oracle-exact
+# ---------------------------------------------------------------------------
+
+_INVENTORY_ORACLE = f"""
+SELECT doc_id,
+       {_FMT_CASE} AS format,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE} AS n_frames,
+       ((octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE}
+        + {M.FRAME_STRIDE - 1}) // {M.FRAME_STRIDE} AS n_sampled
+FROM documents
+"""
+
+
+@query("mm_frame_inventory", sql=_INVENTORY_ORACLE)
+def mm_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset frame segmentation plan: how many fixed-size frames the
+    payload carves into and how many the every-Nth sampler will emit —
+    the planning query a video pipeline runs before the expensive decode."""
+    assets = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.expr(f"(meta.n_frames + {M.FRAME_STRIDE - 1}) div {M.FRAME_STRIDE}")
+        .cast("long")
+        .alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. mapInPandas decode paths (rows-only for the driver; pytest checks the
+#    values against a pure-Python oracle exactly)
+# ---------------------------------------------------------------------------
+
+
+@query("mm_byte_features", sql=None)
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched 'decode + featurize' over the binary payload column
+    (deterministic fake decode; see operators.multimodal.decode_image_real
+    for the clearly-stubbed real-codec slot)."""
+    return M.byte_features(M.attach_payload(load_table(spark, sf_dir, "documents")))
+
+
+@query("mm_frame_sample", sql=None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over the binary payload column via mapInPandas."""
+    return M.sample_frames(M.attach_payload(load_table(spark, sf_dir, "documents")))
