@@ -1,0 +1,94 @@
+"""Plan-quality gates: the physical plans of headline queries must have the
+shape we designed for 100 TB — filters pushed to the scan, columns pruned,
+small dims broadcast, no accidental cartesian products, bounded shuffles.
+These run on plan TEXT only (no query execution), so they're fast."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+    inspect as PI,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_q1_filter_pushed_and_pruned(spark, qs):
+    df = qs["rel_q1_pricing_summary"](spark, SF_DIR)
+    PI.assert_filter_pushed(df, "l_shipdate")
+    # 16-column lineitem scan must prune to the 7 referenced columns
+    (schema,) = PI.scan_read_schemas(df)
+    assert schema.count(":") == 7, schema
+    PI.assert_column_pruned(df, "l_comment")
+    # filter+partial agg fuse into codegen; one shuffle of pre-aggregated rows
+    PI.assert_max_exchanges(df, 1)
+    assert PI.codegen_stage_count(df) >= 1
+
+
+def test_star_join_broadcasts_dims(spark, qs):
+    df = qs["rel_join_revenue_by_nation"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df)
+    # dims broadcast => the only shuffle is the final groupBy aggregation
+    PI.assert_max_exchanges(df, 1)
+    PI.assert_filter_pushed(df, "o_orderstatus")
+
+
+def test_total_sort_is_range_exchange(spark, qs):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        sorting,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources import (
+        tables,
+    )
+
+    df = sorting.total_sort(
+        tables.load_table(spark, SF_DIR, "lineitem"), ["l_extendedprice"]
+    )
+    plan = PI.formatted_plan(df)
+    assert "rangepartitioning" in plan, plan
+    PI.assert_max_exchanges(df, 1)
+
+
+def test_topk_plans_take_ordered(spark, qs):
+    df = qs["sort_topk_lineitem"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in PI.formatted_plan(df)
+    # per-partition heaps + driver merge of k*P rows: zero shuffle exchanges
+    PI.assert_max_exchanges(df, 0)
+
+
+def test_metadata_query_never_reads_payload_source_columns(spark, qs):
+    df = qs["mm_metadata_summary"](spark, SF_DIR)
+    # metadata summary needs text (payload derivation) + source only
+    (schema,) = PI.scan_read_schemas(df)
+    assert schema.count(":") == 2, schema
+    PI.assert_column_pruned(df, "doc_id")
+    PI.assert_column_pruned(df, "lang")
+
+
+def test_sessionize_single_shuffle(spark, qs):
+    # session_window agg shuffles once on user_id
+    df = qs["events_sessionize"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    assert not PI.has_cartesian(df)
+
+
+def test_no_headline_query_has_cartesian(spark, qs):
+    # LSH/near-dup queries must candidate-pair via bucket joins, never a
+    # cross join of the full table against itself
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "vec_lsh_near_dup",
+        "dedup_exact",
+        "text_analysis",
+    ]:
+        df = qs[name](spark, SF_DIR)
+        assert not PI.has_cartesian(df), name
