@@ -94,6 +94,96 @@ def exact_near_dup_pairs(
     )
 
 
+def exact_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 512,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via blocked matrix multiply.
+
+    Same O(n²) flops as the naive cross join, but executed as B·(B+1)/2
+    block-pair GEMMs (numpy, Arrow-batched ``applyInPandas``) instead of
+    per-pair ``zip_with`` folds — two orders of magnitude faster per flop,
+    and each task is one cache-friendly (block × block) matrix product.
+
+    Topology: rows are hashed into B = ceil(n/block_size) blocks; each block
+    is shipped to the B block-pairs it participates in (shuffle volume
+    O(n·B) rows), then each (bi ≤ bj) group computes its GEMM independently.
+    This is the standard exact-similarity-join decomposition; at corpus
+    scale you bound B by running it per LSH bucket or IVF cell
+    (``lsh_near_dup_pairs``) rather than corpus-wide.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, -(-n // block_size))
+
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    pair_rows = [
+        (bi * n_blocks + bj, bi, bj)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "pair_id int, blk_a int, blk_b int")
+
+    side_a = vecs.join(F.broadcast(pairs), vecs["__blk"] == pairs["blk_a"]).select(
+        "pair_id", F.lit(0).alias("side"), "__id", "__v"
+    )
+    side_b = vecs.join(F.broadcast(pairs), vecs["__blk"] == pairs["blk_b"]).select(
+        "pair_id", F.lit(1).alias("side"), "__id", "__v"
+    )
+    tagged = side_a.unionAll(side_b)
+
+    def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ma = np.stack(a["__v"].to_numpy())
+        mb = np.stack(b["__v"].to_numpy())
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a, id_b, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+        pair_id = int(pdf["pair_id"].iloc[0])
+        if pair_id // n_blocks == pair_id % n_blocks:
+            # same-block group: GEMM yields both orientations plus the
+            # diagonal — keep the canonical half
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], s[keep]
+        else:
+            # cross-block group: each unordered pair occurs exactly once,
+            # in block-side orientation — canonicalize to (min, max)
+            lo = np.minimum(id_a, id_b)
+            hi = np.maximum(id_a, id_b)
+            id_a, id_b = lo, hi
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "sim": s})
+
+    return (
+        tagged.groupBy("pair_id")
+        .applyInPandas(_gemm, "id_a bigint, id_b bigint, sim double")
+        # a pair co-bucketed twice (same-block pair seen from (bi,bi)) can't
+        # occur — pair_id is unique per (bi,bj) — so no distinct needed
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

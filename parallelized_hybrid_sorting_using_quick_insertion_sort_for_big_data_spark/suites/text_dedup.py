@@ -124,11 +124,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_N = 8
 _JACCARD_T = 0.5
+# Stop-shingle cap: shingles appearing in more docs are dropped BEFORE the
+# candidate join. A shingle in f docs yields O(f²) candidate pairs while
+# carrying ~zero Jaccard signal ("tion of " is in every English doc) — at
+# sf0.1 the uncapped join was 200+ s; capped it's seconds, and at corpus
+# scale the cap is what makes shared-shingle joins possible at all (the
+# standard trick in production dedup pipelines). Mirrored EXACTLY in the
+# oracle: both engines compute the same pruned-shingle Jaccard.
+_MAX_SHINGLE_DF = 256
 
 _JACCARD_ORACLE = f"""
 WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
 idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{_NGRAM_N - 1}, 1))) AS i FROM d),
-sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
+sh0 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -146,10 +156,13 @@ WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {_JACCARD_T}
 
 @query("dedup_ngram_jaccard", sql=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-8-gram Jaccard near-duplicates at threshold 0.5; candidate
-    pairs only through the shared-shingle equi-join."""
+    """Char-8-gram Jaccard near-duplicates at threshold 0.5 with doc-freq-
+    capped shingles (see _MAX_SHINGLE_DF); candidate pairs only through the
+    shared-shingle equi-join, identical pruning in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_T)
+    return dedup.jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -60,6 +60,24 @@ def test_lsh_recall_vs_exact_on_perturbed(spark, emb):
     assert approx <= exact
 
 
+def test_blocked_gemm_matches_naive_exact(spark, emb):
+    """The blocked-GEMM exact pair join returns the identical pair set and
+    round(9) sims as the per-pair expression-fold form."""
+    corpus = _perturbed_corpus(spark, emb.limit(150))
+    naive = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs(corpus, threshold=0.95).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_blocked(
+            corpus, threshold=0.95, block_size=64
+        ).collect()
+    }
+    assert blocked == naive
+    assert len(blocked) >= 100
+
+
 def test_lsh_signature_deterministic(spark, emb):
     a = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
     b = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
