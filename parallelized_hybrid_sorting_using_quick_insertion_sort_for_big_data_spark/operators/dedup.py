@@ -86,10 +86,25 @@ def jaccard_pairs(
     (stop-shingle pruning — at corpus scale a shingle shared by millions of
     docs generates quadratic candidates while carrying ~zero Jaccard
     signal). Default None keeps the result exact."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
     sh = shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
-        keep = sh.groupBy("shingle").count().where(F.col("count") <= max_shingle_freq)
-        sh = sh.join(keep.select("shingle"), "shingle")
+        # doc-frequency via a window over shingle: ONE extra shuffle and no
+        # second traversal of the shingle pipeline (a groupBy+join formulation
+        # recomputes the explode+distinct); it also leaves the data hash-
+        # partitioned by shingle, which the candidate self-join below reuses.
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
+    # consumed three times (sizes + both join sides): persist so the scan →
+    # explode → distinct [→ prune] pipeline runs once. Bounded by corpus
+    # shingle count; at cluster scale prefer DISK_ONLY or a staged write.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -191,6 +206,13 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select(F.col(id_col), "signature", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
 
+    # both join sides read band_rows: persist (docs × bands rows — tiny
+    # next to the shingle relation) so the scan → shingle → minhash-agg
+    # pipeline executes once, not twice
+    from pyspark.storagelevel import StorageLevel
+
+    band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+
     lhs = band_rows.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bkey"
     )
@@ -275,6 +297,12 @@ def simhash_pairs(
             )
         ).alias("p"),
     ).select(F.col(id_col), "simhash", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+
+    # both join sides read pieces (docs × chunks rows): persist so the
+    # token → simhash pipeline executes once
+    from pyspark.storagelevel import StorageLevel
+
+    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)
 
     lhs = pieces.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "piece")
     rhs = pieces.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "piece")

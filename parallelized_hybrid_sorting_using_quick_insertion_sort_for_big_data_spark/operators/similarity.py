@@ -235,8 +235,14 @@ def lsh_near_dup_pairs(
     """Near-dup pairs via LSH buckets: candidates = same bucket OR buckets
     at Hamming distance 1 (multi-probe), re-ranked by exact cosine. Never
     quadratic in corpus size; bucket-key join only."""
-    sig = lsh_signature(df, vec_col, nbits, seed).select(
-        F.col(id_col), F.col(vec_col), "bucket"
+    from pyspark.storagelevel import StorageLevel
+
+    # both join sides read the signature relation; persist so the nbits
+    # hyperplane projections compute once per vector
+    sig = (
+        lsh_signature(df, vec_col, nbits, seed)
+        .select(F.col(id_col), F.col(vec_col), "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # multi-probe: emit own bucket + each 1-bit flip
     probes = F.array(
