@@ -36,6 +36,35 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1b. Sliding 1-hour window every 30 minutes (each event lands in W/S = 2
+#     overlapping windows; oracle expands them via generate_series on the
+#     epoch-aligned slide grid, all math in integer micros)
+# ---------------------------------------------------------------------------
+
+_W_US = 3600 * 1_000_000
+_S_US = 1800 * 1_000_000
+
+_SLIDING_ORACLE = f"""
+SELECT make_timestamp(k * {_S_US}) AS win_start,
+       event_type,
+       count(*) AS n_events
+FROM events,
+     unnest(generate_series((epoch_us(ts) - {_W_US}) // {_S_US} + 1,
+                            epoch_us(ts) // {_S_US})) AS t(k)
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_window", sql=_SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes per event type — Spark
+    ``window(ts, w, s)`` assigns each event to the W/S overlapping
+    epoch-aligned windows, which is exactly the oracle's slide-grid
+    expansion."""
+    return W.sliding_agg(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+# ---------------------------------------------------------------------------
 # 2. Gap-based sessionization via native session_window
 # ---------------------------------------------------------------------------
 

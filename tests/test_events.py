@@ -7,7 +7,12 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-ORACLE_QUERIES = ["events_tumbling_window", "events_sessionize", "events_json_props"]
+ORACLE_QUERIES = [
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_json_props",
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
