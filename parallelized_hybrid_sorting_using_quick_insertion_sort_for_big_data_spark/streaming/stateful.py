@@ -1,0 +1,156 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Native windows/session_window cover time-bucketed state; this module is the
+escape hatch for operator semantics Spark has no built-in for: arbitrary
+per-key state carried across micro-batches. The demonstrator is a per-user
+running profile (event count, exact value total, last-seen timestamp) that
+updates every micro-batch — the shape of a feature-store/CDC accumulator.
+
+Scale notes: state lives in the executor-local state store keyed by
+``user_id`` (hash-partitioned — parallel across the cluster, no driver
+state); each micro-batch touches only keys present in that batch; the value
+total is accumulated on int64 micro-units (exact, order-independent) rather
+than float. With no timeout configured, state size is O(distinct keys) — a
+production deployment sets a TTL timeout for key churn.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# value doubles carry <= 2 decimals in the events table; scale to integer
+# hundredths so cross-batch accumulation is exact in int64
+_SCALE = 100
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_c", T.LongType()),  # value * 100, exact
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value_c", T.LongType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total_c, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total_c += int(round((pdf["value"] * _SCALE).round().sum()))
+        if len(pdf):
+            last_us = max(last_us, int(pdf["ts_us"].max()))
+    state.update((n, total_c, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value_c": [total_c],
+            "last_seen_us": [last_us],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Wire the stateful accumulator onto a (possibly streaming) events
+    frame: groupBy(user_id) → applyInPandasWithState, update mode."""
+    prepared = events.select(
+        "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_profile_batch(events: DataFrame) -> DataFrame:
+    """The batch-equivalent aggregation the stream must converge to."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * _SCALE).cast("long")).alias("total_value_c"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_seen_us"),
+    )
+
+
+def run_user_profile_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    n_chunks: int = 3,
+) -> DataFrame:
+    """Execute the stateful operator as a REAL multi-micro-batch streaming
+    job: stage the static source into ``n_chunks`` files, feed them one per
+    trigger (``maxFilesPerTrigger=1``) so state demonstrably carries across
+    batches, drain synchronously, and return the FINAL state per user (the
+    last update each key emitted).
+    """
+    name = f"phsqis_state_{uuid.uuid4().hex[:8]}"
+    stage_dir = os.path.join(tempfile.gettempdir(), name + "_src")
+    checkpoint = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+    os.makedirs(stage_dir, exist_ok=True)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(events_parquet)
+    # split deterministically into n_chunks files to force several triggers
+    src.withColumn("__c", F.pmod(F.col("event_id"), F.lit(n_chunks))).repartition(
+        n_chunks, "__c"
+    ).drop("__c").write.mode("overwrite").parquet(stage_dir)
+
+    events = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    if isinstance(events.schema["ts"].dataType, T.LongType):
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = user_profile_stream(events)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+    updates = spark.table(name)
+    # final state per user = the update with the highest n_events (monotone)
+    w_last = F.struct("n_events", "total_value_c", "last_seen_us")
+    return (
+        updates.groupBy("user_id")
+        .agg(F.max(w_last).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value_c").alias("total_value_c"),
+            F.col("s.last_seen_us").alias("last_seen_us"),
+        )
+    )

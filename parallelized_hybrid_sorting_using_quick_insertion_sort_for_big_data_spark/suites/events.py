@@ -142,6 +142,28 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PROFILE_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_c,
+       epoch_us(max(ts)) AS last_seen_us
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("events_stream_user_profile", sql=_PROFILE_ORACLE)
+def events_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running profile accumulated across 3 real micro-batches
+    (maxFilesPerTrigger=1), final state oracle-checked against the batch
+    aggregation. Exact int64 accumulation (value scaled to hundredths)."""
+    from ..streaming import stateful as S
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return S.run_user_profile_stream(spark, f"{sf_dir}/events.parquet", n_chunks=3)
+
+
 @query("events_stream_tumbling", sql=None)
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation as events_tumbling_window but executed

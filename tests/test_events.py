@@ -12,6 +12,7 @@ ORACLE_QUERIES = [
     "events_sliding_window",
     "events_sessionize",
     "events_json_props",
+    "events_stream_user_profile",
 ]
 
 
@@ -29,6 +30,28 @@ def test_stream_equals_batch(spark):
     stream = {tuple(r) for r in qs["events_stream_tumbling"](spark, SF_DIR).collect()}
     assert batch == stream
     assert len(batch) > 0
+
+
+def test_stateful_stream_equals_batch(spark):
+    """applyInPandasWithState across 3 micro-batches converges to the batch
+    aggregation exactly (int64 accumulation)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.streaming import (
+        stateful as S,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {tuple(r) for r in S.user_profile_batch(ev).collect()}
+    stream = {
+        tuple(r)
+        for r in S.run_user_profile_stream(
+            spark, f"{SF_DIR}/events.parquet", n_chunks=3
+        ).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
 
 
 def test_sessions_cover_all_events(spark):
