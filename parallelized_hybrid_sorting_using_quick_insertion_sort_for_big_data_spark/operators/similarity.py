@@ -288,3 +288,100 @@ def label_centroids(
         )
         .withColumn("dim_idx", F.col("dim_idx").cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantize → probe nprobe cells → exact rank
+# ---------------------------------------------------------------------------
+
+
+def centroid_vectors(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """(cell, centroid array<double>) — the coarse quantizer codebook,
+    rebuilt from the per-dimension centroid aggregation. In production the
+    codebook comes from k-means; any assignment of training vectors to cells
+    (here: the label column) yields a valid quantizer."""
+    comps = label_centroids(df, label_col, vec_col)
+    return (
+        comps.groupBy(F.col(label_col).alias("cell"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid"))).alias("__cs")
+        )
+        .select("cell", F.transform("__cs", lambda s: s["centroid"]).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell.
+    Centroids are broadcast (codebooks are tiny); the argmax is a per-row
+    max_by over the cells — O(n · cells · dim) map-side work, no shuffle of
+    the corpus. Output: corpus columns + ``cell``."""
+    sim = cosine(_as_double(F.col(vec_col)), F.col("__cent"))
+    scored = corpus.join(
+        F.broadcast(centroids.select(F.col("cell").alias("__cell"), F.col("centroid").alias("__cent")))
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(sim.alias("s"), F.col("__cell").alias("c")).alias("__sc"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max_by("__sc", F.col("__sc.s")).alias("__best"), F.first(vec_col).alias(vec_col))
+        .select(F.col(id_col), F.col(vec_col), F.col("__best.c").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "q_id",
+    query_vec: str = "q_emb",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int | None = 9,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest cells and is
+    exactly ranked against only those cells' vectors — the corpus-scale
+    alternative to the brute-force scan (cost fraction ≈ nprobe/cells).
+    Output: (q_id, vec_id, sim, rnk)."""
+    qsim = cosine(_as_double(F.col(query_vec)), F.col("__cent"))
+    probes = (
+        F.broadcast(queries)
+        .join(
+            F.broadcast(
+                centroids.select(F.col("cell").alias("__cell"), F.col("centroid").alias("__cent"))
+            )
+        )
+        .select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.col("__cell"),
+            F.row_number()
+            .over(Window.partitionBy(query_id).orderBy(F.desc(qsim), F.col("__cell")))
+            .alias("__pr"),
+        )
+        .where(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, F.col("__cell").alias("cell"))
+    )
+    sim = cosine(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec)))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pairs = F.broadcast(probes).join(corpus_assigned, "cell").select(
+        F.col(query_id), F.col(corpus_id), sim.alias("sim")
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(), F.col(corpus_id))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select(query_id, corpus_id, "sim", "rnk")
+    )

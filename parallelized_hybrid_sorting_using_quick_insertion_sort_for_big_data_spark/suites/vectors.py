@@ -94,6 +94,22 @@ def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("vec_ivf_topk", sql=None)
+def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for 5 query vectors: coarse-quantize the corpus into
+    label-seeded centroid cells, probe the 2 nearest cells per query, exact
+    re-rank inside them — cost ≈ nprobe/cells of the brute-force scan.
+    Rows-only here; recall and full-probe==exact equivalence are
+    pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb)
+    assigned = similarity.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.ivf_topk(queries, assigned, cents, k=_K, nprobe=2)
+
+
 _CENTROID_ORACLE = """
 WITH e AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

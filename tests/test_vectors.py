@@ -78,6 +78,41 @@ def test_blocked_gemm_matches_naive_exact(spark, emb):
     assert len(blocked) >= 100
 
 
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """Probing EVERY cell makes IVF exhaustive: must equal the brute-force
+    top-k exactly."""
+    corpus = emb.limit(200)
+    cents = similarity.centroid_vectors(corpus)
+    n_cells = cents.count()
+    assigned = similarity.ivf_assign(corpus, cents)
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    full = {
+        tuple(r)
+        for r in similarity.ivf_topk(queries, assigned, cents, k=5, nprobe=n_cells).collect()
+    }
+    brute = {tuple(r) for r in similarity.brute_force_topk(queries, corpus, k=5).collect()}
+    assert full == brute and len(full) == 25
+
+
+def test_ivf_finds_planted_twin(spark, emb):
+    """A query identical to a corpus vector lands in that vector's cell, so
+    even nprobe=1 must return the twin at rank 1 with sim 1.0."""
+    corpus = _perturbed_corpus(spark, emb.limit(100), eps=0.0)
+    cents = similarity.centroid_vectors(
+        corpus.join(emb.select("vec_id", "label"), "vec_id", "left").fillna(0, ["label"])
+    )
+    assigned = similarity.ivf_assign(corpus, cents)
+    queries = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    top = similarity.ivf_topk(queries, assigned, cents, k=1, nprobe=1).collect()
+    assert len(top) == 5
+    for r in top:
+        assert r["vec_id"] == r["q_id"] + 50_000 and r["sim"] == 1.0
+
+
 def test_lsh_signature_deterministic(spark, emb):
     a = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
     b = sorted(similarity.lsh_signature(emb.limit(30)).select("vec_id", "bucket").collect())
