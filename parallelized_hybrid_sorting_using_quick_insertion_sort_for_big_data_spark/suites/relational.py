@@ -340,3 +340,84 @@ def rel_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Outer joins: per-customer order stats keeping order-less customers
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(27,8))), 0) AS DOUBLE) AS total_spent,
+       CASE WHEN count(o.o_orderkey) = 0 THEN 1 ELSE 0 END AS is_orderless
+FROM customer c
+LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@query("rel_outer_join", sql=_OUTER_ORACLE)
+def rel_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-aware aggregation (count skips nulls, sum
+    coalesces) — preserves customers with zero orders. One shuffle on the
+    join key, then partial-agg on the same key (no re-shuffle: the groupBy
+    key equals the join key, Catalyst reuses the partitioning)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC))
+            .cast("double")
+            .alias("total_spent"),
+            F.when(F.count("o_orderkey") == 0, 1).otherwise(0).cast("int").alias("is_orderless"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Pure-SQL entry point: TPC-H Q3 shape via spark.sql over temp views —
+#     proves the engine's SQL surface end-to-end (parser → Catalyst → exec)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+# identical text modulo the rank materialization (order must survive the
+# driver's order-insensitive hash)
+_Q3_ORACLE = f"""
+SELECT row_number() OVER (ORDER BY revenue DESC, o_orderdate, l_orderkey) AS rnk, *
+FROM ({_Q3_SQL})
+"""
+
+
+@query("rel_sql_q3_shipping_priority", sql=_Q3_ORACLE)
+def rel_sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape executed through spark.sql over registered temp views —
+    the full SQL lifecycle (parse → analyze → optimize → execute). Plan
+    quality is inherited: both date filters push to the scans, the
+    ORDER+LIMIT plans as TakeOrderedAndProject."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = spark.sql(_Q3_SQL)
+    from ..operators.sorting import ranked_small
+
+    return ranked_small(
+        out, ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).select("rnk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

@@ -16,6 +16,8 @@ REL_QUERIES = [
     "rel_scalar_functions",
     "rel_rollup_customers",
     "rel_distinct_aggregates",
+    "rel_outer_join",
+    "rel_sql_q3_shipping_priority",
 ]
 
 
