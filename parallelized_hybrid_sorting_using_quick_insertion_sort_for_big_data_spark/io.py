@@ -62,3 +62,46 @@ def write_sorted_single(
         cols = [c for c in out.columns]
         out = out.select(F.concat_ws("\t", *[F.col(c).cast("string") for c in cols]).alias("value"))
     out.coalesce(1).write.mode(mode).format(fmt).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format sources/sinks (the reference has exactly one format: ints in
+# a text file, QuickInsertionHeap.cu:118-131; an engine needs the standard
+# lake formats, schema-explicit both ways)
+# ---------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "csv", "json")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Format-dispatched sink. CSV keeps a header for self-description;
+    timestamps serialize as ISO-8601 micros in UTC (session tz) for both
+    text formats, so a round-trip is lossless to the microsecond."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    if fmt == "json":
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    w.format(fmt).save(path)
+
+
+def read_table(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Format-dispatched source. For CSV/JSON an explicit schema is
+    REQUIRED at scale: schema inference reads the data twice and infers
+    per-file — never acceptable on a 100 TB lake (parquet carries its own
+    schema)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    r = spark.read
+    if fmt == "parquet":
+        return r.parquet(path)
+    if schema is None:
+        raise ValueError(f"{fmt} requires an explicit schema (inference double-scans)")
+    r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true").option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    else:
+        r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    return r.format(fmt).load(path)

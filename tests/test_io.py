@@ -14,6 +14,7 @@ from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark i
 from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources import (
     datagen,
 )
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture()
@@ -54,6 +55,27 @@ def test_write_sorted_single_text_is_fully_ordered(spark, ints, tmp_path):
     values = [int(line) for line in open(txt) if line.strip()]
     assert values == sorted(values)
     assert len(values) == 20_000
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_multiformat_roundtrip(spark, tmp_path, fmt):
+    """orders (longs, strings, doubles, timestamp) survives a write+read
+    round-trip losslessly in every supported format."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources import (
+        tables,
+    )
+
+    src = tables.load_table(spark, SF_DIR, "orders").limit(500)
+    path = str(tmp_path / f"rt_{fmt}")
+    eio.write_table(src, path, fmt)
+    back = eio.read_table(spark, path, fmt, schema=src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_without_schema_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        eio.read_table(spark, str(tmp_path), "csv")
 
 
 def test_write_sorted_roundtrip_equals_orderBy(spark, ints, tmp_path):
