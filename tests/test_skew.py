@@ -1,0 +1,56 @@
+"""Salted skew operators: exactness vs the plain formulations on a
+deliberately skewed dataset (one key owns ~90% of rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 50k rows: key 0 holds 45k (hot), keys 1..100 share the rest
+    hot = spark.range(45_000).select(
+        F.lit(0).alias("k"), (F.col("id") % 500).alias("v")
+    )
+    tail = spark.range(5_000).select(
+        (F.col("id") % 100 + 1).alias("k"), (F.col("id") % 37).alias("v")
+    )
+    return hot.unionAll(tail)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(101).select(
+        F.col("id").alias("dk"), F.concat(F.lit("name_"), F.col("id")).alias("dname")
+    )
+
+
+def test_salted_join_equals_plain(spark, skewed, dim):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    plain = skewed.join(dim, skewed.k == dim.dk).select("k", "v", "dname")
+    salted = skew.salted_join(skewed, dim, "k", "dk", n_salts=8).select("k", "v", "dname")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("k", "v", "dname").count()
+    b = plain.groupBy("k", "v", "dname").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_distinct_count_equals_plain(spark, skewed):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew.salted_distinct_count(skewed, "k", "v", n_salts=16).collect()
+    }
+    want = {
+        r["k"]: r["nd"]
+        for r in skewed.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+    }
+    assert got == want
+    assert want[0] == 500  # the hot key really is hot and really is exact
