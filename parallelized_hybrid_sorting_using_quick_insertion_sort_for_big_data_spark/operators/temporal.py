@@ -1,0 +1,107 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and bounded range
+join — composed from existing DataFrame ops (no UDFs), per the engine rule
+that custom operators are expression compositions first.
+
+Scale design:
+- ``asof_join`` uses the union trick: tag both sides, union, one window per
+  key carrying the last-seen right row forward. ONE shuffle on the key —
+  never a per-key sort-merge of two separate relations, never a correlated
+  subquery per row. This is how production time-series stores (kdb-style
+  asof, Flink temporal join) shape the computation.
+- ``range_join`` blocks both sides onto a time-bucket grid sized by the
+  tolerance, equi-joins on (key, bucket), then applies the exact predicate.
+  Each true pair materializes exactly once (the left row's bucket is a
+  single grid cell, the right row covers it once), so no dedup pass. The
+  candidate volume is |pairs within ~3·tol|, not |left|×|right| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "prev_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same ``by`` group (inclusive, the
+    ASOF-join standard). Right ``value_cols`` arrive prefixed; rows with no
+    earlier right row keep nulls (left-join semantics).
+    """
+    left_payload = [c for c in left.columns if c not in by and c != left_ts]
+    l2 = left.select(
+        *by,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_l"),
+        *[F.col(c) for c in left_payload],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    r2 = right.select(
+        *by,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_l"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts => ties are inclusive
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__ts", "__is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        carried.where(F.col("__is_l") == 1)
+        .drop("__is_l", *[f"__r_{c}" for c in value_cols])
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts_us: str,
+    right_ts_us: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """All (left, right) pairs in the same ``by`` group with
+    |left_ts - right_ts| <= tolerance (timestamps as integer micros).
+    Output: all left columns + all right columns + ``delta_us`` =
+    right_ts - left_ts. Grid-blocked: never a per-key cross join."""
+    width = tolerance_us
+    # integer `div`, not float division: micro-epochs are near the double
+    # mantissa edge and bucket ids must be exact
+    lb = left.withColumn("__b", F.expr(f"{left_ts_us} div {width}"))
+    # a right row can match left rows in buckets floor((t-tol)/w)..floor((t+tol)/w)
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.expr(f"({right_ts_us} - {tolerance_us}) div {width}"),
+                F.expr(f"({right_ts_us} + {tolerance_us}) div {width}"),
+            )
+        ),
+    )
+    joined = lb.join(rb, [*by, "__b"]).where(
+        F.abs(F.col(right_ts_us) - F.col(left_ts_us)) <= tolerance_us
+    )
+    return joined.drop("__b").withColumn(
+        "delta_us", F.col(right_ts_us) - F.col(left_ts_us)
+    )

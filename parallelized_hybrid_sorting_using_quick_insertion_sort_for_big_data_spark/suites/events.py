@@ -176,3 +176,84 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.stream_tumbling_agg(
         spark, f"{sf_dir}/events.parquet", schema, window="1 hour", watermark="2 hours"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Temporal joins: as-of (last click before each purchase) + bounded range
+#    (error/click pairs within 10 minutes)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS ts_us,
+       c.event_id AS prev_event_id,
+       epoch_us(c.ts) AS prev_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("events_asof_join", sql=_ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's most recent click at or
+    before it (null if none). Spark has no ASOF built-in; the operator is
+    the union + carry-forward-window composition (one shuffle on user_id) —
+    oracle-checked against DuckDB's native ASOF JOIN."""
+    from ..operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_event_id"), "ts"
+    )
+    out = T.asof_join(
+        purchases, clicks, by=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["c_event_id", "ts"], prefix="prev_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("prev_c_event_id").alias("prev_event_id"),
+        F.unix_micros(F.col("prev_ts")).alias("prev_ts_us"),
+    )
+
+
+_RANGE_US = 10 * 60 * 1_000_000
+
+_RANGE_ORACLE = f"""
+SELECT e.event_id AS error_id,
+       c.event_id AS click_id,
+       e.user_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= {_RANGE_US}
+"""
+
+
+@query("events_range_join", sql=_RANGE_ORACLE)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: every (error, click) pair of the same user within
+    ±10 minutes, via tolerance-grid bucket blocking (each true pair joins
+    exactly once; candidate volume scales with pair density, not
+    |errors|×|clicks| per user)."""
+    from ..operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.unix_micros("ts").alias("e_us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("c_us")
+    )
+    out = T.range_join(
+        errors, clicks, by=["user_id"], left_ts_us="e_us", right_ts_us="c_us",
+        tolerance_us=_RANGE_US,
+    )
+    return out.select("error_id", "click_id", "user_id", "delta_us")

@@ -13,7 +13,40 @@ ORACLE_QUERIES = [
     "events_sessionize",
     "events_json_props",
     "events_stream_user_profile",
+    "events_asof_join",
+    "events_range_join",
 ]
+
+
+def test_asof_properties(spark):
+    """Every matched prev click is at-or-before its purchase and is the
+    LATEST such click for that user."""
+    qs = entrymod.queries()
+    out = qs["events_asof_join"](spark, SF_DIR)
+    assert out.filter("prev_ts_us > ts_us").count() == 0
+    # no other click strictly between prev_ts and ts for the same user
+    from pyspark.sql import functions as F
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    clicks = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.unix_micros("ts").alias("c_us"))
+    )
+    gaps = out.where(F.col("prev_ts_us").isNotNull()).join(clicks, "user_id").where(
+        (F.col("c_us") > F.col("prev_ts_us")) & (F.col("c_us") <= F.col("ts_us"))
+    )
+    assert gaps.count() == 0
+
+
+def test_range_join_properties(spark):
+    qs = entrymod.queries()
+    out = qs["events_range_join"](spark, SF_DIR).collect()
+    assert len(out) == len({(r["error_id"], r["click_id"]) for r in out}), "pair dup"
+    for r in out:
+        assert abs(r["delta_us"]) <= 10 * 60 * 1_000_000
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
