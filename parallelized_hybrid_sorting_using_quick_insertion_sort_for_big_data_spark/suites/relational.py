@@ -421,3 +421,78 @@ def rel_sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_small(
         out, ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
     ).select("rnk", "l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# 11. Statistical aggregates: exact interpolated percentiles + histogram
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT
+  l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+  round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+  min(l_extendedprice) AS lo,
+  max(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("rel_percentiles", sql=_PCT_ORACLE)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both index by p·(n−1) and linearly interpolate;
+    round(6) absorbs the last-ulp association difference). At 100 TB exact
+    percentile needs a per-group sort of the values — switch to
+    `percentile_approx` (t-digest, mergeable partial aggs) when the groups
+    outgrow memory; the approx variant has no cross-engine oracle, which is
+    why the exact form is the checked query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D, 0.99D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+            F.round(pct[3], 6).alias("p99"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+# DuckDB has no width_bucket; the CASE reproduces its semantics exactly
+# (bucket 0 below range, n+1 above, else floor(x/step)+1)
+_HIST_ORACLE = """
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 400000 THEN 9
+            ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("rel_histogram", sql=_HIST_ORACLE)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — a single map-side expression
+    + partial agg; the constant-memory way to profile a 100 TB column."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(400000), F.lit(8)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+        )
+    )

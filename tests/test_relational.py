@@ -18,6 +18,8 @@ REL_QUERIES = [
     "rel_distinct_aggregates",
     "rel_outer_join",
     "rel_sql_q3_shipping_priority",
+    "rel_percentiles",
+    "rel_histogram",
 ]
 
 
