@@ -85,6 +85,17 @@ def main() -> None:
         lambda: sorting.top_k(gen(), ["value", "id"], 100).collect()
     )
 
+    # the reference's processor-count axis (README.md:18: 4, 8, 16, 24 MPI
+    # ranks): same total sort at reduced parallelism, mirroring speedup /
+    # efficiency measurement
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    for p in (4, 8):
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        times[f"synthetic_total_sort_4m_p{p}"] = timed(
+            lambda: materialize(sorting.total_sort(gen().repartition(p), ["value", "id"]))
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
     # --- registry headline queries at sf_dir (BASELINE.md bench 2 + breadth)
     skip = {"sort_seeded_ints"}  # fixed-N duplicate of the synthetic grid point
     for name, fn in registry.queries().items():
