@@ -20,6 +20,8 @@ Call :func:`register_all` once per session; everything is session-scoped
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -86,6 +88,18 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("phsqis_hybrid_sort", phsqis_hybrid_sort)
 
+    # UDAF tier: Arrow-batched grouped aggregate (pandas_udf GROUPED_AGG).
+    # Works in groupBy().agg and SQL GROUP BY; partial-agg is handled by
+    # Spark shipping whole groups — the documented trade-off vs built-in
+    # aggregates (prefer F.sum/avg expressions when they can express it).
+    @F.pandas_udf("double")
+    def phsqis_wavg(v: pd.Series, w: pd.Series) -> float:
+        num = float((v * w).sum())
+        den = float(w.sum())
+        return num / den if den != 0.0 else float("nan")
+
+    spark.udf.register("phsqis_wavg", phsqis_wavg)
+
 
 def function_names() -> list[str]:
-    return [*_SQL_FUNCTIONS, "phsqis_hybrid_sort"]
+    return [*_SQL_FUNCTIONS, "phsqis_hybrid_sort", "phsqis_wavg"]

@@ -69,6 +69,34 @@ def test_array_topk(spark):
     assert got == [9, 7, 5]
 
 
+def test_wavg_udaf_matches_expression(spark):
+    """The pandas UDAF equals the pure-expression weighted average."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 100).cast("double").alias("v"),
+            ((F.col("id") % 13) + 1).cast("double").alias("w"),
+        )
+    )
+    df.createOrReplaceTempView("wavg_in")
+    got = {
+        r["g"]: r["wa"]
+        for r in spark.sql("SELECT g, phsqis_wavg(v, w) AS wa FROM wavg_in GROUP BY g").collect()
+    }
+    want = {
+        r["g"]: r["wa"]
+        for r in df.groupBy("g")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("wa"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for g in got:
+        assert got[g] == pytest.approx(want[g], rel=1e-12)
+
+
 def test_registry_lists_everything(spark):
     for name in function_names():
         assert spark.sql(f"DESCRIBE FUNCTION {name}").count() > 0

@@ -20,6 +20,7 @@ REL_QUERIES = [
     "rel_sql_q3_shipping_priority",
     "rel_percentiles",
     "rel_histogram",
+    "rel_cube_orders",
 ]
 
 
