@@ -145,7 +145,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_value_c,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c,
        epoch_us(max(ts)) AS last_seen_us
 FROM events
 GROUP BY user_id
@@ -164,11 +164,12 @@ def events_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_user_profile_stream(spark, f"{sf_dir}/events.parquet", n_chunks=3)
 
 
-@query("events_stream_tumbling", sql=None)
+@query("events_stream_tumbling", sql=_TUMBLING_ORACLE)
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation as events_tumbling_window but executed
     as a real readStream → watermark → writeStream(memory) job, drained
-    synchronously. Rows-only here; tests assert it equals the batch form."""
+    synchronously. Oracle: the identical epoch-floor SQL the batch form uses
+    (stream==batch parity also pytest-pinned)."""
     # raw file schema: ts arrives as INT64 nanos (read via nanosAsLong);
     # stream_tumbling_agg converts it to a proper event-time column
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

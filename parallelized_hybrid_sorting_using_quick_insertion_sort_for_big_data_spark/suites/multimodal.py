@@ -27,9 +27,9 @@ CASE source WHEN 'web' THEN 'image/png'
 _METADATA_ORACLE = f"""
 SELECT {_FMT_CASE} AS format,
        count(*) AS n_assets,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
-       sum((octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE}) AS total_frames
+       CAST(sum((octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE}) AS BIGINT) AS total_frames
 FROM documents
 GROUP BY 1
 """
