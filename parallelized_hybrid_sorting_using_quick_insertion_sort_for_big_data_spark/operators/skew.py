@@ -34,22 +34,32 @@ def salted_join(
     Each big-side row gets a deterministic salt in [0, n_salts) (hash of the
     whole row via monotonically varying xxhash64 over all columns — spreads
     a hot key across n_salts reducers); the small side is exploded n_salts×
-    so every (key, salt) bucket finds its match. Exact for inner/left joins
-    on unique small-side keys; the replication factor is the explicit price
+    so every (key, salt) bucket finds its match. Exact ONLY for inner/left
+    joins on unique small-side keys — a right/full outer join would emit
+    every unmatched small-side row n_salts times (one per exploded salt), so
+    those modes are rejected. The replication factor is the explicit price
     (n_salts × |small| rows shuffled) traded for eliminating the hot-key
-    straggler.
+    straggler. The small side's key column is dropped from the output
+    (it equals ``key_big`` on every surviving row), so equal key names never
+    produce ambiguous duplicate columns.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join is exact only for inner/left joins, got how={how!r}: "
+            "a right/full outer join replicates unmatched small-side rows "
+            "n_salts times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).alias("__salt")
     big_s = big.withColumn("__salt", salt)
-    small_s = small.withColumn(
+    small_s = small.withColumnRenamed(key_small, "__k_small").withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     out = big_s.join(
         small_s,
-        (F.col(key_big) == F.col(key_small)) & (big_s["__salt"] == small_s["__salt"]),
+        (F.col(key_big) == F.col("__k_small")) & (big_s["__salt"] == small_s["__salt"]),
         how,
     )
-    return out.drop("__salt")
+    return out.drop(big_s["__salt"]).drop(small_s["__salt"]).drop("__k_small")
 
 
 def salted_distinct_count(

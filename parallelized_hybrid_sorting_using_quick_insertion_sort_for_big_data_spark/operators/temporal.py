@@ -34,41 +34,51 @@ def asof_join(
     ``right_ts`` <= ``left_ts`` within the same ``by`` group (inclusive, the
     ASOF-join standard). Right ``value_cols`` arrive prefixed; rows with no
     earlier right row keep nulls (left-join semantics).
+
+    All ``value_cols`` travel as ONE struct carried by a single
+    ``last(ignorenulls)`` — per-column carries could mix columns from two
+    different right rows whenever a value column holds a null. Ties on
+    ``right_ts`` within a key resolve deterministically to the maximum
+    struct (field-lexicographic), encoded in the window ordering.
     """
+    from pyspark.sql.types import StructField, StructType
+
     left_payload = [c for c in left.columns if c not in by and c != left_ts]
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l2 = left.select(
         *by,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_l"),
         *[F.col(c) for c in left_payload],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r2 = right.select(
         *by,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_l"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
-    # right rows sort BEFORE left rows at equal ts => ties are inclusive
+    # right rows sort BEFORE left rows at equal ts => ties are inclusive;
+    # "__r" as the final sort key makes equal-right_ts ties deterministic
+    # (last() then picks the struct-maximum right row, atomically).
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__is_l")
+        .orderBy("__ts", "__is_l", F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l2.unionByName(r2).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__carried")
     )
     return (
         carried.where(F.col("__is_l") == 1)
-        .drop("__is_l", *[f"__r_{c}" for c in value_cols])
+        .select(
+            "*",
+            *[F.col(f"__carried.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        )
+        .drop("__is_l", "__r", "__carried")
         .withColumnRenamed("__ts", left_ts)
     )
 
@@ -86,16 +96,24 @@ def range_join(
     Output: all left columns + all right columns + ``delta_us`` =
     right_ts - left_ts. Grid-blocked: never a per-key cross join."""
     width = tolerance_us
-    # integer `div`, not float division: micro-epochs are near the double
-    # mantissa edge and bucket ids must be exact
-    lb = left.withColumn("__b", F.expr(f"{left_ts_us} div {width}"))
+
+    def _floor_div(x: str) -> str:
+        # exact FLOOR division in pure integer arithmetic: `div` truncates
+        # toward zero, which disagrees with floor for negative operands
+        # (pre-epoch timestamps, or t - tolerance < 0); pmod's non-negative
+        # remainder makes (x - pmod(x, w)) exactly divisible by w.
+        return f"(({x}) - pmod(({x}), {width})) div {width}"
+
+    # integer arithmetic throughout, not float division: micro-epochs are
+    # near the double mantissa edge and bucket ids must be exact
+    lb = left.withColumn("__b", F.expr(_floor_div(left_ts_us)))
     # a right row can match left rows in buckets floor((t-tol)/w)..floor((t+tol)/w)
     rb = right.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.expr(f"({right_ts_us} - {tolerance_us}) div {width}"),
-                F.expr(f"({right_ts_us} + {tolerance_us}) div {width}"),
+                F.expr(_floor_div(f"{right_ts_us} - {tolerance_us}")),
+                F.expr(_floor_div(f"{right_ts_us} + {tolerance_us}")),
             )
         ),
     )

@@ -1,0 +1,94 @@
+"""Edge-case pins for the temporal operators and the salted join:
+
+- range_join with NEGATIVE timestamps (pre-epoch) — bucket ids must use
+  floor division, not truncate-toward-zero, or near-zero pairs are lost.
+- asof_join with a null inside one value column — the carried right row
+  must stay atomic (one struct), never a column mix of two right rows.
+- asof_join duplicate-right-timestamp tie — deterministic winner.
+- salted_join rejects right/full outer (would replicate unmatched
+  small-side rows n_salts times).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    skew,
+    temporal,
+)
+
+
+def test_range_join_negative_timestamps(spark):
+    # pair at (-500, 500): |delta| = 1000 <= tol — with truncating `div`
+    # both land in bucket 0 only by accident; with a wider example the
+    # bug drops pairs. Use points straddling zero at several offsets.
+    left = spark.createDataFrame(
+        [Row(k="a", lt=-2_500), Row(k="a", lt=-500), Row(k="a", lt=500)],
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=-1_600), Row(k="a", rt=400), Row(k="a", rt=-3_400)],
+    )
+    got = {
+        (r["lt"], r["rt"])
+        for r in temporal.range_join(
+            left, right, ["k"], "lt", "rt", tolerance_us=1_000
+        ).collect()
+    }
+    # brute-force oracle
+    want = {
+        (lt, rt)
+        for lt in (-2_500, -500, 500)
+        for rt in (-1_600, 400, -3_400)
+        if abs(lt - rt) <= 1_000
+    }
+    assert got == want and len(want) >= 3
+
+
+def test_asof_join_null_value_col_stays_atomic(spark):
+    # right row at ts=10 has b=null; right row at ts=5 has b=99.
+    # A per-column carry would attach (a=from ts10, b=from ts5) — a row
+    # that never existed. The struct carry must give (a=1, b=None).
+    left = spark.createDataFrame([Row(k="x", ts=20)])
+    right = spark.createDataFrame(
+        [Row(k="x", rts=5, a=0, b=99), Row(k="x", rts=10, a=1, b=None)],
+        schema="k string, rts long, a long, b long",
+    )
+    out = temporal.asof_join(left, right, ["k"], "ts", "rts", ["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["prev_a"] == 1 and out[0]["prev_b"] is None
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    left = spark.createDataFrame([Row(k="x", ts=10)])
+    right = spark.createDataFrame(
+        [Row(k="x", rts=10, a=1), Row(k="x", rts=10, a=2)],
+    )
+    runs = {
+        temporal.asof_join(left, right, ["k"], "ts", "rts", ["a"]).collect()[0][
+            "prev_a"
+        ]
+        for _ in range(3)
+    }
+    # deterministic winner: the struct-maximum right row
+    assert runs == {2}
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(3).select(F.col("id").alias("dk"))
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(big, small, "k", "dk", how=how)
+
+
+def test_salted_join_equal_key_names_unambiguous(spark):
+    big = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    out = skew.salted_join(big, small, "k", "k", n_salts=4)
+    # exactly one `k` column survives and is selectable without ambiguity
+    assert out.columns.count("k") == 1
+    assert out.count() == 100
+    assert out.where(F.col("w") == F.col("k") * 10).count() == 100
