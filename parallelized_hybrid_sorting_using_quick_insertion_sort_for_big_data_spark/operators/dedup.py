@@ -267,47 +267,108 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return votes.select(F.col(id_col), bits.cast("long").alias("simhash"))
 
 
+def _simhash_piece_bounds(chunks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``chunks`` contiguous pieces as evenly as possible
+    (the first ``64 % chunks`` pieces get the extra bit). Returns
+    (shift, width) per piece."""
+    base, extra = divmod(64, chunks)
+    bounds, shift = [], 0
+    for ci in range(chunks):
+        width = base + (1 if ci < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    chunks: int = 4,
+    chunks: int | None = None,
+    agree_pieces: int = 1,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming. Candidate
-    generation: split the 64-bit hash into ``chunks`` pieces — any pair
-    within distance < chunks must agree on ≥1 piece (pigeonhole), so an
-    equi-join per piece finds all candidates without a cross join."""
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation is the block-split pigeonhole (Manku et al.,
+    WWW'07 "Detecting near-duplicates for web crawling"): split the 64-bit
+    hash into ``chunks`` contiguous pieces; a pair with ≤ ``max_hamming``
+    differing bits can corrupt at most ``max_hamming`` pieces, so it agrees
+    on ≥ ``chunks − max_hamming`` pieces. Joining on every
+    ``agree_pieces``-sized piece-combination therefore finds ALL qualifying
+    pairs iff ``chunks − max_hamming ≥ agree_pieces``; anything less is
+    approximate-recall and raises unless the caller split the bits that way
+    explicitly.
+
+    Defaults: ``chunks=None`` auto-selects ``max_hamming + agree_pieces``
+    (the minimal complete split). ``agree_pieces=1`` is a plain per-piece
+    equi-join; larger values concatenate ``agree_pieces`` piece values into
+    one wider key — C(chunks, agree_pieces)× row replication traded for
+    exponentially smaller candidate buckets (the scale lever for small
+    distance thresholds, e.g. d=3, chunks=6, agree=3 → 20 combos of
+    ~32-bit keys).
+
+    Scale note: candidate volume per piece-key bucket is ~n²/2^key_width,
+    so loose thresholds (max_hamming ≳ 12 of 64) force narrow pieces and
+    drift toward quadratic — keep max_hamming small at corpus scale or
+    raise agree_pieces.
+    """
+    from itertools import combinations
+
+    if chunks is None:
+        chunks = max_hamming + agree_pieces
+    if chunks - max_hamming < agree_pieces:
+        raise ValueError(
+            f"incomplete candidate generation: chunks={chunks}, "
+            f"max_hamming={max_hamming}, agree_pieces={agree_pieces} — "
+            "pigeonhole completeness needs chunks - max_hamming >= "
+            "agree_pieces (pairs spreading their differing bits across all "
+            "pieces would be silently dropped). Pass chunks=None to "
+            "auto-select, or lower max_hamming."
+        )
+    if chunks > 64:
+        raise ValueError(f"chunks={chunks} > 64 bits: max_hamming too loose for a 64-bit signature")
+
     sh = simhash(df, text_col, id_col)
-    width = 64 // chunks
-    pieces = sh.select(
+    bounds = _simhash_piece_bounds(chunks)
+
+    def piece_expr(ci: int):
+        shift, width = bounds[ci]
+        return F.shiftrightunsigned(F.col("simhash"), shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    # one key per agree_pieces-sized combination: combo id + concatenated
+    # piece values (as a string key — widths vary per piece)
+    combos = list(combinations(range(chunks), agree_pieces))
+    keys = sh.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(ci).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), ci * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("piece"),
+                        F.lit(gi).alias("combo"),
+                        F.concat_ws(
+                            ":", *[piece_expr(ci).cast("string") for ci in combo]
+                        ).alias("key"),
                     )
-                    for ci in range(chunks)
+                    for gi, combo in enumerate(combos)
                 ]
             )
         ).alias("p"),
-    ).select(F.col(id_col), "simhash", F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"))
+    ).select(F.col(id_col), "simhash", F.col("p.combo").alias("combo"), F.col("p.key").alias("key"))
 
-    # both join sides read pieces (docs × chunks rows): persist so the
-    # token → simhash pipeline executes once
+    # both join sides read keys (docs × C(chunks, agree) rows): persist so
+    # the token → simhash pipeline executes once
     from pyspark.storagelevel import StorageLevel
 
-    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
 
-    lhs = pieces.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "piece")
-    rhs = pieces.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "piece")
+    lhs = keys.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "combo", "key")
+    rhs = keys.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "combo", "key")
     cand = (
-        lhs.join(rhs, ["chunk", "piece"])
+        lhs.join(rhs, ["combo", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()

@@ -183,7 +183,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 12 via 4-chunk pigeonhole
-    candidate join."""
+    """SimHash-64 near-dup pairs at Hamming ≤ 8 via the complete pigeonhole
+    candidate join (auto 9-piece split: any pair within distance 8 must
+    agree on ≥1 of 9 pieces — no qualifying pair can be missed)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=12, chunks=4)
+    return dedup.simhash_pairs(docs, max_hamming=8)

@@ -70,7 +70,7 @@ def test_simhash_near_dups_align_with_jaccard(spark, docs):
     exact = dedup.jaccard_pairs(docs, n=8, threshold=0.8).collect()
     sim = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(docs, max_hamming=20, chunks=4).collect()
+        for r in dedup.simhash_pairs(docs, max_hamming=20).collect()
     }
     assert exact
     hits = sum(1 for r in exact if (r["id_a"], r["id_b"]) in sim)
@@ -81,3 +81,36 @@ def test_simhash_is_deterministic(spark, docs):
     a = sorted(dedup.simhash(docs.limit(50)).collect())
     b = sorted(dedup.simhash(docs.limit(50)).collect())
     assert a == b
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, docs):
+    """Pigeonhole candidate generation must find EVERY pair within the
+    Hamming bound — verified against a brute-force cross of the signatures,
+    for both the plain per-piece join and the multi-piece (Manku) keys."""
+    import itertools
+
+    sigs = dedup.simhash(docs.limit(120)).collect()
+    sub = docs.limit(120)
+
+    def brute(d):
+        out = set()
+        for a, b in itertools.combinations(sigs, 2):
+            ham = bin((a["simhash"] ^ b["simhash"]) & (2**64 - 1)).count("1")
+            if ham <= d:
+                key = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                out.add(key)
+        return out
+
+    for d, agree in ((6, 1), (4, 2)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_pairs(sub, max_hamming=d, agree_pieces=agree).collect()
+        }
+        assert got == brute(d), f"d={d} agree={agree}"
+
+
+def test_simhash_pairs_rejects_incomplete_split(spark, docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=12, chunks=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=8, chunks=10, agree_pieces=3)
