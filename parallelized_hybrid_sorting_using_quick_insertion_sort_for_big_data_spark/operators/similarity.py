@@ -101,6 +101,7 @@ def exact_near_dup_pairs_blocked(
     vec_col: str = "embedding",
     block_size: int = 512,
     round_digits: int | None = 9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via blocked matrix multiply.
 
@@ -119,8 +120,12 @@ def exact_near_dup_pairs_blocked(
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
-    n_blocks = max(1, -(-n // block_size))
+    if n_rows is None:
+        # metadata-only for a plain parquet scan; a real job for derived
+        # frames — callers at scale should pass n_rows (or use
+        # ``bucketed_near_dup_pairs``, which never needs a corpus-wide B)
+        n_rows = df.count()
+    n_blocks = max(1, -(-n_rows // block_size))
 
     vecs = df.select(
         F.col(id_col).alias("__id"),
@@ -223,19 +228,52 @@ def lsh_signature(
     return df.withColumn("bucket", bucket)
 
 
+def choose_nbits(
+    n_rows: int,
+    target_bucket_size: int = 128,
+    min_bits: int = 6,
+    max_bits: int = 24,
+) -> int:
+    """Signature width that keeps the EXPECTED bucket population near
+    ``target_bucket_size``: nbits = ceil(log2(n / target)), clamped.
+
+    This is the scale dial for ``lsh_near_dup_pairs`` /
+    ``bucketed_near_dup_pairs``: a fixed nbits caps the bucket count, so at
+    100× the corpus each bucket is 100× larger and the in-bucket re-rank
+    goes quadratic. Scaling nbits with log2(n) keeps per-bucket work
+    constant; the multi-probe join fans out by (nbits+1), i.e. only
+    logarithmically in corpus size. Above ``max_bits`` (16M buckets)
+    single-bit probing starts missing too much — switch to banded LSH
+    (``dedup.minhash`` style multi-table) beyond that."""
+    if n_rows <= 0:
+        return min_bits
+    need = math.ceil(math.log2(max(1.0, n_rows / float(target_bucket_size))))
+    return max(min_bits, min(max_bits, need))
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = 12,
+    nbits: int | None = None,
     seed: int = 42,
     round_digits: int | None = 9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via LSH buckets: candidates = same bucket OR buckets
     at Hamming distance 1 (multi-probe), re-ranked by exact cosine. Never
-    quadratic in corpus size; bucket-key join only."""
+    quadratic in corpus size; bucket-key join only.
+
+    ``nbits=None`` auto-selects via ``choose_nbits`` so bucket population
+    stays ~constant as the corpus grows (pass ``n_rows`` to avoid the
+    sizing count; for a plain parquet scan the count is metadata-only)."""
     from pyspark.storagelevel import StorageLevel
+
+    if nbits is None:
+        if n_rows is None:
+            n_rows = df.count()
+        nbits = choose_nbits(n_rows)
 
     # both join sides read the signature relation; persist so the nbits
     # hyperplane projections compute once per vector
@@ -264,6 +302,112 @@ def lsh_near_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
+def bucketed_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int | None = None,
+    seed: int = 42,
+    sub_blocks: int = 1,
+    round_digits: int | None = 9,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: LSH-bucketed candidate generation + per-bucket blocked
+    GEMM re-rank — the composition ``exact_near_dup_pairs_blocked``'s
+    docstring prescribes for corpus scale.
+
+    Candidate set is identical to ``lsh_near_dup_pairs`` (same bucket or
+    1-bit-flip neighbor), but the exact re-rank inside each bucket group is
+    one numpy matrix product per group (Arrow-batched ``applyInPandas``)
+    instead of per-pair ``zip_with`` folds. Versus the corpus-wide blocked
+    GEMM: replication is (nbits + 2·sub_blocks − 1) rows per vector —
+    logarithmic in corpus size via ``choose_nbits`` — not O(n/block_size),
+    and there is no sizing ``count()`` job when ``n_rows`` is passed.
+
+    ``sub_blocks`` is the straggler guard: each bucket's GEMM is split into
+    sub_blocks × sub_blocks independent tile products, bounding per-task
+    memory when a bucket comes out hot (skewed embedding spaces). With
+    auto-nbits keeping buckets ≈128 vectors, 1 is right; raise it only if
+    bucket-size skew shows up in task-time metrics."""
+    import pandas as pd
+
+    from pyspark.storagelevel import StorageLevel
+
+    if nbits is None:
+        if n_rows is None:
+            n_rows = df.count()
+        nbits = choose_nbits(n_rows)
+    S = max(1, sub_blocks)
+
+    sig = (
+        lsh_signature(df, vec_col, nbits, seed)
+        .select(
+            F.col(id_col).alias("__id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+            "bucket",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(S)).cast("int").alias("__sub"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_subs = F.array(*[F.lit(i) for i in range(S)])
+    # side 0: own bucket only; side 1: own bucket + every 1-bit flip.
+    # Every qualifying pair (hamming ≤ 1 between buckets) appears in ≥1
+    # group with its smaller id on side 0, by symmetry of the probe set.
+    side0 = sig.select(
+        F.col("bucket").alias("bkey"),
+        F.col("__sub").alias("sa"),
+        F.explode(all_subs).alias("sb"),
+        F.lit(0).alias("side"),
+        "__id",
+        "__v",
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(nbits)]
+    )
+    side1 = sig.select(
+        F.explode(probes).alias("bkey"),
+        F.explode(all_subs).alias("sa"),
+        F.col("__sub").alias("sb"),
+        F.lit(1).alias("side"),
+        "__id",
+        "__v",
+    )
+    tagged = side0.unionByName(side1)
+
+    def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        ma = np.stack(a["__v"].to_numpy())
+        mb = np.stack(b["__v"].to_numpy())
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a, id_b, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+        keep = id_a < id_b  # canonical orientation; the mirror group has the rest
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep], "sim": s[keep]})
+
+    return (
+        tagged.groupBy("bkey", "sa", "sb")
+        .applyInPandas(_gemm, "id_a bigint, id_b bigint, sim double")
+        # a pair can surface from several probe groups (own-bucket + flip
+        # orientations); sims are bitwise-identical across groups (same
+        # normalized dot, same rounding), so distinct dedups exactly
         .distinct()
     )
 

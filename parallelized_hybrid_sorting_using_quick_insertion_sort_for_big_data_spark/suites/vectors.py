@@ -67,10 +67,14 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Corpus ∪ id-shifted copy, plus its row count. The count comes from
+    the base parquet scan (metadata-only: footer row counts, no data read)
+    ×2 — never a job over the derived union."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     shifted = emb.select((F.col("vec_id") + _VEC_SHIFT).alias("vec_id"), "embedding")
-    return emb.unionAll(shifted)
+    n = 2 * load_table(spark, sf_dir, "embeddings").count()
+    return emb.unionAll(shifted), n
 
 
 @query("vec_exact_near_dup", sql=_NEARDUP_ORACLE)
@@ -79,18 +83,35 @@ def vec_exact_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-shifted copy, exact — the correctness baseline for the LSH path.
     Executed as blocked GEMMs (applyInPandas), not per-pair expression
     folds: same exact result, ~100× less per-flop overhead."""
+    corpus, n = _dup_corpus(spark, sf_dir)
     return similarity.exact_near_dup_pairs_blocked(
-        _dup_corpus(spark, sf_dir), threshold=_NEARDUP_T
+        corpus, threshold=_NEARDUP_T, n_rows=n
     )
 
 
 @query("vec_lsh_near_dup", sql=None)
 def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH buckets + multi-probe +
-    exact re-rank — the non-quadratic corpus-scale path. Rows-only in the
+    exact re-rank — the non-quadratic corpus-scale path. nbits auto-scales
+    with corpus size (choose_nbits: ~128 vectors/bucket). Rows-only in the
     oracle harness; recall vs the exact query is asserted in tests."""
+    corpus, n = _dup_corpus(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
-        _dup_corpus(spark, sf_dir), threshold=_NEARDUP_T, nbits=10
+        corpus, threshold=_NEARDUP_T, nbits=None, n_rows=n
+    )
+
+
+@query("vec_bucketed_near_dup", sql=None)
+def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with LSH-bucketed candidates AND per-bucket GEMM
+    re-rank — the full corpus-scale composition: auto-scaled bucket count
+    (constant bucket population), logarithmic replication, one matrix
+    product per bucket group, no corpus-wide O(n·B) shuffle and no sizing
+    count() job. Rows-only here; pair-set equality with the LSH path and
+    recall vs exact are pytest-asserted."""
+    corpus, n = _dup_corpus(spark, sf_dir)
+    return similarity.bucketed_near_dup_pairs(
+        corpus, threshold=_NEARDUP_T, nbits=None, n_rows=n
     )
 
 

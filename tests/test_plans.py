@@ -87,6 +87,7 @@ def test_no_headline_query_has_cartesian(spark, qs):
         "dedup_ngram_jaccard",
         "dedup_simhash",
         "vec_lsh_near_dup",
+        "vec_bucketed_near_dup",
         "dedup_exact",
         "text_analysis",
     ]:

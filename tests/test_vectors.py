@@ -133,3 +133,67 @@ def test_topk_rank_is_dense_per_query(spark, emb):
     for qid, grp in out.groupby("q_id"):
         assert sorted(grp["rnk"].tolist()) == [1, 2, 3, 4]
         assert grp.sort_values("rnk")["sim"].is_monotonic_decreasing
+
+
+def test_choose_nbits_tracks_corpus_size():
+    """Auto nbits keeps expected bucket population ~constant: grows with
+    log2(n), clamped to [6, 24]."""
+    assert similarity.choose_nbits(0) == 6
+    assert similarity.choose_nbits(1_000) == 6          # clamp floor
+    assert similarity.choose_nbits(100_000) == 10       # 100k/128 -> 2^10
+    assert similarity.choose_nbits(10_000_000) == 17
+    assert similarity.choose_nbits(10**12) == 24        # clamp ceiling
+    for small, big in ((10_000, 1_000_000), (1_000_000, 100_000_000)):
+        assert similarity.choose_nbits(small) < similarity.choose_nbits(big)
+    # expected bucket population within 2x of target at an unclamped point
+    n = 2_000_000
+    nb = similarity.choose_nbits(n)
+    assert n / 2**nb <= 128 <= 2 * (n / 2**nb) + 128
+
+
+def test_bucketed_gemm_equals_lsh_path(spark, emb):
+    """bucketed_near_dup_pairs must return the IDENTICAL pair set (and
+    round-9 sims) as lsh_near_dup_pairs — same candidates, GEMM re-rank
+    instead of per-pair folds — and stay a subset of the exact pairs."""
+    for limit in (100, 200):
+        corpus = _perturbed_corpus(spark, emb.limit(limit))
+        n = 2 * limit
+        lsh = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in similarity.lsh_near_dup_pairs(
+                corpus, threshold=0.95, nbits=None, n_rows=n
+            ).collect()
+        }
+        bucketed = {
+            (r["id_a"], r["id_b"], r["sim"])
+            for r in similarity.bucketed_near_dup_pairs(
+                corpus, threshold=0.95, nbits=None, n_rows=n
+            ).collect()
+        }
+        assert bucketed == lsh, f"limit={limit}"
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.exact_near_dup_pairs(corpus, threshold=0.95).collect()
+        }
+        found = {(a, b) for a, b, _ in bucketed}
+        assert found <= exact
+        recall = len(found & exact) / len(exact)
+        assert recall >= 0.8, f"limit={limit} recall {recall}"
+
+
+def test_bucketed_gemm_sub_blocks_invariant(spark, emb):
+    """The sub-block straggler guard must not change the result."""
+    corpus = _perturbed_corpus(spark, emb.limit(80))
+    base = {
+        tuple(r)
+        for r in similarity.bucketed_near_dup_pairs(
+            corpus, threshold=0.95, nbits=6, sub_blocks=1
+        ).collect()
+    }
+    split = {
+        tuple(r)
+        for r in similarity.bucketed_near_dup_pairs(
+            corpus, threshold=0.95, nbits=6, sub_blocks=3
+        ).collect()
+    }
+    assert base == split and len(base) >= 40
