@@ -58,7 +58,7 @@ def _update_user_profile(
     n, total_c, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total_c += int(round((pdf["value"] * _SCALE).round().sum()))
+        total_c += int(pdf["value_c"].sum())
         if len(pdf):
             last_us = max(last_us, int(pdf["ts_us"].max()))
     state.update((n, total_c, last_us))
@@ -74,9 +74,15 @@ def _update_user_profile(
 
 def user_profile_stream(events: DataFrame) -> DataFrame:
     """Wire the stateful accumulator onto a (possibly streaming) events
-    frame: groupBy(user_id) → applyInPandasWithState, update mode."""
+    frame: groupBy(user_id) → applyInPandasWithState, update mode.
+
+    value → integer hundredths happens HERE with ``F.round`` (HALF_UP),
+    not inside the pandas function: pandas ``.round`` is banker's rounding
+    and would drift from the batch/oracle form on exact .5 cases."""
     prepared = events.select(
-        "user_id", "value", F.unix_micros(F.col("ts")).alias("ts_us")
+        "user_id",
+        F.round(F.col("value") * _SCALE).cast("long").alias("value_c"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
@@ -104,12 +110,15 @@ def run_user_profile_stream(
     """Execute the stateful operator as a REAL multi-micro-batch streaming
     job: stage the static source into ``n_chunks`` files, feed them one per
     trigger (``maxFilesPerTrigger=1``) so state demonstrably carries across
-    batches, drain synchronously, and return the FINAL state per user (the
-    last update each key emitted).
-    """
+    batches, drain through ``foreachBatch`` → parquet (executor-side writes
+    — no driver-resident update history, unlike a ``memory`` sink), and
+    return the FINAL state per user as a distributed reduction over the
+    sink files. The staged source and checkpoint are removed once the
+    stream stops."""
+    from .sink import drain_stream_to_parquet, read_sink
+
     name = f"phsqis_state_{uuid.uuid4().hex[:8]}"
     stage_dir = os.path.join(tempfile.gettempdir(), name + "_src")
-    checkpoint = os.path.join(tempfile.gettempdir(), name + "_ckpt")
     os.makedirs(stage_dir, exist_ok=True)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -128,20 +137,12 @@ def run_user_profile_stream(
         events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     out = user_profile_stream(events)
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        out_dir = drain_stream_to_parquet(out, name, output_mode="update")
     finally:
-        q.stop()
-        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
-    updates = spark.table(name)
+    updates = read_sink(spark, out_dir, OUTPUT_SCHEMA)
     # final state per user = the update with the highest n_events (monotone)
     w_last = F.struct("n_events", "total_value_c", "last_seen_us")
     return (

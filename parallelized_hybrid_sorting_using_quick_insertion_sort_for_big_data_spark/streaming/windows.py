@@ -77,16 +77,20 @@ def stream_tumbling_agg(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Run the tumbling aggregation as a real Structured Streaming job over
-    a parquet directory source with an event-time watermark, drain it to a
-    memory sink synchronously, and return the materialized result.
+    a parquet directory source with an event-time watermark, drain it
+    through ``foreachBatch`` → parquet (complete mode: each trigger
+    overwrites with the full result, written executor-side — never a
+    driver-resident memory sink), and return the final materialized result.
 
     The watermark bounds state: windows older than (max event time -
     watermark) are finalized and evicted — the late-data contract a
     continuous pipeline needs. With a static source, processAllAvailable
     drains everything, so the result equals the batch aggregation (asserted
     in tests)."""
+    from .sink import drain_stream_to_parquet, read_sink
+
     name = f"phsqis_stream_{uuid.uuid4().hex[:8]}"
-    checkpoint = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+    staged = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if os.path.isfile(source_dir):
         # the file-stream source only accepts directories: stage the single
@@ -111,15 +115,11 @@ def stream_tumbling_agg(
             F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value"
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        out_dir = drain_stream_to_parquet(
+            agg, name, output_mode="complete", overwrite_each_batch=True
+        )
     finally:
-        q.stop()
-    return spark.table(name)
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, agg.schema)
