@@ -61,6 +61,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .suites import core_sort, relational, text_dedup, vectors, events, multimodal  # noqa: F401
+    from .suites import core_sort, relational, text_dedup, vectors, events, multimodal, skewq  # noqa: F401
 
     _LOADED = True

@@ -54,3 +54,27 @@ def test_salted_distinct_count_equals_plain(spark, skewed):
     }
     assert got == want
     assert want[0] == 500  # the hot key really is hot and really is exact
+
+
+def test_registry_skew_queries_match_oracle(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("skew_salted_agg", "skew_salted_join"):
+        assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+def test_salted_equals_plain_forms(spark):
+    """The bench counterparts compute the identical result."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        skewq,
+    )
+    from tests.conftest import SF_DIR
+
+    a = sorted(map(tuple, skewq.skew_salted_agg(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, skewq.skew_plain_agg(spark, SF_DIR).collect()))
+    assert a == b
+    c = sorted(map(tuple, skewq.skew_salted_join(spark, SF_DIR).collect()))
+    d = sorted(map(tuple, skewq.skew_plain_join(spark, SF_DIR).collect()))
+    assert c == d
