@@ -35,6 +35,18 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def clear_caches(spark) -> None:
+    """Drop persisted relations left behind by the previous query (the
+    near-dup/LSH operators persist their candidate relations for the
+    duration of their own execution). Without this, cached blocks pile up
+    across the ~90 timed queries and later queries — measured on the
+    streaming ones — run ~3× slower than in isolation."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+
+
 def timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -85,22 +97,83 @@ def main() -> None:
         lambda: sorting.top_k(gen(), ["value", "id"], 100).collect()
     )
 
-    # the reference's processor-count axis (README.md:18: 4, 8, 16, 24 MPI
-    # ranks): same total sort at reduced parallelism, mirroring speedup /
-    # efficiency measurement
+    # --- the reference's FULL experiment grid (README.md:17-19): dataset
+    # sizes × processor counts {4,8,16,24}, with execution time per cell and
+    # derived speedup/efficiency per size (vs the P=1 serial run, the
+    # textbook definition the reference's metrics section names). P maps to
+    # partition count: both the generator's input partitions and
+    # spark.sql.shuffle.partitions for the range exchange.
+    grid_sizes = (1_000, 50_000, 100_000, 1_000_000, 2_000_000, 4_000_000)
+    grid_procs = (1, 4, 8, 16, 24)
+    run_grid = os.environ.get("SPARK_GRAFT_BENCH_GRID", "1") != "0"
+    grid: dict[str, dict[str, dict[str, float]]] = {}
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    for p in (4, 8):
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
-        times[f"synthetic_total_sort_4m_p{p}"] = timed(
-            lambda: materialize(sorting.total_sort(gen().repartition(p), ["value", "id"]))
-        )
+    if run_grid:
+        for size in grid_sizes:
+            cell: dict[str, dict[str, float]] = {}
+            for p in grid_procs:
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+                t = timed(
+                    lambda: materialize(
+                        sorting.total_sort(
+                            datagen.seeded_ints(
+                                spark, size, modulus=datagen.DIST_B_MOD,
+                                seed=42, num_partitions=p,
+                            ),
+                            ["value", "id"],
+                        )
+                    )
+                )
+                times[f"grid_total_sort_n{size}_p{p}"] = t
+                cell[f"p{p}"] = {"sec": t}
+            t1 = cell["p1"]["sec"]
+            for p in grid_procs:
+                tp = cell[f"p{p}"]["sec"]
+                cell[f"p{p}"]["speedup"] = round(t1 / tp, 3) if tp > 0 else -1.0
+                cell[f"p{p}"]["efficiency"] = (
+                    round(t1 / (p * tp), 3) if tp > 0 else -1.0
+                )
+            grid[f"n{size}"] = cell
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # --- the quickThreshold experiment (quickThreshold.c:187-194): the
+    # hybrid kernel's insertion-sort switch swept over {1, 25, 1000} on a
+    # fixed 200k-row seed-42 input (threshold 1 = pure quicksort,
+    # 25 = the reference default, 1000 = insertion-heavy)
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        hybrid,
+    )
+
+    for t_switch in (1, 25, 1000):
+        times[f"hybrid_threshold_t{t_switch}"] = timed(
+            lambda t_switch=t_switch: materialize(
+                hybrid.hybrid_ranked(
+                    datagen.seeded_ints(spark, 200_000, modulus=datagen.DIST_B_MOD, seed=42),
+                    threshold=t_switch,
+                    num_partitions=8,
+                )
+            )
+        )
+
+    # --- skew-mitigation bench pair: the salted forms are timed with the
+    # registry queries below; these unsalted counterparts quantify the win
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        skewq,
+    )
+
+    times["skew_plain_agg"] = timed(
+        lambda: materialize(skewq.skew_plain_agg(spark, sf_dir))
+    )
+    times["skew_plain_join"] = timed(
+        lambda: materialize(skewq.skew_plain_join(spark, sf_dir))
+    )
 
     # --- registry headline queries at sf_dir (BASELINE.md bench 2 + breadth)
     skip = {"sort_seeded_ints"}  # fixed-N duplicate of the synthetic grid point
     for name, fn in registry.queries().items():
         if name in skip:
             continue
+        clear_caches(spark)
         try:
             times[name] = timed(lambda fn=fn: materialize(fn(spark, sf_dir)))
         except Exception as exc:  # keep the bench line parseable on failure
@@ -108,18 +181,17 @@ def main() -> None:
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t > 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": spark.sparkContext.defaultParallelism,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    if run_grid:
+        out["grid"] = grid  # per-size speedup/efficiency over the P axis
+    print(json.dumps(out))
     spark.stop()
 
 
