@@ -82,20 +82,77 @@ def mm_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3. mapInPandas decode paths (rows-only for the driver; pytest checks the
-#    values against a pure-Python oracle exactly)
+# 3. mapInPandas decode paths — oracle-checked per ROW: the deterministic
+#    fake decode is integer byte math, which DuckDB can reproduce exactly by
+#    hex-expanding the payload (hex(blob) → one row per byte via
+#    generate_series → '0x'||pair cast). The decode path is therefore held
+#    to the same value-hash bar as the relational queries, not rows-only.
 # ---------------------------------------------------------------------------
 
+# one row per payload byte: (doc_id, byte offset k, byte value 0-255)
+_BYTES_CTE = """
+b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         k,
+         CAST('0x' || substr(hx, CAST(k * 2 + 1 AS INT), 2) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, nb - 1)) AS t(k)
+)
+"""
 
-@query("mm_byte_features", sql=None)
+_BYTE_FEATURES_ORACLE = f"""
+WITH {_BYTES_CTE},
+agg AS (
+  SELECT doc_id,
+         CAST(sum(byte) AS BIGINT) AS sum_bytes,
+         CAST(sum(CASE WHEN byte < 64 THEN 1 ELSE 0 END) AS BIGINT) AS hist_0,
+         CAST(sum(CASE WHEN byte >= 64 AND byte < 128 THEN 1 ELSE 0 END) AS BIGINT) AS hist_1,
+         CAST(sum(CASE WHEN byte >= 128 AND byte < 192 THEN 1 ELSE 0 END) AS BIGINT) AS hist_2,
+         CAST(sum(CASE WHEN byte >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS hist_3
+  FROM u GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.nb AS BIGINT) AS n_bytes,
+       COALESCE(agg.sum_bytes, 0) AS sum_bytes,
+       COALESCE(agg.hist_0, 0) AS hist_0,
+       COALESCE(agg.hist_1, 0) AS hist_1,
+       COALESCE(agg.hist_2, 0) AS hist_2,
+       COALESCE(agg.hist_3, 0) AS hist_3
+FROM b LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("mm_byte_features", sql=_BYTE_FEATURES_ORACLE)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'decode + featurize' over the binary payload column
     (deterministic fake decode; see operators.multimodal.decode_image_real
-    for the clearly-stubbed real-codec slot)."""
+    for the clearly-stubbed real-codec slot). Oracle: DuckDB hex-expands
+    the same payload to one row per byte and recomputes sum + histogram —
+    an exact, engine-independent check on the whole decode path."""
     return M.byte_features(M.attach_payload(load_table(spark, sf_dir, "documents")))
 
 
-@query("mm_frame_sample", sql=None)
+_FRAME_SAMPLE_ORACLE = f"""
+WITH {_BYTES_CTE},
+f AS (
+  SELECT doc_id,
+         CAST(k // {M.FRAME_SIZE} AS BIGINT) AS frame_idx,
+         CAST(count(*) AS BIGINT) AS frame_bytes,
+         CAST(sum(byte) AS BIGINT) AS frame_sum
+  FROM u
+  GROUP BY doc_id, k // {M.FRAME_SIZE}
+)
+SELECT doc_id, frame_idx, frame_bytes, frame_sum
+FROM f WHERE frame_idx % {M.FRAME_STRIDE} = 0
+"""
+
+
+@query("mm_frame_sample", sql=_FRAME_SAMPLE_ORACLE)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame sampling over the binary payload column via mapInPandas."""
+    """1→N frame sampling over the binary payload column via mapInPandas.
+    Oracle: the byte-expansion CTE grouped into frames, keeping every
+    STRIDE-th frame — exact per-frame byte counts and sums."""
     return M.sample_frames(M.attach_payload(load_table(spark, sf_dir, "documents")))
