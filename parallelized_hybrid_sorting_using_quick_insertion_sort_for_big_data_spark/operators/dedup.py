@@ -139,6 +139,14 @@ def jaccard_pairs(
 _MH_PRIME = (1 << 31) - 1
 
 
+def _portable_shingle_hash(seed: int):
+    """32-bit base hash from the md5 hex prefix — bit-identical in any
+    engine with md5 (DuckDB: CAST('0x'||substr(md5(s),1,8) AS BIGINT)),
+    unlike xxhash64 whose 64-bit value DuckDB cannot reproduce."""
+    h32 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h32 + F.lit(seed), F.lit(_MH_PRIME))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -146,16 +154,26 @@ def minhash_signatures(
     n: int = 8,
     num_hashes: int = 32,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signatures as (id, array<long>[k]).
 
-    h_j(s) = (a_j * xxhash64(s) + b_j) mod p, with (a_j, b_j) derived
+    h_j(s) = (a_j * base(s) + b_j) mod p, with (a_j, b_j) derived
     deterministically from the seed. One aggregation over the shingle
     relation computes all k mins at once (map-side partial min — the shuffle
-    carries k longs per doc, not the shingles)."""
-    sh = shingles(df, text_col, id_col, n).withColumn(
-        "__h", F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(_MH_PRIME))
+    carries k longs per doc, not the shingles).
+
+    ``portable=False`` (default): base = xxhash64 — fastest JVM path.
+    ``portable=True``: base = md5-prefix (see ``_portable_shingle_hash``) —
+    slightly slower per shingle, but the ENTIRE signature is reproducible
+    in any SQL engine, which makes the near-dup decision auditable outside
+    Spark (and DuckDB-oracle-checkable here)."""
+    base = (
+        _portable_shingle_hash(seed)
+        if portable
+        else F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(_MH_PRIME))
     )
+    sh = shingles(df, text_col, id_col, n).withColumn("__h", base)
     mins = [
         F.min(
             (F.col("__h") * F.lit(2 * j + 1) + F.lit(seed * 31 + j)) % F.lit(_MH_PRIME)
@@ -175,6 +193,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding: signature → ``bands`` bands of
     r = num_hashes/bands rows; docs colliding on any (band, band-slice) are
@@ -182,11 +201,20 @@ def minhash_lsh_pairs(
     agreement fraction) and filtered at ``threshold``.
 
     Only (band-key → id) pairs are joined — never documents, never a cross
-    join; this is the 100 TB near-dup path."""
+    join; this is the 100 TB near-dup path. ``portable=True`` switches both
+    the base hash and the band key to engine-portable forms (md5-prefix
+    base, plain concatenated band key) so the result is exactly
+    reproducible in DuckDB — see ``minhash_lsh_oracle_sql``."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable)
+
+    def band_key(bi: int):
+        joined = F.concat_ws(",", *[F.col("signature")[bi * r + j] for j in range(r)])
+        # non-portable: compact the key to a long (cheaper shuffle); portable:
+        # ship the decimal string, which any engine concatenates identically
+        return joined if portable else F.xxhash64(joined)
 
     band_rows = sig.select(
         F.col(id_col),
@@ -194,12 +222,7 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.col("signature")[bi * r + j] for j in range(r)])
-                        ).alias("bkey"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_key(bi).alias("bkey"))
                     for bi in range(bands)
                 ]
             )
@@ -235,6 +258,68 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_lsh_pairs(..., portable=True)``
+    EXACTLY: same shingles, same md5-prefix base hash, same (a_j, b_j)
+    permutations, same band keys, same candidate join and agreement score.
+    Generated, not handwritten, so the constants can never drift from the
+    Spark side."""
+    p = _MH_PRIME
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h0 * {2 * j + 1} + {seed * 31 + j}) % {p}) AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT {id_col}, {bi} AS band, concat_ws(',', "
+        + ", ".join(f"h{bi * r + j}" for j in range(r))
+        + ") AS bkey FROM sig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+WITH d AS (SELECT {id_col}, trim(lower({text_col})) AS t FROM {table}),
+idx AS (SELECT {id_col}, t,
+               unnest(generate_series(1, greatest(length(t) - {n - 1}, 1))) AS i
+        FROM d),
+sh AS (SELECT DISTINCT {id_col}, substr(t, CAST(i AS INT), {n}) AS shingle FROM idx),
+h AS (SELECT {id_col},
+             (CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) + {seed}) % {p} AS h0
+      FROM sh),
+sig AS (SELECT {id_col},
+         {mins}
+        FROM h GROUP BY {id_col}),
+bandrows AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bandrows a
+  JOIN bandrows b ON a.band = b.band AND a.bkey = b.bkey AND a.{id_col} < b.{id_col}
+),
+scored AS (
+  SELECT id_a, id_b, ({agree}) AS agree
+  FROM cand
+  JOIN sig sa ON cand.id_a = sa.{id_col}
+  JOIN sig sb ON cand.id_b = sb.{id_col}
+)
+SELECT id_a, id_b, CAST(agree AS DOUBLE) / {num_hashes} AS est_jaccard
+FROM scored
+WHERE CAST(agree AS DOUBLE) / {num_hashes} >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -265,6 +350,167 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.when(F.col(f"v{b}") > 0, F.lit(mask(b))).otherwise(F.lit(0))
         bits = bit if bits is None else bits.bitwiseOR(bit)
     return votes.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash carried as TWO 32-bit halves (sim_hi, sim_lo), built
+    from the md5-prefix token hash — every bit reproducible in DuckDB (no
+    xxhash64, no signed-64 assembly; both halves stay non-negative).
+    Same per-bit majority-vote construction as :func:`simhash`."""
+    md5 = F.md5(F.col("tok"))
+    tok = df.select(
+        F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("tok")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col(part), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{name}{b}")
+            for part, name in (("__lo", "l"), ("__hi", "h"))
+            for b in range(32)
+        ]
+    )
+
+    def assemble(name: str):
+        acc = F.lit(0).cast("long")
+        for b in range(32):
+            acc = acc + F.when(F.col(f"v{name}{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return acc
+
+    return votes.select(
+        F.col(id_col), assemble("h").alias("sim_hi"), assemble("l").alias("sim_lo")
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, fully
+    engine-portable: nibble pieces (16 chunks of 4 bits — no half-straddle,
+    complete for max_hamming ≤ 15 by pigeonhole) over the two-half
+    signature; hamming = bit_count(hi⊕hi) + bit_count(lo⊕lo). The DuckDB
+    twin is :func:`simhash_pairs_oracle_sql`."""
+    if max_hamming > 15:
+        raise ValueError("nibble pigeonhole is complete only for max_hamming <= 15")
+    sh = simhash_portable(df, text_col, id_col)
+
+    def piece(ci: int):
+        part = F.col("sim_lo") if ci < 8 else F.col("sim_hi")
+        return F.shiftright(part, 4 * (ci % 8)).bitwiseAND(F.lit(15))
+
+    pieces = sh.select(
+        F.col(id_col),
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(ci).alias("chunk"), piece(ci).alias("piece"))
+                    for ci in range(16)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        F.col(id_col), "sim_hi", "sim_lo",
+        F.col("p.chunk").alias("chunk"), F.col("p.piece").alias("piece"),
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    pieces = pieces.persist(StorageLevel.MEMORY_AND_DISK)
+    lhs = pieces.select(
+        F.col(id_col).alias("id_a"), F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"), "chunk", "piece",
+    )
+    rhs = pieces.select(
+        F.col(id_col).alias("id_b"), F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"), "chunk", "piece",
+    )
+    cand = (
+        lhs.join(rhs, ["chunk", "piece"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    token_re: str = "[a-z0-9]+",
+) -> str:
+    """DuckDB SQL reproducing ``simhash_pairs_portable`` exactly — generated
+    alongside the Spark form so the bit layout cannot drift."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({part} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{n}{b}"
+        for part, n in (("lo", "l"), ("hi", "h"))
+        for b in range(32)
+    )
+
+    def assemble(n: str) -> str:
+        return " + ".join(
+            f"CASE WHEN v{n}{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+        )
+
+    piece_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT {id_col}, sim_hi, sim_lo, {ci} AS chunk, "
+        f"({'sim_lo' if ci < 8 else 'sim_hi'} >> {4 * (ci % 8)}) & 15 AS piece FROM sig"
+        for ci in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), '{token_re}')) AS tok
+  FROM {table}
+),
+h AS (
+  SELECT {id_col},
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM tok
+),
+v AS (SELECT {id_col},
+         {votes}
+      FROM h GROUP BY {id_col}),
+sig AS (
+  SELECT {id_col},
+         CAST({assemble('h')} AS BIGINT) AS sim_hi,
+         CAST({assemble('l')} AS BIGINT) AS sim_lo
+  FROM v
+),
+pieces AS (
+  {piece_selects}
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM pieces a
+  JOIN pieces b ON a.chunk = b.chunk AND a.piece = b.piece AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= {max_hamming}
+"""
 
 
 def _simhash_piece_bounds(chunks: int) -> list[tuple[int, int]]:

@@ -174,10 +174,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_lsh", sql=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms)+LSH(8 bands) near-dup candidates at est-Jaccard ≥
-    0.5 — the sublinear near-dup path for corpus scale."""
+    0.5 — the sublinear near-dup path for corpus scale (xxhash64 base hash:
+    fastest JVM path, rows-only here; the portable variant below is the
+    oracle-checked twin)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T
+    )
+
+
+@query(
+    "dedup_minhash_portable",
+    sql=dedup.minhash_lsh_oracle_sql(
+        n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T, seed=42
+    ),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable hash family (md5-prefix base,
+    modular permutations, concatenated band keys): identical topology to
+    ``dedup_minhash_lsh`` but every signature bit is reproducible in DuckDB,
+    so the FULL approximate pipeline — shingles → signatures → banding →
+    candidate join → agreement score — is value-hash-checked by the driver,
+    not just property-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T,
+        seed=42, portable=True,
     )
 
 
@@ -188,3 +210,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on ≥1 of 9 pieces — no qualifying pair can be missed)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=8)
+
+
+@query("dedup_simhash_portable", sql=dedup.simhash_pairs_oracle_sql(max_hamming=8))
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable construction
+    (md5-prefix token hash, two 32-bit signature halves, 16 nibble pieces —
+    complete for Hamming ≤ 15): the whole approximate pipeline is
+    value-hash-checked against generated DuckDB SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs_portable(docs, max_hamming=8)

@@ -114,3 +114,43 @@ def test_simhash_pairs_rejects_incomplete_split(spark, docs):
         dedup.simhash_pairs(docs, max_hamming=12, chunks=4)
     with pytest.raises(ValueError):
         dedup.simhash_pairs(docs, max_hamming=8, chunks=10, agree_pieces=3)
+
+
+def test_portable_simhash_pairs_complete_vs_bruteforce(spark, docs):
+    """The nibble-piece candidate join must find every pair within the
+    Hamming bound of the two-half portable signature."""
+    import itertools
+
+    sub = docs.limit(120)
+    sigs = dedup.simhash_portable(sub).collect()
+    d = 8
+    brute = set()
+    for a, b in itertools.combinations(sigs, 2):
+        ham = bin(a["sim_hi"] ^ b["sim_hi"]).count("1") + bin(
+            a["sim_lo"] ^ b["sim_lo"]
+        ).count("1")
+        if ham <= d:
+            brute.add((min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"])))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs_portable(sub, max_hamming=d).collect()
+    }
+    assert got == brute
+
+
+def test_portable_minhash_recall_vs_exact(spark, docs):
+    """The portable hash family must dedup as well as the xxhash one:
+    recall vs exact Jaccard pairs at the suite's parameters."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, n=8, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=8, num_hashes=32, bands=8, threshold=0.35, portable=True
+        ).collect()
+    }
+    assert exact
+    found = sum(1 for p in exact if p in approx)
+    assert found / len(exact) >= 0.9
