@@ -459,22 +459,33 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = 9,
 ) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid cell.
     Centroids are broadcast (codebooks are tiny); the argmax is a per-row
-    max_by over the cells — O(n · cells · dim) map-side work, no shuffle of
-    the corpus. Output: corpus columns + ``cell``."""
+    max over the cells — O(n · cells · dim) map-side work, no shuffle of
+    the corpus. Output: corpus columns + ``cell``.
+
+    Deterministic and engine-portable: the similarity is rounded before the
+    argmax and exact ties resolve to the LOWEST cell id (struct-max on
+    (sim, -cell)), matching the DuckDB oracle's ORDER BY sim DESC, cell."""
     sim = cosine(_as_double(F.col(vec_col)), F.col("__cent"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     scored = corpus.join(
         F.broadcast(centroids.select(F.col("cell").alias("__cell"), F.col("centroid").alias("__cent")))
     ).select(
         F.col(id_col),
         F.col(vec_col),
-        F.struct(sim.alias("s"), F.col("__cell").alias("c")).alias("__sc"),
+        F.struct(
+            sim.alias("s"),
+            (-F.col("__cell").cast("long")).alias("nc"),
+            F.col("__cell").alias("c"),
+        ).alias("__sc"),
     )
     return (
         scored.groupBy(id_col)
-        .agg(F.max_by("__sc", F.col("__sc.s")).alias("__best"), F.first(vec_col).alias(vec_col))
+        .agg(F.max("__sc").alias("__best"), F.first(vec_col).alias(vec_col))
         .select(F.col(id_col), F.col(vec_col), F.col("__best.c").alias("cell"))
     )
 
@@ -497,6 +508,8 @@ def ivf_topk(
     alternative to the brute-force scan (cost fraction ≈ nprobe/cells).
     Output: (q_id, vec_id, sim, rnk)."""
     qsim = cosine(_as_double(F.col(query_vec)), F.col("__cent"))
+    if round_digits is not None:
+        qsim = F.round(qsim, round_digits)
     probes = (
         F.broadcast(queries)
         .join(

@@ -115,12 +115,59 @@ def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_ivf_topk", sql=None)
+# IVF oracle: rebuild the SAME rounded decimal centroids, assign each
+# vector to its rounded-argmax cell (ties -> lowest cell, mirroring the
+# struct-max), probe the 2 best cells per query, exact-rank inside them.
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+comp AS (
+  SELECT label, i,
+         round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c
+  FROM ex GROUP BY label, i
+),
+cent AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         round(list_cosine_similarity(e.v, c.cv), 9) AS s
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 9) DESC, c.cell
+           ) AS pr
+    FROM q, cent c
+  ) WHERE pr <= 2
+),
+pairs AS (
+  SELECT p.q_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 9) AS sim
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, sim, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM pairs
+) WHERE rnk <= {_K}
+"""
+
+
+@query("vec_ivf_topk", sql=_IVF_ORACLE)
 def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for 5 query vectors: coarse-quantize the corpus into
     label-seeded centroid cells, probe the 2 nearest cells per query, exact
     re-rank inside them — cost ≈ nprobe/cells of the brute-force scan.
-    Rows-only here; recall and full-probe==exact equivalence are
+    Oracle: DuckDB rebuilds the identical rounded centroids, assignment,
+    probes and ranking; full-probe==exact equivalence additionally
     pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.centroid_vectors(emb)
