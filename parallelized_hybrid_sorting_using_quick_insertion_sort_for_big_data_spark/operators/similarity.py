@@ -230,7 +230,7 @@ def lsh_signature(
 
 def choose_nbits(
     n_rows: int,
-    target_bucket_size: int = 128,
+    target_bucket_size: int = 32,
     min_bits: int = 6,
     max_bits: int = 24,
 ) -> int:
@@ -242,9 +242,13 @@ def choose_nbits(
     100× the corpus each bucket is 100× larger and the in-bucket re-rank
     goes quadratic. Scaling nbits with log2(n) keeps per-bucket work
     constant; the multi-probe join fans out by (nbits+1), i.e. only
-    logarithmically in corpus size. Above ``max_bits`` (16M buckets)
-    single-bit probing starts missing too much — switch to banded LSH
-    (``dedup.minhash`` style multi-table) beyond that."""
+    logarithmically in corpus size. The 32-vector target suits the
+    per-pair ``zip_with`` re-rank, whose cost is linear in candidate pairs
+    (~(nbits+1)·bucket/2 per vector); the per-bucket GEMM re-rank
+    amortizes better and can pass a larger target (128+). Above
+    ``max_bits`` (16M buckets) single-bit probing starts missing too much —
+    switch to banded LSH (``dedup.minhash`` style multi-table) beyond
+    that."""
     if n_rows <= 0:
         return min_bits
     need = math.ceil(math.log2(max(1.0, n_rows / float(target_bucket_size))))

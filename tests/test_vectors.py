@@ -140,15 +140,15 @@ def test_choose_nbits_tracks_corpus_size():
     log2(n), clamped to [6, 24]."""
     assert similarity.choose_nbits(0) == 6
     assert similarity.choose_nbits(1_000) == 6          # clamp floor
-    assert similarity.choose_nbits(100_000) == 10       # 100k/128 -> 2^10
-    assert similarity.choose_nbits(10_000_000) == 17
+    assert similarity.choose_nbits(100_000) == 12       # 100k/32 -> 2^12
+    assert similarity.choose_nbits(10_000_000) == 19
     assert similarity.choose_nbits(10**12) == 24        # clamp ceiling
     for small, big in ((10_000, 1_000_000), (1_000_000, 100_000_000)):
         assert similarity.choose_nbits(small) < similarity.choose_nbits(big)
     # expected bucket population within 2x of target at an unclamped point
     n = 2_000_000
     nb = similarity.choose_nbits(n)
-    assert n / 2**nb <= 128 <= 2 * (n / 2**nb) + 128
+    assert n / 2**nb <= 32 <= 2 * (n / 2**nb) + 32
 
 
 def test_bucketed_gemm_equals_lsh_path(spark, emb):
