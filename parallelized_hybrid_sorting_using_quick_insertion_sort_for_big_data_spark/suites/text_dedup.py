@@ -220,3 +220,75 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-checked against generated DuckDB SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs_portable(docs, max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# 7. End-to-end training-corpus cleaning pipeline: exact-dedup -> language
+#    filter -> quality filter -> per-source stats. The composition a
+#    production LLM-data pipeline runs before tokenization, with every
+#    stage oracle-mirrored (fingerprint window, lang-ID heuristic, quality
+#    score) so the WHOLE pipeline is value-hash-checked, not just stages.
+# ---------------------------------------------------------------------------
+
+_MIN_QUALITY = 0.5
+
+_PIPELINE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_ID_SHIFT} AS doc_id, source, text FROM documents
+),
+w AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY {T.FINGERPRINT_SQL.format(t='text')} ORDER BY doc_id
+         ) AS rn
+  FROM corpus
+),
+ann AS (
+  SELECT source,
+         {T.lang_id_sql('text')} AS lang,
+         {T.quality_score_sql('text')} AS q,
+         len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS n_tok
+  FROM w WHERE rn = 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(min(q), 9) AS min_quality,
+       round(max(q), 9) AS max_quality
+FROM ann
+WHERE q >= {_MIN_QUALITY} AND lang = 'en'
+GROUP BY source
+"""
+
+
+@query("pipeline_clean_corpus", sql=_PIPELINE_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning pipeline over documents ∪ id-shifted copy: exact
+    dedup (deterministic min-id winner), keep English docs with quality ≥
+    0.5, report per-source doc/token counts and quality bounds. Shuffles:
+    one for the dedup window (fingerprint), one for the final rollup —
+    the lang/quality maps stay in the scan stage."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "source", "text"
+    )
+    kept = dedup.exact_dedup(docs.unionAll(shifted))
+    t = F.col("text")
+    ann = kept.select(
+        "source",
+        T.lang_id(t).alias("lang"),
+        T.quality_score(t).alias("q"),
+        T.token_count(t).alias("n_tok"),
+    )
+    return (
+        ann.where((F.col("q") >= _MIN_QUALITY) & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.min("q"), 9).alias("min_quality"),
+            F.round(F.max("q"), 9).alias("max_quality"),
+        )
+    )

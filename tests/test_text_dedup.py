@@ -154,3 +154,21 @@ def test_portable_minhash_recall_vs_exact(spark, docs):
     assert exact
     found = sum(1 for p in exact if p in approx)
     assert found / len(exact) >= 0.9
+
+
+def test_pipeline_clean_corpus_oracle_and_plan(spark):
+    import __spark_entry__ as entrymod
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+        inspect as PI,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    df = qs["pipeline_clean_corpus"](spark, SF_DIR)
+    # plan gates BEFORE execution: once AQE finalizes, the plan text prints
+    # initial+final stages and double-counts exchanges
+    # dedup window (fingerprint) + final rollup: the lang/quality maps must
+    # not introduce extra shuffles
+    PI.assert_max_exchanges(df, 2)
+    assert not PI.has_cartesian(df)
+    assert_matches_oracle(df, oracles["pipeline_clean_corpus"], SF_DIR)
