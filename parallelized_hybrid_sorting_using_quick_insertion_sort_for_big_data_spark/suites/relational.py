@@ -532,3 +532,108 @@ def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Pivot (wide aggregation): order counts per (year, priority) as columns.
+#     Spark's groupBy().pivot() plans a single-pass grouped CASE aggregation
+#     — one shuffle on the group key, exactly like a plain groupBy; the
+#     oracle spells the same CASE sums.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PIV_COLS = ("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {", ".join(
+         f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS {c}"
+         for p, c in zip(_PRIORITIES, _PIV_COLS))}
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("rel_pivot_priority_by_year", sql=_PIVOT_ORACLE)
+def rel_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts pivoted to columns per order year. Explicit
+    pivot value list (never `pivot(col)` without values at scale: that
+    triggers a distinct-scan job to discover the columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.col("o_orderpriority"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out
+    for p, c in zip(_PRIORITIES, _PIV_COLS):
+        renamed = renamed.withColumnRenamed(p, c)
+    # pivot leaves null where a (year, priority) cell has no rows; the CASE
+    # oracle yields 0 — align
+    return renamed.fillna(0, list(_PIV_COLS))
+
+
+# ---------------------------------------------------------------------------
+# 16. Window frames: running totals + lag/lead over each customer's order
+#     history — the frame-clause surface (rows between), shuffled once on
+#     the partition key.
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,8))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       row_number() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       lag(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       lead(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+WHERE o_custkey < 200
+"""
+
+
+@query("rel_window_running_totals", sql=_RUNNING_ORACLE)
+def rel_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend + order sequence + prev/next order keys.
+    One shuffle on o_custkey serves all four window functions (same window
+    spec); decimal accumulation keeps the running sum order-exact."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(wrun).cast("double").alias("running_spend"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. Approximate quantiles — the 100 TB percentile path (exact interpolated
+#     percentiles need a full sort; approx_percentile is one pass with
+#     bounded sketch memory). No oracle: sketches are engine-specific; the
+#     error bound vs the exact form is pytest-pinned instead.
+# ---------------------------------------------------------------------------
+
+
+@query("rel_approx_quantiles", sql=None)
+def rel_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile(l_extendedprice) per l_returnflag at accuracy
+    10000 — single-pass sketch aggregation, the scale substitute for
+    `rel_percentiles`' exact interpolation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -28,3 +28,42 @@ REL_QUERIES = [
 def test_oracle_parity(spark, name):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+def test_new_relational_oracle_parity(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("rel_pivot_priority_by_year", "rel_window_running_totals"):
+        assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """percentile_approx at accuracy 10000 must land within 1/10000 rank
+    error of the exact quantile (the sketch's contract)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    approx = {
+        r["l_returnflag"]: r["approx_pcts"]
+        for r in qs["rel_approx_quantiles"](spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, pcts in approx.items():
+        vals = sorted(
+            r["l_extendedprice"]
+            for r in li.where(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, got in zip((0.25, 0.5, 0.75), pcts):
+            target = q * (n - 1)
+            tol = max(2, n // 10000 + 1)
+            lo = vals[max(0, int(target) - tol)]
+            hi = vals[min(n - 1, int(target) + tol + 1)]
+            assert lo <= got <= hi, (flag, q, got, lo, hi)
