@@ -93,8 +93,9 @@ def vec_exact_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH buckets + multi-probe +
     exact re-rank — the non-quadratic corpus-scale path. nbits auto-scales
-    with corpus size (choose_nbits: ~128 vectors/bucket). Rows-only in the
-    oracle harness; recall vs the exact query is asserted in tests."""
+    with corpus size (choose_nbits: ~32 vectors/bucket for the pair-fold
+    re-rank). Rows-only in the oracle harness; recall vs the exact query
+    is asserted in tests."""
     corpus, n = _dup_corpus(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
         corpus, threshold=_NEARDUP_T, nbits=None, n_rows=n
@@ -198,3 +199,51 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation half of IVF index building; decimal-exact accumulation."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.label_centroids(emb)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal join: similarity hits enriched with document metadata — the
+# retrieval shape (ANN top-k -> fetch document fields). embeddings.vec_id
+# is 1:1 with documents.doc_id in the testdata.
+# ---------------------------------------------------------------------------
+
+_TOPK_META_ORACLE = f"""
+WITH sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 9) AS sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {_N_QUERIES} AND q.vec_id <> c.vec_id
+),
+topk AS (
+  SELECT q_id, vec_id, sim, rnk FROM (
+    SELECT q_id, vec_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+    FROM sims
+  ) WHERE rnk <= {_K}
+)
+SELECT t.q_id, t.vec_id, t.sim, t.rnk, d.source,
+       CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+"""
+
+
+@query("vec_topk_with_metadata", sql=_TOPK_META_ORACLE)
+def vec_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval join: brute-force cosine top-5 per query, hits enriched
+    with the matching document's source and token count. The top-k side is
+    tiny (queries × k rows) so it broadcasts into the documents join — no
+    shuffle of the documents table."""
+    from ..operators import text as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = similarity.brute_force_topk(queries_df, emb, k=_K)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return F.broadcast(topk).join(docs, topk["vec_id"] == docs["doc_id"]).select(
+        "q_id", "vec_id", "sim", "rnk", "source", "n_tokens"
+    )
