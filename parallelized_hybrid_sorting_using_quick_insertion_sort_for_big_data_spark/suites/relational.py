@@ -556,25 +556,29 @@ GROUP BY 1
 
 @query("rel_pivot_priority_by_year", sql=_PIVOT_ORACLE)
 def rel_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-priority counts pivoted to columns per order year. Explicit
-    pivot value list (never `pivot(col)` without values at scale: that
-    triggers a distinct-scan job to discover the columns)."""
+    """Order-priority counts pivoted to columns per order year, hand-lowered
+    to conditional aggregation: ONE shuffle of partial sums (plan-gated).
+    `groupBy().pivot(col, values)` computes the same result but plans a
+    two-level aggregate (count per (year, priority), then pivotfirst per
+    year) = two exchanges; with a fixed value list the CASE form is the
+    plan you want at scale. (Never `pivot(col)` without values at all —
+    that adds a distinct-scan job just to discover the columns.)"""
     orders = load_table(spark, sf_dir, "orders")
-    out = (
+    return (
         orders.select(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
             F.col("o_orderpriority"),
         )
         .groupBy("order_year")
-        .pivot("o_orderpriority", list(_PRIORITIES))
-        .agg(F.count(F.lit(1)))
+        .agg(
+            *[
+                F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(c)
+                for p, c in zip(_PRIORITIES, _PIV_COLS)
+            ]
+        )
     )
-    renamed = out
-    for p, c in zip(_PRIORITIES, _PIV_COLS):
-        renamed = renamed.withColumnRenamed(p, c)
-    # pivot leaves null where a (year, priority) cell has no rows; the CASE
-    # oracle yields 0 — align
-    return renamed.fillna(0, list(_PIV_COLS))
 
 
 # ---------------------------------------------------------------------------

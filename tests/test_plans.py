@@ -93,3 +93,26 @@ def test_no_headline_query_has_cartesian(spark, qs):
     ]:
         df = qs[name](spark, SF_DIR)
         assert not PI.has_cartesian(df), name
+
+
+def test_pivot_single_shuffle(spark, qs):
+    # pivot with explicit values plans like a plain groupBy: one exchange
+    df = qs["rel_pivot_priority_by_year"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    assert PI.codegen_stage_count(df) >= 1
+
+
+def test_window_running_single_shuffle(spark, qs):
+    # four window functions over one window spec: one exchange, one sort
+    df = qs["rel_window_running_totals"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    PI.assert_filter_pushed(df, "o_custkey")
+
+
+def test_retrieval_join_broadcasts_topk(spark, qs):
+    # the tiny top-k side must broadcast into the documents join. (The plan
+    # legitimately contains a BroadcastNestedLoopJoin inside
+    # brute_force_topk — 5 broadcast queries against the corpus scan — so
+    # no has_cartesian gate here.)
+    df = qs["vec_topk_with_metadata"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
