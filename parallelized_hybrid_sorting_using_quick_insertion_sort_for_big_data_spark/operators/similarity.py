@@ -55,10 +55,17 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) ⨯ corpus → window
     top-k partitioned by query. Output: (q_id, vec_id, sim, rnk)."""
-    sim = cosine(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec)))
+    # norms once per row on each side — never per pair: the naive
+    # cosine(a,b) recomputes both norms inside every pair's expression,
+    # tripling the fold work on the |queries|×|corpus| hot path
+    q = queries.withColumn("__qn", norm(_as_double(F.col(query_vec))))
+    c = corpus.withColumn("__cn", norm(_as_double(F.col(corpus_vec))))
+    sim = dot(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec))) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    pairs = F.broadcast(queries).crossJoin(corpus).select(
+    pairs = F.broadcast(q).crossJoin(c).select(
         F.col(query_id), F.col(corpus_id), sim.alias("sim")
     )
     if exclude_self:
@@ -81,9 +88,16 @@ def exact_near_dup_pairs(
     """All pairs with cosine ≥ threshold — exact, via self cross join.
     Quadratic: correct baseline at test scale; at corpus scale use
     ``lsh_near_dup_pairs`` (bucketed candidates) instead."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+    withn = df.withColumn("__n", norm(_as_double(F.col(vec_col))))
+    a = withn.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+    )
+    b = withn.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+    )
+    sim = dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))) / (
+        F.col("__na") * F.col("__nb")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -280,10 +294,16 @@ def lsh_near_dup_pairs(
         nbits = choose_nbits(n_rows)
 
     # both join sides read the signature relation; persist so the nbits
-    # hyperplane projections compute once per vector
+    # hyperplane projections (and the per-vector norm — computed once HERE,
+    # never per candidate pair) run once per vector
     sig = (
         lsh_signature(df, vec_col, nbits, seed)
-        .select(F.col(id_col), F.col(vec_col), "bucket")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "bucket",
+            norm(_as_double(F.col(vec_col))).alias("__n"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # multi-probe: emit own bucket + each 1-bit flip
@@ -291,14 +311,20 @@ def lsh_near_dup_pairs(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(nbits)]
     )
     lhs = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("bucket").alias("bkey")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        F.col("bucket").alias("bkey"),
     )
     rhs = sig.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.explode(probes).alias("bkey"),
     )
-    sim = cosine(_as_double(F.col("__va")), _as_double(F.col("__vb")))
+    sim = dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))) / (
+        F.col("__na") * F.col("__nb")
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
