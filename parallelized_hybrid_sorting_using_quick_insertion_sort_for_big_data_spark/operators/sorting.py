@@ -112,12 +112,18 @@ def ranked(
          (deterministic because callers pass unique tiebreaker keys),
       2. count rows per partition (a P-row aggregate),
       3. broadcast-join the running offsets back and add the partition-local
-         row number (a window PARTITIONED by partition id, so it never
-         gathers the data).
+         row index — taken from ``monotonically_increasing_id``'s low 33
+         bits (the id is partition_index << 33 + local ordinal, assigned in
+         iteration order = the sorted order of the persisted frame), so NO
+         window and NO re-sort: the per-partition sort from step 1 is the
+         only sort in the whole plan.
 
     The sorted frame is persisted between the count pass and the output pass
-    because range-boundary sampling is not deterministic across jobs; at
-    cluster scale use StorageLevel.DISK_ONLY or checkpoint instead.
+    because range-boundary sampling is not deterministic across jobs (and
+    the local ordinal must be assigned over the identical partition
+    iteration both times); at cluster scale use StorageLevel.DISK_ONLY or
+    checkpoint instead. Partition size bound: 2^33 rows per partition —
+    range partitions sized to task memory are orders of magnitude smaller.
     """
     spark = df.sparkSession
     sort_cols = _sort_columns(keys, ascending)
@@ -128,6 +134,7 @@ def ranked(
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .withColumn(_PID, F.spark_partition_id())
+        .withColumn(_LRN, F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -143,11 +150,9 @@ def ranked(
         return df.withColumn(rank_col, F.lit(None).cast("bigint")).limit(0)
 
     offsets_df = spark.createDataFrame(offsets, schema=f"{_PID} int, {_OFF} long")
-    w = Window.partitionBy(_PID).orderBy(*sort_cols)
     return (
         arranged.join(F.broadcast(offsets_df), _PID)
-        .withColumn(_LRN, F.row_number().over(w))
-        .withColumn(rank_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .withColumn(rank_col, (F.col(_OFF) + F.col(_LRN) + 1).cast("bigint"))
         .drop(_PID, _LRN, _OFF)
     )
 
