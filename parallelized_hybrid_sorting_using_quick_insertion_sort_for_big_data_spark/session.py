@@ -8,6 +8,9 @@ are cluster-appropriate defaults, not local hacks.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -52,7 +55,39 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+_SHIPPED_ATTR = "_phsqis_pkg_shipped"
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    cloudpickle serializes module-level functions by reference (module name +
+    qualname), so every operator that ships Python to workers — the hybrid
+    demo's ``mapPartitions``, ``applyInPandasWithState``, the GEMM
+    ``applyInPandas`` blocks — needs the package on the workers' import path.
+    That happens for free when the driver process is launched from the repo
+    directory, but not when a harness runs from another cwd — and never on a
+    real cluster, where the package must ship with the job. This is the local
+    analogue of ``spark-submit --py-files pkg.zip``: zip the package once per
+    driver process and ``addPyFile`` it, which distributes the archive and
+    prepends it to each worker's ``sys.path``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_ATTR, False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / f"phsqis_pkg_{os.getpid()}.zip"
+    tmp = zpath.with_name(zpath.name + ".tmp")
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+    tmp.replace(zpath)
+    sc.addPyFile(str(zpath))
+    setattr(sc, _SHIPPED_ATTR, True)
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -67,4 +102,5 @@ def configure_session(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ship_package(spark)
     return spark
