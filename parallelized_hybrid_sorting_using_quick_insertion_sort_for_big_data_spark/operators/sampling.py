@@ -1,0 +1,141 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A training-data pipeline needs reproducible train/val/test splits and
+reproducible downsampling: the assignment of a document must not depend on
+partitioning, row order, executor count, or which engine evaluates it —
+``df.sample()``/``TABLESAMPLE`` give none of those guarantees (seeded
+per-partition RNG changes with the partition layout). The standard
+production answer is content hashing: bucket = hash(id) mod D, then compare
+the bucket against cumulative fraction thresholds.
+
+Everything here is a narrow per-row projection + filter — zero shuffles, no
+state, trivially parallel at 100 TB — and is built on the md5-prefix hash
+family so the DuckDB oracle (and any other SQL engine over the same lake)
+reproduces each row's assignment bit-for-bit:
+
+  Spark : conv(substring(md5(key), 1, 8), 16, 10) % D
+  DuckDB: CAST('0x' || substr(md5(key), 1, 8) AS BIGINT) % D
+
+The reference has no sampling operator (it sorts fixed arrays end to end:
+QuickInsertionHeap.c:141-204 processes every generated element); this module
+is part of the LLM-pipeline extension layer the north star mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket-space denominator: fractions are resolved to integer thresholds out
+#: of 1e6, so any fraction with ≤6 decimal places is exact in both engines.
+DENOM = 1_000_000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, DENOM) from the md5 prefix of ``key``.
+
+    ``salt`` decorrelates independent sampling decisions over the same key
+    (e.g. a split assignment and a later downsample must not reuse the same
+    coin). 32 hex chars of md5 >> 20 bits of bucket, so the prefix is
+    uniform; the first 8 hex chars (32 bits) keep the conv() result well
+    inside BIGINT in both engines.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % DENOM).alias("bucket")
+
+
+def bucket_sql(key_expr: str, salt: str = "") -> str:
+    """The DuckDB-equivalent expression for :func:`hash_bucket` — generated
+    from the same constants so oracles can't drift from the engine."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) "
+        f"AS BIGINT) % {DENOM}"
+    )
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    total = sum(fractions.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out: list[tuple[str, int]] = []
+    acc = 0
+    for name, frac in fractions.items():
+        acc += int(round(frac * DENOM))
+        out.append((name, acc))
+    out[-1] = (out[-1][0], DENOM)  # absorb rounding so every bucket lands
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test), exactly and
+    reproducibly: bucket(key) compared against cumulative thresholds.
+
+    Adds a ``split`` string column; no rows are dropped. Fractions must sum
+    to 1. The assignment depends only on (key, salt, fractions) — stable
+    under repartitioning, engine changes, and incremental re-runs over a
+    growing corpus (a doc keeps its split forever, the property that keeps
+    eval sets uncontaminated as the lake grows).
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    expr = None
+    for name, upper in _thresholds(fractions):
+        cond = b < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def split_case_sql(key_expr: str, fractions: dict[str, float], salt: str = "split") -> str:
+    """DuckDB CASE expression mirroring :func:`hash_split`."""
+    b = bucket_sql(key_expr, salt)
+    arms = " ".join(
+        f"WHEN {b} < {upper} THEN '{name}'" for name, upper in _thresholds(fractions)
+    )
+    return f"CASE {arms} END"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    The training-data use: rebalance a corpus by language/source — keep 100%
+    of low-resource strata, hash-downsample the dominant ones. Per-row
+    decision is bucket(key) < fraction·DENOM with the stratum's own
+    fraction; strata absent from ``fractions`` get ``default_fraction``.
+    Pure filter: no shuffle, no state, and the kept set is a superset-stable
+    function of the keys (lowering a fraction only removes rows, never
+    swaps them — monotone samples, the property curriculum schedules rely
+    on).
+    """
+    b = hash_bucket(F.col(key_col), salt)
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        lim = F.lit(int(round(frac * DENOM)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = F.lit(int(round(default_fraction * DENOM))) if thr is None else thr.otherwise(
+        F.lit(int(round(default_fraction * DENOM)))
+    )
+    return df.where(b < thr)
+
+
+def stratified_threshold_sql(
+    strata_expr: str, fractions: dict[str, float], default_fraction: float = 0.0
+) -> str:
+    """DuckDB CASE expression for the per-stratum threshold of
+    :func:`stratified_hash_sample`."""
+    arms = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(round(f * DENOM))}"
+        for s, f in fractions.items()
+    )
+    return f"CASE {arms} ELSE {int(round(default_fraction * DENOM))} END"

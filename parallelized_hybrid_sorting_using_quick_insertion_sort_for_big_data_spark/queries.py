@@ -61,6 +61,15 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .suites import core_sort, relational, text_dedup, vectors, events, multimodal, skewq  # noqa: F401
+    from .suites import (  # noqa: F401
+        core_sort,
+        events,
+        multimodal,
+        relational,
+        sampling,
+        skewq,
+        text_dedup,
+        vectors,
+    )
 
     _LOADED = True

@@ -1,0 +1,63 @@
+"""Headline queries for the deterministic sampling/split operators
+(operators/sampling.py), oracle-checked ROW BY ROW: the DuckDB SQL is
+generated from the same hash constants and thresholds, so every individual
+coin flip — not just aggregate counts — must match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling
+from ..queries import query
+from ..sources.tables import load_table
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       lang,
+       {sampling.bucket_sql("doc_id", salt="split")} AS bucket,
+       {sampling.split_case_sql("doc_id", _SPLITS, salt="split")} AS split
+FROM documents
+"""
+
+
+@query("sample_train_split", sql=_SPLIT_ORACLE)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment of every document by content-hash
+    bucket — reproducible across engines, partitionings, and corpus growth
+    (a doc's split never changes as the lake grows). Narrow projection,
+    zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.hash_split(docs, "doc_id", _SPLITS, salt="split")
+    return out.select(
+        "doc_id",
+        "lang",
+        sampling.hash_bucket(F.col("doc_id"), salt="split").alias("bucket"),
+        "split",
+    )
+
+
+# Rebalance the corpus: hash-downsample dominant English hard, carry the
+# mid-size languages at half rate, keep all of low-resource French.
+_FRACTIONS = {"en": 0.25, "zh": 0.5, "es": 0.5, "de": 0.5, "fr": 1.0}
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sampling.bucket_sql("doc_id", salt="sample")}
+      < {sampling.stratified_threshold_sql("lang", _FRACTIONS)}
+"""
+
+
+@query("sample_stratified_langs", sql=_STRATIFIED_ORACLE)
+def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample by language (the corpus-rebalance
+    step of a training pipeline). Pure filter — no shuffle, monotone in the
+    fractions — with per-row membership oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", _FRACTIONS, salt="sample"
+    )
