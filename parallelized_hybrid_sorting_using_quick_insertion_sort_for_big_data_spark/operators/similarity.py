@@ -278,6 +278,7 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     round_digits: int | None = 9,
     n_rows: int | None = None,
+    target_bucket_size: int = 8,
 ) -> DataFrame:
     """Near-dup pairs via LSH buckets: candidates = same bucket OR buckets
     at Hamming distance 1 (multi-probe), re-ranked by exact cosine. Never
@@ -285,13 +286,19 @@ def lsh_near_dup_pairs(
 
     ``nbits=None`` auto-selects via ``choose_nbits`` so bucket population
     stays ~constant as the corpus grows (pass ``n_rows`` to avoid the
-    sizing count; for a plain parquet scan the count is metadata-only)."""
+    sizing count; for a plain parquet scan the count is metadata-only).
+    The default ``target_bucket_size`` is SMALL (8): this path re-ranks with
+    per-pair expression folds, whose cost per vector is
+    ≈ (nbits+1)·bucket_size element-wise fold evaluations — interpreted,
+    not codegen'd — so shrinking buckets buys back far more re-rank time
+    than the extra probe fanout costs (fanout grows only with log2 n).
+    The GEMM re-rank (``bucketed_near_dup_pairs``) inverts that trade."""
     from pyspark.storagelevel import StorageLevel
 
     if nbits is None:
         if n_rows is None:
             n_rows = df.count()
-        nbits = choose_nbits(n_rows)
+        nbits = choose_nbits(n_rows, target_bucket_size)
 
     # both join sides read the signature relation; persist so the nbits
     # hyperplane projections (and the per-vector norm — computed once HERE,
@@ -346,6 +353,7 @@ def bucketed_near_dup_pairs(
     sub_blocks: int = 1,
     round_digits: int | None = 9,
     n_rows: int | None = None,
+    target_bucket_size: int = 128,
 ) -> DataFrame:
     """Near-dup pairs: LSH-bucketed candidate generation + per-bucket blocked
     GEMM re-rank — the composition ``exact_near_dup_pairs_blocked``'s
@@ -363,7 +371,13 @@ def bucketed_near_dup_pairs(
     sub_blocks × sub_blocks independent tile products, bounding per-task
     memory when a bucket comes out hot (skewed embedding spaces). With
     auto-nbits keeping buckets ≈128 vectors, 1 is right; raise it only if
-    bucket-size skew shows up in task-time metrics."""
+    bucket-size skew shows up in task-time metrics.
+
+    The default ``target_bucket_size`` is LARGE (128, vs 8 on the fold
+    path): a matrix product amortizes per-pair cost to ~nothing, so bigger
+    buckets mean fewer probe-replicated rows and fewer tiny numpy calls.
+    Note the candidate set equals ``lsh_near_dup_pairs``'s only at equal
+    nbits — pass the same explicit nbits/target to compare the two."""
     import pandas as pd
 
     from pyspark.storagelevel import StorageLevel
@@ -371,7 +385,7 @@ def bucketed_near_dup_pairs(
     if nbits is None:
         if n_rows is None:
             n_rows = df.count()
-        nbits = choose_nbits(n_rows)
+        nbits = choose_nbits(n_rows, target_bucket_size)
     S = max(1, sub_blocks)
 
     sig = (

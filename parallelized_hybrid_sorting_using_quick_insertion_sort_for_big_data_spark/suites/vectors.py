@@ -93,9 +93,9 @@ def vec_exact_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH buckets + multi-probe +
     exact re-rank — the non-quadratic corpus-scale path. nbits auto-scales
-    with corpus size (choose_nbits: ~32 vectors/bucket for the pair-fold
-    re-rank). Rows-only in the oracle harness; recall vs the exact query
-    is asserted in tests."""
+    with corpus size (choose_nbits: ~8 vectors/bucket — the fold re-rank
+    pays per pair, so small buckets win). Rows-only in the oracle harness;
+    recall vs the exact query is asserted in tests."""
     corpus, n = _dup_corpus(spark, sf_dir)
     return similarity.lsh_near_dup_pairs(
         corpus, threshold=_NEARDUP_T, nbits=None, n_rows=n

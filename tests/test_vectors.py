@@ -153,21 +153,23 @@ def test_choose_nbits_tracks_corpus_size():
 
 def test_bucketed_gemm_equals_lsh_path(spark, emb):
     """bucketed_near_dup_pairs must return the IDENTICAL pair set (and
-    round-9 sims) as lsh_near_dup_pairs — same candidates, GEMM re-rank
-    instead of per-pair folds — and stay a subset of the exact pairs."""
+    round-9 sims) as lsh_near_dup_pairs at equal nbits — same candidates,
+    GEMM re-rank instead of per-pair folds — and stay a subset of the
+    exact pairs. (The two paths default to different bucket-size targets,
+    so the shared target is explicit here.)"""
     for limit in (100, 200):
         corpus = _perturbed_corpus(spark, emb.limit(limit))
         n = 2 * limit
         lsh = {
             (r["id_a"], r["id_b"], r["sim"])
             for r in similarity.lsh_near_dup_pairs(
-                corpus, threshold=0.95, nbits=None, n_rows=n
+                corpus, threshold=0.95, nbits=None, n_rows=n, target_bucket_size=16
             ).collect()
         }
         bucketed = {
             (r["id_a"], r["id_b"], r["sim"])
             for r in similarity.bucketed_near_dup_pairs(
-                corpus, threshold=0.95, nbits=None, n_rows=n
+                corpus, threshold=0.95, nbits=None, n_rows=n, target_bucket_size=16
             ).collect()
         }
         assert bucketed == lsh, f"limit={limit}"
