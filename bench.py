@@ -181,6 +181,33 @@ def main() -> None:
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t > 0), 4)
+    # Round-over-round comparability: the headline total grows every round
+    # because the QUERY SET grows (round 1 timed 47 keys; this file now times
+    # ~90). Also emit the subtotal over exactly the keys BENCH_r01.json
+    # timed, so "did the same work get faster?" is a one-number read.
+    r01_keys = {
+        "synthetic_partition_sort_4m", "synthetic_total_sort_4m",
+        "synthetic_sort_write_4m", "synthetic_topk_4m",
+        "sort_total_lineitem", "sort_topk_lineitem",
+        "sort_hybrid_quickinsertion", "sort_multikey_orders",
+        "sort_within_partitions", "rel_q1_pricing_summary",
+        "rel_join_revenue_by_nation", "rel_window_top_orders_per_segment",
+        "rel_semi_anti_join", "rel_set_operations", "rel_scalar_functions",
+        "rel_rollup_customers", "rel_distinct_aggregates", "rel_outer_join",
+        "rel_sql_q3_shipping_priority", "rel_percentiles", "rel_histogram",
+        "rel_cube_orders", "text_analysis", "text_token_frequency",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "vec_cosine_topk", "vec_exact_near_dup",
+        "vec_lsh_near_dup", "vec_ivf_topk", "vec_label_centroids",
+        "events_tumbling_window", "events_sliding_window",
+        "events_sessionize", "events_json_props",
+        "events_stream_user_profile", "events_stream_tumbling",
+        "events_asof_join", "events_range_join", "mm_metadata_summary",
+        "mm_frame_inventory", "mm_byte_features", "mm_frame_sample",
+    }
+    comparable = round(
+        sum(t for k, t in times.items() if k in r01_keys and t > 0), 4
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -188,6 +215,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": spark.sparkContext.defaultParallelism,
+        "r01_comparable_total": comparable,
+        "r01_comparable_baseline": 76.8,  # same keys' total in BENCH_r01.json
     }
     if run_grid:
         out["grid"] = grid  # per-size speedup/efficiency over the P axis
