@@ -123,3 +123,52 @@ def stream_tumbling_agg(
         if staged is not None:
             shutil.rmtree(staged, ignore_errors=True)
     return read_sink(spark, out_dir, agg.schema)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    source_file: str,
+    schema,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    copies: int = 2,
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keyed on ``key_cols``, exercised over a
+    source that REALLY contains duplicates — the input file is staged
+    ``copies`` times and read one file per trigger, so the second copy
+    arrives in a later micro-batch and dedup must happen through the state
+    store, not within a batch.
+
+    Scale shape: state holds one entry per key seen within the watermark
+    horizon (evicted after), the contract that makes exactly-once event
+    ingestion feasible on an unbounded stream — a plain
+    ``dropDuplicates(key)`` would grow state forever. Deduped rows are
+    drained executor-side (append mode, foreachBatch → parquet); callers
+    aggregate the returned frame distributed. Rows older than the watermark
+    in later copies are dropped as late data — for exact replays (this
+    demo) that coincides with dedup; a production source with genuinely
+    late NON-duplicate data needs the watermark sized to its lateness
+    bound."""
+    from .sink import drain_stream_to_parquet, read_sink
+
+    key_cols = key_cols or ["event_id"]
+    name = f"phsqis_sdedup_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = os.path.join(tempfile.gettempdir(), name + "_src")
+    os.makedirs(staged, exist_ok=True)
+    for i in range(copies):
+        shutil.copy(source_file, os.path.join(staged, f"copy{i}.parquet"))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    if isinstance(events.schema["ts"].dataType, _types.LongType):
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    try:
+        out_dir = drain_stream_to_parquet(deduped, name, output_mode="append")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, deduped.schema)

@@ -179,6 +179,36 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_stream_dedup", sql=_STREAM_DEDUP_ORACLE)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: the events file is staged
+    TWICE into the stream source (one file per trigger, so the duplicate
+    copy arrives in a later micro-batch), dropDuplicatesWithinWatermark on
+    event_id removes the replay through the state store, and the deduped
+    rows — drained executor-side — aggregate back to exactly the
+    single-copy batch totals (the oracle)."""
+    from ..streaming import windows as W
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    deduped = W.stream_dedup(
+        spark, f"{sf_dir}/events.parquet", schema, key_cols=["event_id"], copies=2
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,8)")).cast("double").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Temporal joins: as-of (last click before each purchase) + bounded range
 #    (error/click pairs within 10 minutes)

@@ -65,6 +65,27 @@ def test_stream_equals_batch(spark):
     assert len(batch) > 0
 
 
+def test_stream_dedup_restores_single_copy(spark):
+    """Row-level pin (stronger than the aggregate oracle): deduping a
+    twice-staged source through the state store yields exactly the distinct
+    event_ids of one copy, each exactly once."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.streaming import (
+        windows as W,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    deduped = W.stream_dedup(
+        spark, f"{SF_DIR}/events.parquet", schema, key_cols=["event_id"], copies=2
+    )
+    got = [r["event_id"] for r in deduped.select("event_id").collect()]
+    want = [r["event_id"] for r in load_table(spark, SF_DIR, "events").select("event_id").collect()]
+    assert sorted(got) == sorted(want)  # every id exactly once, none lost
+
+
 def test_stateful_stream_equals_batch(spark):
     """applyInPandasWithState across 3 micro-batches converges to the batch
     aggregation exactly (int64 accumulation)."""
