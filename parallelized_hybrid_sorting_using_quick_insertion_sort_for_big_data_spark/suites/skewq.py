@@ -20,12 +20,15 @@ from ..sources.tables import load_table
 _DEC = "decimal(27,8)"
 
 # 90%-hot derived keys: users with user_id % 10 != 0 collapse to one key.
-_HOT_AGG_KEY = F.when(F.col("user_id") % 10 != 0, F.lit(-1)).otherwise(
-    F.col("user_id")
-)
-_HOT_JOIN_KEY = F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(
-    F.col("user_id")
-)
+# (Functions, not module-level Columns: classic PySpark requires an active
+# SparkContext to build a Column, and this module must be importable —
+# e.g. by the driver enumerating queries() — before any session exists.)
+def _hot_agg_key():
+    return F.when(F.col("user_id") % 10 != 0, F.lit(-1)).otherwise(F.col("user_id"))
+
+
+def _hot_join_key():
+    return F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(F.col("user_id"))
 
 _SALTED_AGG_ORACLE = """
 SELECT CASE WHEN user_id % 10 <> 0 THEN -1 ELSE user_id END AS skew_key,
@@ -42,7 +45,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     across 16 partial reducers instead of funneling it through one — same
     answer, no straggler. (The plain form is the bench counterpart.)"""
     sk = load_table(spark, sf_dir, "events").select(
-        _HOT_AGG_KEY.alias("skew_key"), "value"
+        _hot_agg_key().alias("skew_key"), "value"
     )
     return skew.salted_distinct_count(sk, "skew_key", "value", n_salts=16)
 
@@ -52,7 +55,7 @@ def skew_plain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (same answer); exists for the bench pair so the salting win is
     measured, not asserted."""
     sk = load_table(spark, sf_dir, "events").select(
-        _HOT_AGG_KEY.alias("skew_key"), "value"
+        _hot_agg_key().alias("skew_key"), "value"
     )
     return sk.groupBy("skew_key").agg(
         F.countDistinct("value").alias("n_distinct")
@@ -79,7 +82,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate value per market segment. Exact: matches the plain-join
     oracle row for row."""
     ev = load_table(spark, sf_dir, "events").select(
-        _HOT_JOIN_KEY.alias("ukey"), "value"
+        _hot_join_key().alias("ukey"), "value"
     )
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = skew.salted_join(ev, dim, "ukey", "c_custkey", n_salts=8)
@@ -93,7 +96,7 @@ def skew_plain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsalted counterpart of ``skew_salted_join`` for the bench pair, with
     broadcast disabled via hint-free shuffle join left to the planner."""
     ev = load_table(spark, sf_dir, "events").select(
-        _HOT_JOIN_KEY.alias("ukey"), "value"
+        _hot_join_key().alias("ukey"), "value"
     )
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = ev.join(dim, ev["ukey"] == dim["c_custkey"])
