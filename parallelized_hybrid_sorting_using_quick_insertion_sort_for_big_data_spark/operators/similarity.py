@@ -242,6 +242,99 @@ def lsh_signature(
     return df.withColumn("bucket", bucket)
 
 
+def make_planes(nbits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane table (md5 → Box-Muller) as plain floats.
+
+    Unlike the shingle hashes in ``dedup`` — which hash DATA and therefore
+    must be recomputed by whatever engine audits the result — hyperplanes
+    are data-independent, so the portable form is a SHARED LITERAL table:
+    both the Spark plan and the generated oracle SQL embed these exact
+    binary64 values. That removes the two cross-engine hazards of deriving
+    planes in-engine (libm ``log``/``cos`` differing in the last ulp, and a
+    per-row hash cost), while staying reproducible: anyone can regenerate
+    the table from (seed, nbits, dim) with stdlib hashlib."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(nbits):
+        row: list[float] = []
+        for i in range(dim):
+            h1 = int(hashlib.md5(f"{seed}|{p}|{i}".encode()).hexdigest()[:8], 16) % (1 << 30)
+            h2 = int(hashlib.md5(f"{seed + 1}|{p}|{i}".encode()).hexdigest()[:8], 16) % (1 << 30)
+            u1 = (h1 + 1) / float(1 << 30)
+            u2 = (h2 + 1) / float(1 << 30)
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_planes(
+    df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """``lsh_signature`` over an explicit literal plane table; projections
+    are rounded to 9 digits before the sign test so any engine summing the
+    same products in a different order lands on the same bit."""
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        lit = F.array(*[F.lit(c) for c in row])
+        proj = F.round(
+            F.aggregate(
+                F.zip_with(v, lit, lambda x, c: x * c), F.lit(0.0), lambda s, x: s + x
+            ),
+            9,
+        )
+        bucket = bucket.bitwiseOR(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_portable_near_dup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """``lsh_near_dup_pairs`` with a shared literal plane table — candidate
+    generation and re-rank are identical; only the signature derivation
+    changes, making the whole pipeline reproducible by the generated DuckDB
+    oracle (``lsh_portable_oracle_sql``)."""
+    sig = lsh_signature_planes(df, planes, vec_col)
+    return _multiprobe_fold_pairs(
+        sig, len(planes), threshold, id_col, vec_col, round_digits
+    )
+
+
+def lsh_portable_oracle_sql(
+    planes: list[list[float]],
+    threshold: float,
+    corpus_sql: str,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL reproducing ``lsh_portable_near_dup_pairs`` EXACTLY over
+    ``corpus_sql`` (any SELECT yielding (id, v DOUBLE[])): same literal
+    planes, same rounded-projection sign bits, candidates = bucket Hamming
+    distance ≤ 1 (the multi-probe set), same rounded-cosine re-rank.
+    Generated from the same plane table the Spark plan embeds."""
+    plane_bits = " + ".join(
+        "(CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(repr(c) for c in row)
+        + f"]), 9) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+sig AS (SELECT {id_col}, v, {plane_bits} AS bucket FROM corpus)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 9) AS sim
+FROM sig a JOIN sig b
+  ON a.{id_col} < b.{id_col}
+ AND bit_count(xor(a.bucket, b.bucket)) <= 1
+WHERE round(list_cosine_similarity(a.v, b.v), 9) >= {threshold}
+"""
+
+
 def choose_nbits(
     n_rows: int,
     target_bucket_size: int = 32,
@@ -300,19 +393,31 @@ def lsh_near_dup_pairs(
             n_rows = df.count()
         nbits = choose_nbits(n_rows, target_bucket_size)
 
+    sig = lsh_signature(df, vec_col, nbits, seed)
+    return _multiprobe_fold_pairs(sig, nbits, threshold, id_col, vec_col, round_digits)
+
+
+def _multiprobe_fold_pairs(
+    sig: DataFrame,
+    nbits: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Candidate join (same bucket or 1-bit flip) + per-pair exact cosine
+    re-rank over a relation that already carries a ``bucket`` column."""
+    from pyspark.storagelevel import StorageLevel
+
     # both join sides read the signature relation; persist so the nbits
     # hyperplane projections (and the per-vector norm — computed once HERE,
     # never per candidate pair) run once per vector
-    sig = (
-        lsh_signature(df, vec_col, nbits, seed)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            "bucket",
-            norm(_as_double(F.col(vec_col))).alias("__n"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sig = sig.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "bucket",
+        norm(_as_double(F.col(vec_col))).alias("__n"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # multi-probe: emit own bucket + each 1-bit flip
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(nbits)]

@@ -102,6 +102,32 @@ def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PORTABLE_PLANES = similarity.make_planes(nbits=8, dim=64, seed=42)
+
+_LSH_PORTABLE_ORACLE = similarity.lsh_portable_oracle_sql(
+    _PORTABLE_PLANES,
+    threshold=0.95,
+    corpus_sql=f"""
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VEC_SHIFT} AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+""",
+)
+
+
+@query("vec_lsh_portable", sql=_LSH_PORTABLE_ORACLE)
+def vec_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup pipeline with a SHARED LITERAL plane table (md5 →
+    Box-Muller, regenerable from the seed): end-to-end oracle-checked —
+    DuckDB recomputes signatures, multi-probe candidates, and the rounded
+    cosine re-rank from the same literals. Threshold 0.95 (vs 0.98 on the
+    xxhash64 path) so the check also exercises non-twin matches."""
+    corpus, _ = _dup_corpus(spark, sf_dir)
+    return similarity.lsh_portable_near_dup_pairs(
+        corpus, _PORTABLE_PLANES, threshold=0.95
+    )
+
+
 @query("vec_bucketed_near_dup", sql=None)
 def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with LSH-bucketed candidates AND per-bucket GEMM

@@ -11,7 +11,12 @@ from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.o
 )
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-ORACLE_QUERIES = ["vec_cosine_topk", "vec_exact_near_dup", "vec_label_centroids"]
+ORACLE_QUERIES = [
+    "vec_cosine_topk",
+    "vec_exact_near_dup",
+    "vec_label_centroids",
+    "vec_lsh_portable",
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
