@@ -641,3 +641,19 @@ def rel_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query("rel_approx_distinct", sql=None)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) of customers and parts
+    per order priority — the 100 TB cardinality path: one pass, fixed-size
+    mergeable sketch per group, no Expand and no per-key shuffle of the
+    distinct sets (which is what an exact multi-column count(DISTINCT)
+    plans). No oracle: HLL estimates are engine-specific; the relative
+    error vs the exact counts is pytest-pinned instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
+        F.approx_count_distinct("o_totalprice", 0.01).alias("approx_prices"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -39,6 +39,38 @@ def test_new_relational_oracle_parity(spark):
         assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
 
 
+def test_approx_distinct_within_rsd(spark):
+    """approx_count_distinct at rsd=0.01 must land within a conservative
+    5% of the exact distinct counts per group (HLL++ error is ~rsd with
+    rare multi-sigma excursions; 5σ bound keeps the test deterministic)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    qs = entrymod.queries()
+    approx = {
+        r["o_orderpriority"]: (r["approx_custs"], r["approx_prices"])
+        for r in qs["rel_approx_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["nc"], r["np"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("nc"),
+            F.countDistinct("o_totalprice").alias("np"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) >= 3
+    for prio, (ac, ap) in approx.items():
+        ec, ep = exact[prio]
+        assert abs(ac - ec) <= max(2, 0.05 * ec), (prio, ac, ec)
+        assert abs(ap - ep) <= max(2, 0.05 * ep), (prio, ap, ep)
+
+
 def test_approx_quantiles_within_rank_error(spark):
     """percentile_approx at accuracy 10000 must land within 1/10000 rank
     error of the exact quantile (the sketch's contract)."""
