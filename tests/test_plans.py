@@ -95,6 +95,26 @@ def test_no_headline_query_has_cartesian(spark, qs):
         assert not PI.has_cartesian(df), name
 
 
+def test_sampling_queries_zero_shuffle(spark, qs):
+    # hash splits/samples are narrow per-row projections + filters: they
+    # must pipeline into the scan with NO exchange (and the sample must
+    # prune the unread text column at the scan)
+    split = qs["sample_train_split"](spark, SF_DIR)
+    PI.assert_max_exchanges(split, 0)
+    strat = qs["sample_stratified_langs"](spark, SF_DIR)
+    PI.assert_max_exchanges(strat, 0)
+    PI.assert_column_pruned(strat, "text")
+    assert PI.codegen_stage_count(strat) >= 1
+
+
+def test_approx_distinct_single_shuffle_no_expand(spark, qs):
+    # HLL sketches partial-aggregate map-side: one exchange of fixed-size
+    # sketch rows, and no Expand node (the exact multi-distinct plan shape)
+    df = qs["rel_approx_distinct"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    assert "expand" not in PI.simple_plan(df).lower()
+
+
 def test_pivot_single_shuffle(spark, qs):
     # pivot with explicit values plans like a plain groupBy: one exchange
     df = qs["rel_pivot_priority_by_year"](spark, SF_DIR)
