@@ -139,3 +139,56 @@ def stratified_threshold_sql(
         for s, f in fractions.items()
     )
     return f"CASE {arms} ELSE {int(round(default_fraction * DENOM))} END"
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    id_col: str,
+    n_bins: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign rows to size-budgeted packs — the shard-building step before
+    training (documents → ≤budget-token sequences/shards).
+
+    Optimal bin packing is sequential; the distributed approximation here is
+    deterministic and single-shuffle: hash rows into ``n_bins`` independent
+    bins, order each bin by (size DESC, id) — the first-fit-decreasing
+    order — and segment the running total every ``budget`` units:
+    ``pack = (cumsum - size) div budget`` (a row joins the pack its START
+    offset falls in). Guarantees: a pack's total never exceeds budget plus
+    its largest row, and rows larger than ``budget`` isolate into their own
+    pack naturally.
+
+    At 100 TB: one shuffle on ``bin`` (choose n_bins ≈ shuffle
+    partitions); the per-bin window is a sort + running sum, all JVM-side.
+    Every assignment is a pure function of (ids, sizes, salt), so packs are
+    reproducible across engines — :func:`pack_sql` generates the matching
+    DuckDB form."""
+    from pyspark.sql import Window
+
+    bin_col = (hash_bucket(F.col(id_col), salt) % n_bins).alias("bin")
+    w = (
+        Window.partitionBy("bin")
+        .orderBy(F.col(size_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return df.withColumn("bin", bin_col).withColumn(
+        "pack", F.floor((cum - F.col(size_col)) / budget)
+    )
+
+
+def pack_sql(
+    size_expr: str, budget: int, id_expr: str, n_bins: int = 64, salt: str = "pack"
+) -> tuple[str, str]:
+    """DuckDB (bin_expr, pack_expr-over-named-columns) mirroring
+    :func:`pack_greedy_bins`; the caller wraps them in its own CTEs with
+    columns named ``bin`` and the size column available."""
+    bin_expr = f"({bucket_sql(id_expr, salt)}) % {n_bins}"
+    pack_expr = (
+        f"(sum({size_expr}) OVER (PARTITION BY bin ORDER BY {size_expr} DESC, "
+        f"{id_expr} ROWS UNBOUNDED PRECEDING) - {size_expr}) // {budget}"
+    )
+    return bin_expr, pack_expr

@@ -61,3 +61,55 @@ def sample_stratified_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.stratified_hash_sample(
         docs, "doc_id", "lang", _FRACTIONS, salt="sample"
     )
+
+
+_PACK_BUDGET = 512
+_PACK_BINS = 8
+
+_PACK_BIN_EXPR, _PACK_EXPR = sampling.pack_sql(
+    "n_tokens", _PACK_BUDGET, "doc_id", n_bins=_PACK_BINS, salt="pack"
+)
+
+
+def _pack_oracle() -> str:
+    from ..operators.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+         {_PACK_BIN_EXPR} AS bin
+  FROM documents
+),
+p AS (
+  SELECT bin, n_tokens, CAST(({_PACK_EXPR}) AS BIGINT) AS pack FROM t
+)
+SELECT bin, pack,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS largest_doc
+FROM p
+GROUP BY bin, pack
+"""
+
+
+@query("pipeline_pack_sequences", sql=_pack_oracle())
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: bucket documents into 8 hash-bins, order each bin
+    first-fit-decreasing by token count, segment the running token total
+    into 512-token packs — the shard-construction step of a training
+    pipeline, per-pack totals oracle-checked (a pack never exceeds budget
+    + its largest doc; tested)."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = sampling.pack_greedy_bins(
+        docs, "n_tokens", _PACK_BUDGET, "doc_id", n_bins=_PACK_BINS, salt="pack"
+    )
+    return packed.groupBy("bin", "pack").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.max("n_tokens").alias("largest_doc"),
+    )

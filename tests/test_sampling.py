@@ -72,6 +72,26 @@ def test_stratified_sample_monotone_and_per_stratum(spark, keyed):
     assert abs(per["1"] / 5_000 - 0.5) < 0.03
 
 
+def test_pack_capacity_and_coverage(spark):
+    """Every row lands in exactly one pack; no pack exceeds budget + its
+    own largest row; oversized rows isolate into their own pack."""
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(700)) + 1).alias("sz"),  # some > budget
+    )
+    budget = 512
+    packed = sampling.pack_greedy_bins(df, "sz", budget, "k", n_bins=4)
+    assert packed.count() == 5_000
+    per = packed.groupBy("bin", "pack").agg(
+        F.sum("sz").alias("tot"), F.max("sz").alias("mx"), F.count("*").alias("n")
+    )
+    bad = per.where(F.col("tot") > budget + F.col("mx")).count()
+    assert bad == 0
+    # a row bigger than the budget must sit alone in its pack
+    solo = per.where((F.col("mx") > budget) & (F.col("n") > 1)).count()
+    assert solo == 0
+
+
 def test_bucket_matches_generated_sql_contract(spark):
     """The Spark bucket and the generated-DuckDB-SQL bucket are the same
     function: evaluate the generated expression with Spark's SQL parser
