@@ -657,3 +657,73 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_totalprice", 0.01).alias("approx_prices"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 19. Unpivot (melt) — wide → long reshaping, the inverse of pivot
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH u AS (
+  SELECT p_brand, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_brand, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+)
+SELECT p_brand, metric,
+       count(*) AS n,
+       CAST(sum(CAST(val AS DECIMAL(27,8))) AS DOUBLE) AS total_val
+FROM u GROUP BY p_brand, metric
+"""
+
+
+@query("rel_unpivot_part_metrics", sql=_UNPIVOT_ORACLE)
+def rel_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long via native unpivot (melt): two part metrics become
+    (metric, val) rows, then aggregate per (brand, metric). Unpivot is a
+    zero-shuffle Expand (each input row fans out locally); the only
+    exchange is the final groupBy — same cost shape as scanning twice but
+    with ONE pass over the table."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    )
+    long = part.unpivot(
+        ids=["p_brand"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast(_DEC)).cast("double").alias("total_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. Correlated scalar subqueries — Catalyst decorrelates them into
+#     aggregate + left join; no per-row re-execution (the naive reading)
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       (SELECT max(o.o_orderdate) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS last_order,
+       (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE c.c_acctbal > 0
+"""
+
+
+@query("rel_correlated_subquery", sql=_CORRELATED_SQL)
+def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (per-customer last order date + order
+    count) through spark.sql. Catalyst rewrites each into an aggregate +
+    left outer join on the correlation key — the plan you would hand-write
+    — so the 'per-row subquery' surface costs two shuffles, not O(rows)
+    query executions. Date/count outputs are integer-exact cross-engine."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CORRELATED_SQL)
