@@ -14,10 +14,19 @@ Scale design (the whole point of these at 100 TB):
 - SimHash reduces each doc to one 64-bit int; near-dup = small Hamming
   distance, bucketed by bit-chunks for join-based candidate generation.
 
-All hashing uses ``xxhash64`` (JVM built-in, vectorized). MinHash/SimHash
-queries are rows-only in the oracle harness (no portable 64-bit string hash
-across Spark and DuckDB); their correctness is property-tested against exact
-Jaccard in tests/test_text_dedup.py.
+Each approximate pipeline comes in two hash families: the fast path uses
+``xxhash64`` (JVM built-in, vectorized; rows-only in the oracle harness,
+property-tested against exact Jaccard in tests/test_text_dedup.py), and a
+``portable=True`` md5-prefix family whose DuckDB oracle SQL is GENERATED
+from the same constants (``minhash_lsh_oracle_sql``,
+``simhash_pairs_oracle_sql``) — the near-dup decision is then auditable
+bit-for-bit by any SQL engine over the same lake.
+
+The candidate-pair operators ``persist()`` their signature/band relations
+for the duration of the returned DataFrame's consumption (both join sides
+read them). Long-lived sessions issuing MANY near-dup queries should call
+``spark.catalog.clearCache()`` between them (as bench.py does) — persisted
+blocks otherwise accumulate across calls.
 """
 
 from __future__ import annotations

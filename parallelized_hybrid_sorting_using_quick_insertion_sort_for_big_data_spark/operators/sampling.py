@@ -40,7 +40,11 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     uniform; the first 8 hex chars (32 bits) keep the conv() result well
     inside BIGINT in both engines.
     """
-    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    # NULL keys hash like the sentinel string "\\0null" (not producible by a
+    # real key's string form): a NULL would otherwise propagate through
+    # md5/concat and silently drop the row from every split and sample.
+    k = F.coalesce(key.cast("string"), F.lit("\\0null"))
+    h = F.conv(F.substring(F.md5(F.concat(k, F.lit(salt))), 1, 8), 16, 10)
     return (h.cast("long") % DENOM).alias("bucket")
 
 
@@ -48,9 +52,15 @@ def bucket_sql(key_expr: str, salt: str = "") -> str:
     """The DuckDB-equivalent expression for :func:`hash_bucket` — generated
     from the same constants so oracles can't drift from the engine."""
     return (
-        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) "
-        f"AS BIGINT) % {DENOM}"
+        f"CAST('0x' || substr(md5(coalesce(CAST({key_expr} AS VARCHAR), '\\0null') "
+        f"|| '{salt}'), 1, 8) AS BIGINT) % {DENOM}"
     )
+
+
+def _sq(name: str) -> str:
+    """Single-quote a name for generated SQL (doubling embedded quotes), so
+    split/stratum names like ``pt'BR`` can't break or re-shape the oracle."""
+    return "'" + name.replace("'", "''") + "'"
 
 
 def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
@@ -71,6 +81,7 @@ def hash_split(
     key_col: str,
     fractions: dict[str, float],
     salt: str = "split",
+    keep_bucket: bool = False,
 ) -> DataFrame:
     """Assign every row to a named split (e.g. train/val/test), exactly and
     reproducibly: bucket(key) compared against cumulative thresholds.
@@ -81,19 +92,22 @@ def hash_split(
     growing corpus (a doc keeps its split forever, the property that keeps
     eval sets uncontaminated as the lake grows).
     """
-    b = hash_bucket(F.col(key_col), salt)
+    out = df.withColumn("bucket", hash_bucket(F.col(key_col), salt))
     expr = None
     for name, upper in _thresholds(fractions):
-        cond = b < F.lit(upper)
+        cond = F.col("bucket") < F.lit(upper)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    return df.withColumn("split", expr)
+    out = out.withColumn("split", expr)
+    # keep_bucket=True spares callers that also want the raw bucket a second
+    # md5 evaluation per row
+    return out if keep_bucket else out.drop("bucket")
 
 
 def split_case_sql(key_expr: str, fractions: dict[str, float], salt: str = "split") -> str:
     """DuckDB CASE expression mirroring :func:`hash_split`."""
     b = bucket_sql(key_expr, salt)
     arms = " ".join(
-        f"WHEN {b} < {upper} THEN '{name}'" for name, upper in _thresholds(fractions)
+        f"WHEN {b} < {upper} THEN {_sq(name)}" for name, upper in _thresholds(fractions)
     )
     return f"CASE {arms} END"
 
@@ -135,7 +149,7 @@ def stratified_threshold_sql(
     """DuckDB CASE expression for the per-stratum threshold of
     :func:`stratified_hash_sample`."""
     arms = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN {int(round(f * DENOM))}"
+        f"WHEN {strata_expr} = {_sq(s)} THEN {int(round(f * DENOM))}"
         for s, f in fractions.items()
     )
     return f"CASE {arms} ELSE {int(round(default_fraction * DENOM))} END"

@@ -42,6 +42,12 @@ def salted_join(
     straggler. The small side's key column is dropped from the output
     (it equals ``key_big`` on every surviving row), so equal key names never
     produce ambiguous duplicate columns.
+
+    The small side is hinted away from broadcast: if it fit the broadcast
+    threshold you would broadcast it (itself skew-proof — no shuffle of the
+    big side at all) instead of paying for salting; auto-broadcast would
+    otherwise silently turn this operator into pure overhead at test scale
+    while the plan it is designed for (big-vs-unbroadcastable) never runs.
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
@@ -51,8 +57,10 @@ def salted_join(
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).alias("__salt")
     big_s = big.withColumn("__salt", salt)
-    small_s = small.withColumnRenamed(key_small, "__k_small").withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    small_s = (
+        small.withColumnRenamed(key_small, "__k_small")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+        .hint("shuffle_hash")
     )
     out = big_s.join(
         small_s,

@@ -39,9 +39,23 @@ def asof_join(
     ``last(ignorenulls)`` — per-column carries could mix columns from two
     different right rows whenever a value column holds a null. Ties on
     ``right_ts`` within a key resolve deterministically to the maximum
-    struct (field-lexicographic), encoded in the window ordering.
+    struct (field-lexicographic), encoded in the window ordering — unless a
+    value column's type is unorderable (contains a map), in which case the
+    struct cannot appear in ORDER BY: the join still works atomically, but
+    which of several SAME-timestamp right rows wins is then
+    partition-order-dependent (give such data a distinct ``right_ts`` or an
+    orderable surrogate column if that matters).
     """
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        return True
 
     left_payload = [c for c in left.columns if c not in by and c != left_ts]
     r_struct_type = StructType(
@@ -64,9 +78,12 @@ def asof_join(
     # right rows sort BEFORE left rows at equal ts => ties are inclusive;
     # "__r" as the final sort key makes equal-right_ts ties deterministic
     # (last() then picks the struct-maximum right row, atomically).
+    order = ["__ts", "__is_l"]
+    if all(_orderable(f.dataType) for f in r_struct_type.fields):
+        order.append(F.col("__r").asc_nulls_first())
     w = (
         Window.partitionBy(*by)
-        .orderBy("__ts", "__is_l", F.col("__r").asc_nulls_first())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l2.unionByName(r2).select(

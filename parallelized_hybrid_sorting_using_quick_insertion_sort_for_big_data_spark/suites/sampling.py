@@ -31,13 +31,8 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a doc's split never changes as the lake grows). Narrow projection,
     zero shuffles."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = sampling.hash_split(docs, "doc_id", _SPLITS, salt="split")
-    return out.select(
-        "doc_id",
-        "lang",
-        sampling.hash_bucket(F.col("doc_id"), salt="split").alias("bucket"),
-        "split",
-    )
+    out = sampling.hash_split(docs, "doc_id", _SPLITS, salt="split", keep_bucket=True)
+    return out.select("doc_id", "lang", "bucket", "split")
 
 
 # Rebalance the corpus: hash-downsample dominant English hard, carry the

@@ -93,12 +93,20 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def skew_plain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsalted counterpart of ``skew_salted_join`` for the bench pair, with
-    broadcast disabled via hint-free shuffle join left to the planner."""
+    """Unsalted counterpart of ``skew_salted_join`` for the bench pair. The
+    dim is hinted to sort-merge (at test scale it would auto-broadcast,
+    which never shuffles the hot key and would make the pair measure
+    broadcast-vs-salting overhead instead of the straggler the salting
+    removes); AQE's skew-split rescue stays on — it is part of the
+    baseline being compared against."""
     ev = load_table(spark, sf_dir, "events").select(
         _hot_join_key().alias("ukey"), "value"
     )
-    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("merge")
+    )
     joined = ev.join(dim, ev["ukey"] == dim["c_custkey"])
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -110,3 +110,23 @@ def test_bucket_matches_generated_sql_contract(spark):
         ).fetchall()
     )
     assert got == expected
+
+
+def test_null_keys_are_assigned_not_dropped(spark):
+    """NULL keys must land in a split (never split=NULL) and participate in
+    sampling under their stratum's fraction — in both engines identically."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,)], "k long"
+    )
+    out = sampling.hash_split(df, "k", {"a": 0.5, "b": 0.5})
+    splits = [r["split"] for r in out.collect()]
+    assert None not in splits and len(splits) == 3
+    # the generated SQL assigns the NULL key to the same split
+    got_null = [s for k, s in zip([r["k"] for r in out.collect()], splits) if k is None][0]
+    sql = (
+        f"SELECT {sampling.split_case_sql('k', {'a': 0.5, 'b': 0.5})} AS s "
+        "FROM (SELECT CAST(NULL AS BIGINT) AS k)"
+    )
+    assert duckdb.sql(sql).fetchone()[0] == got_null

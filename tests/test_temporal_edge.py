@@ -92,3 +92,21 @@ def test_salted_join_equal_key_names_unambiguous(spark):
     assert out.columns.count("k") == 1
     assert out.count() == 100
     assert out.where(F.col("w") == F.col("k") * 10).count() == 100
+
+
+def test_asof_join_with_map_value_col(spark):
+    """A map-typed value column (unorderable: cannot appear in ORDER BY)
+    must still carry atomically through the as-of join."""
+    left = spark.createDataFrame(
+        [Row(k=1, lts=100), Row(k=1, lts=50)], "k int, lts long"
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=60, props={"a": "1"}), Row(k=1, rts=10, props={"b": "2"})],
+        "k int, rts long, props map<string,string>",
+    )
+    out = temporal.asof_join(
+        left, right, by=["k"], left_ts="lts", right_ts="rts", value_cols=["props"]
+    )
+    got = {r["lts"]: r["prev_props"] for r in out.collect()}
+    assert got[100] == {"a": "1"}  # latest right at ts<=100 is rts=60
+    assert got[50] == {"b": "2"}  # latest right at ts<=50 is rts=10
