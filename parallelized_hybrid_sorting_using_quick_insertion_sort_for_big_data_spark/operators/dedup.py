@@ -633,3 +633,113 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup cluster collapse)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Collapse a pair list into connected components: returns
+    ``(node, component)`` for every node appearing in ``pairs``, where
+    ``component`` is the MINIMUM node id reachable through the pair graph.
+
+    This is the step that turns near-dup PAIRS (Jaccard / MinHash / SimHash
+    output) into dedup DECISIONS: duplicates are transitive in practice
+    (a~b, b~c => keep one of {a,b,c}), so the canonical survivor must be
+    chosen per component, not per pair.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+    pure DataFrame joins/aggregations:
+
+    - large-star: every neighbor v > u is re-pointed at
+      m(u) = min(neighborhood(u) + u);
+    - small-star: every neighbor v <= u (edges oriented large->small) is
+      re-pointed at m(u), and (u, m(u)) is kept.
+
+    Both steps preserve connectivity and monotonically contract each
+    component toward a star rooted at its minimum; convergence takes
+    O(log n) rounds (vs O(diameter) for naive min-label propagation — the
+    difference between 5 and 500 shuffles on a 100 TB chain-shaped
+    cluster). Each round is 2 groupBy + 2 join shuffles on (node, node)
+    pairs only — document bodies never enter the graph.
+
+    Scale notes:
+    - the edge list is ``localCheckpoint``-ed every round: iterative
+      DataFrame loops otherwise accumulate lineage and re-execute the
+      whole history each round (on a cluster, prefer
+      ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+      executor-loss resilience; localCheckpoint is the single-node form);
+    - convergence is detected by an O(1)-row checksum aggregate
+      (count + bit_xor of xxhash64(u, v) — overflow-free under ANSI mode
+      and reduction-order-independent), not by materializing a diff.
+    """
+    ua, ub = F.col(id_a), F.col(id_b)
+    # canonical undirected edge set, oriented (hi, lo), no self loops/nulls
+    edges = (
+        pairs.select(
+            F.greatest(ua, ub).alias("u"), F.least(ua, ub).alias("v")
+        )
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = _checksum(edges)
+    for _ in range(max_rounds):
+        # -- large-star: both directions; larger neighbors link to the min
+        nbr = edges.select("u", "v").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbr.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        large = (
+            nbr.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # large-star output keeps orientation u > v (v = m(u) <= u < old v)
+        edges = large.where(F.col("u") != F.col("v")).distinct()
+
+        # -- small-star: edges already oriented (hi, lo); all lo-side
+        #    neighbors plus hi itself link to the min neighbor
+        m2 = edges.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        small = (
+            edges.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(m2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        edges = (
+            small.where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # fixpoint: every edge is (member, root-of-component)
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionAll(roots.select("node", F.col("node").alias("component")))
+        .distinct()
+    )

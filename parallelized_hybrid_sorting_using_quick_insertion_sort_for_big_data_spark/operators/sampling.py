@@ -206,3 +206,88 @@ def pack_sql(
         f"{id_expr} ROWS UNBOUNDED PRECEDING) - {size_expr}) // {budget}"
     )
     return bin_expr, pack_expr
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (token-budget weighting)
+# ---------------------------------------------------------------------------
+
+
+def _share_case(group_col: Column, shares: dict[str, float]) -> Column:
+    expr = None
+    for g, s in shares.items():
+        cond = group_col == F.lit(g)
+        expr = F.when(cond, F.lit(float(s))) if expr is None else expr.when(cond, F.lit(float(s)))
+    return expr.otherwise(F.lit(0.0))
+
+
+def share_case_sql(group_expr: str, shares: dict[str, float]) -> str:
+    """DuckDB CASE mirroring the per-group mixture share literals."""
+    arms = " ".join(f"WHEN {group_expr} = {_sq(g)} THEN {float(s)!r}" for g, s in shares.items())
+    return f"CASE {arms} ELSE 0.0 END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    shares: dict[str, float],
+    budget_frac: float,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture downsampling: keep, per group g, the
+    fraction of rows that makes g's share of the OUTPUT weight approach
+    ``shares[g]`` of a ``budget_frac``·total-weight budget.
+
+    This is the mixture-reweighting step of LLM corpus construction ("30%
+    of the training budget should be English, 20% code, …"): with L_g =
+    group weight and T = total weight, each group keeps fraction
+
+        f_g = min(1, shares[g] · (budget_frac · T) / L_g)
+
+    (min(1, ·) because a low-resource group can at most contribute all of
+    itself — the standard epochs-capped mixture). The per-row decision is
+    the md5 hash-bucket coin (:func:`hash_bucket`): reproducible across
+    engines, partitionings, and re-runs; lowering a share only removes rows
+    (monotone samples).
+
+    Exactness across engines: L_g and T are exact BIGINT sums; f_g is ONE
+    identically-parenthesized IEEE-double expression evaluated from those
+    integers in both Spark and the generated oracle SQL, so the integer
+    threshold floor(f_g · DENOM) matches bit-for-bit — no float-drift rows
+    at the acceptance boundary.
+
+    Plan shape at 100 TB: two tiny pre-aggregations (one row per group /
+    one row total, partial-agg map-side), broadcast-joined back onto the
+    scan; the accept test is a per-row projection + filter in the scan
+    stage — the big table is never shuffled.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).cast("bigint").alias("__L"))
+    grand = df.agg(F.sum(weight_col).cast("bigint").alias("__T"))
+    frac = F.least(
+        F.lit(1.0),
+        _share_case(F.col(group_col), shares)
+        * (F.lit(float(budget_frac)) * F.col("__T").cast("double"))
+        / F.col("__L").cast("double"),
+    )
+    thr = F.floor(frac * F.lit(float(DENOM))).cast("long")
+    return (
+        df.join(F.broadcast(totals), group_col)
+        .crossJoin(F.broadcast(grand))
+        .where(hash_bucket(F.col(key_col), salt) < thr)
+        .drop("__L", "__T")
+    )
+
+
+def mixture_threshold_sql(
+    group_expr: str, shares: dict[str, float], budget_frac: float
+) -> str:
+    """DuckDB threshold expression for :func:`mixture_sample`, over columns
+    named ``__L`` (group weight) and ``__T`` (total weight) — the SAME
+    parenthesization as the Spark side so the doubles agree exactly."""
+    return (
+        f"CAST(floor(least(1.0, ({share_case_sql(group_expr, shares)}) "
+        f"* ({float(budget_frac)!r} * CAST(__T AS DOUBLE)) / CAST(__L AS DOUBLE)) "
+        f"* {float(DENOM)!r}) AS BIGINT)"
+    )

@@ -108,3 +108,42 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.max("n_tokens").alias("largest_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling: target shares of a global token budget per language
+# (en is dominant in the corpus but gets a capped share; low-resource fr
+# gets an outsized share, so min(1, ·) saturates — both regimes exercised).
+# ---------------------------------------------------------------------------
+
+_MIX_SHARES = {"en": 0.30, "zh": 0.15, "es": 0.15, "de": 0.10, "fr": 0.30}
+_MIX_BUDGET = 0.6  # keep ~60% of total corpus weight
+
+_MIXTURE_ORACLE = f"""
+WITH tot AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS __L
+  FROM documents GROUP BY lang
+),
+tt AS (SELECT CAST(sum(n_chars) AS BIGINT) AS __T FROM documents),
+thr AS (
+  SELECT lang, {sampling.mixture_threshold_sql("lang", _MIX_SHARES, _MIX_BUDGET)} AS thr
+  FROM tot, tt
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {sampling.bucket_sql("d.doc_id", salt="mix")} < thr.thr
+"""
+
+
+@query("sample_mixture_tokens", sql=_MIXTURE_ORACLE)
+def sample_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data-mixture sampling: per-language keep-fractions are
+    DERIVED FROM THE DATA (f_g = min(1, share_g · budget / L_g) over exact
+    BIGINT weight totals), then applied as deterministic hash-coin filters.
+    Row-by-row oracle-checked, including the saturated min(1,·) branch.
+    Plan: two broadcast-size pre-aggs; the documents scan itself is filtered
+    map-side, never shuffled."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.mixture_sample(
+        docs, "doc_id", "lang", "n_chars", _MIX_SHARES, _MIX_BUDGET, salt="mix"
+    )

@@ -133,8 +133,10 @@ _JACCARD_T = 0.5
 # oracle: both engines compute the same pruned-shingle Jaccard.
 _MAX_SHINGLE_DF = 256
 
-_JACCARD_ORACLE = f"""
-WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
+# CTE chain shared by the pair query and the component-collapse query (so
+# the two oracles can never drift apart on shingling/capping semantics)
+_JACCARD_CTES = f"""
+d AS (SELECT doc_id, trim(lower(text)) AS t FROM documents),
 idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{_NGRAM_N - 1}, 1))) AS i FROM d),
 sh0 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
 keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
@@ -144,13 +146,19 @@ shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
-FROM shared
-JOIN sizes sa ON shared.id_a = sa.doc_id
-JOIN sizes sb ON shared.id_b = sb.doc_id
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {_JACCARD_T}
+),
+jpairs AS (
+  SELECT id_a, id_b,
+         CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+  FROM shared
+  JOIN sizes sa ON shared.id_a = sa.doc_id
+  JOIN sizes sb ON shared.id_b = sb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {_JACCARD_T}
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
+SELECT id_a, id_b, jaccard FROM jpairs
 """
 
 
@@ -291,4 +299,57 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("q"), 9).alias("min_quality"),
             F.round(F.max("q"), 9).alias("max_quality"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Near-dup cluster collapse: pairs -> connected components -> canonical
+#    survivor per cluster. Duplicates are transitive (a~b, b~c => one
+#    survivor among {a,b,c}); pair lists alone over-delete or under-delete.
+#    Oracle: the SAME Jaccard pair CTEs + a recursive transitive closure
+#    (min reachable id == component id) — exact, not approximate.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jpairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT
+  comp.node AS doc_id,
+  comp.component AS component,
+  csize.cluster_size AS cluster_size,
+  comp.node = comp.component AS is_canonical
+FROM comp JOIN csize USING (component)
+"""
+
+
+@query("dedup_components", sql=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: char-8-gram Jaccard pairs (same params as
+    ``dedup_ngram_jaccard``) -> alternating large-star/small-star connected
+    components -> per-cluster canonical survivor (min doc_id). The CC loop
+    is O(log n) rounds of (node, node) shuffles regardless of cluster
+    diameter; the oracle recomputes the same clusters via a recursive
+    transitive closure in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    )
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
     )

@@ -130,3 +130,53 @@ def test_null_keys_are_assigned_not_dropped(spark):
         "FROM (SELECT CAST(NULL AS BIGINT) AS k)"
     )
     assert duckdb.sql(sql).fetchone()[0] == got_null
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_oracle_parity(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["sample_mixture_tokens"](spark, SF_DIR),
+        oracles["sample_mixture_tokens"],
+        SF_DIR,
+    )
+
+
+def test_mixture_sample_shares_and_saturation(spark):
+    # 3 groups; group "c" is low-resource with an outsized share -> must
+    # saturate (keep everything); dominant "a" must be cut far below 100%.
+    rows = [(i, "a" if i % 10 < 7 else ("b" if i % 10 < 9 else "c"), 100) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    shares = {"a": 0.4, "b": 0.3, "c": 0.3}
+    out = sampling.mixture_sample(df, "id", "g", "w", shares, budget_frac=0.5)
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # c: f = min(1, 0.3*0.5*5000/500) = 1 -> all rows kept
+    assert got["c"] == base["c"]
+    # a: f = 0.4*0.5*5000/3500 ~= 0.2857 -> binomial around 1000 of 3500
+    assert 0.23 < got["a"] / base["a"] < 0.34
+    # b: f = 0.3*0.5*5000/1000 = 0.75
+    assert 0.70 < got["b"] / base["b"] < 0.80
+
+
+def test_mixture_sample_monotone_in_budget(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    shares = {"a": 0.5, "b": 0.5}
+    small = {r["id"] for r in sampling.mixture_sample(df, "id", "g", "w", shares, 0.3).collect()}
+    large = {r["id"] for r in sampling.mixture_sample(df, "id", "g", "w", shares, 0.7).collect()}
+    assert small <= large, "raising the budget must only ADD rows"
+
+
+def test_mixture_sample_unlisted_group_dropped(spark):
+    rows = [(1, "a", 5), (2, "zz", 5)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    out = sampling.mixture_sample(df, "id", "g", "w", {"a": 1.0}, 1.0).collect()
+    assert {r["g"] for r in out} == {"a"}

@@ -172,3 +172,78 @@ def test_pipeline_clean_corpus_oracle_and_plan(spark):
     PI.assert_max_exchanges(df, 2)
     assert not PI.has_cartesian(df)
     assert_matches_oracle(df, oracles["pipeline_clean_corpus"], SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (cluster collapse)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges):
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@pytest.mark.parametrize("seed,n,ne", [(7, 60, 50), (11, 200, 170), (13, 40, 8)])
+def test_connected_components_vs_union_find(spark, seed, n, ne):
+    import random
+
+    rng = random.Random(seed)
+    edges = [
+        (a, b)
+        for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(ne))
+        if a != b
+    ]
+    truth = _uf_components(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+    assert got == truth
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    # a 101-node chain: naive min propagation needs 100 rounds; the
+    # alternating star algorithm must finish inside the max_rounds cap
+    chain = [(i, i + 1) for i in range(100)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = dedup.connected_components(df, max_rounds=12).collect()
+    assert len(got) == 101
+    assert {r["component"] for r in got} == {0}
+
+
+def test_connected_components_ignores_self_loops_and_nulls(spark):
+    rows = [(1, 1), (2, 3), (None, 4), (5, None)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in dedup.connected_components(df).collect()}
+    assert got == {2: 2, 3: 2}
+
+
+def test_dedup_components_oracle(spark):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["dedup_components"](spark, SF_DIR), oracles["dedup_components"], SF_DIR
+    )
+
+
+def test_dedup_components_canonical_consistency(spark):
+    out = entrymod.queries()["dedup_components"](spark, SF_DIR).collect()
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rows in by_comp.items():
+        ids = [r["doc_id"] for r in rows]
+        assert comp == min(ids), "component id must be the min member id"
+        assert sum(r["is_canonical"] for r in rows) == 1
+        assert all(r["cluster_size"] == len(rows) for r in rows)
+        assert len(rows) >= 2, "every pair-derived cluster has >= 2 members"
