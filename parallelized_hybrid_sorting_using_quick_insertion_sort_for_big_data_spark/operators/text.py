@@ -187,3 +187,53 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_md5(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction) — patterns restricted to the syntax subset Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded repetition, alternation-free, no backrefs, no \b.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # kind -> (regex, replacement token)
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    "phone": ("[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+}
+#: Replacement order matters where matches could nest (an email's domain
+#: must not be half-eaten by the ip pattern first): email, then ip, then
+#: phone. Counting happens on the ORIGINAL text, independent per pattern.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind in the raw text (pre-redaction)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind][0])).cast("bigint")
+
+
+def pii_count_sql(text_expr: str, kind: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text_expr}, "
+        f"'{PII_PATTERNS[kind][0]}')) AS BIGINT)"
+    )
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact all PII kinds in :data:`PII_ORDER`; pure JVM regexp_replace
+    chain — narrow per-row map, pipelines into the scan stage."""
+    out = text
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(text_expr: str) -> str:
+    """DuckDB expression mirroring :func:`pii_scrub` ('g' flag: DuckDB
+    replaces only the first match by default, Spark replaces all)."""
+    out = text_expr
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

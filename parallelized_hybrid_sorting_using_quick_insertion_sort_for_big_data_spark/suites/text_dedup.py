@@ -353,3 +353,82 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. PII scrubbing. The synthetic corpus contains no organic PII, so the
+#    query plants deterministic emails/IPs/phones on id-derived subsets
+#    (mirrored identically in the oracle) — redaction and counting are then
+#    exercised on real matches, and the scrubbed text is md5-checked so a
+#    single mis-redacted character fails the value hash.
+# ---------------------------------------------------------------------------
+
+_PII_TEXT_SQL = """
+  text ||
+  CASE WHEN doc_id % 5 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       ELSE '' END ||
+  CASE WHEN doc_id % 3 = 0
+       THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+       ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0
+       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234'
+       ELSE '' END
+"""
+
+_PII_ORACLE = f"""
+WITH withpii AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+SELECT doc_id,
+       {T.pii_count_sql('t', 'email')} AS n_emails,
+       {T.pii_count_sql('t', 'ip')} AS n_ips,
+       {T.pii_count_sql('t', 'phone')} AS n_phones,
+       md5({T.pii_scrub_sql('t')}) AS clean_md5,
+       CAST(length({T.pii_scrub_sql('t')}) AS BIGINT) AS clean_len
+FROM withpii
+"""
+
+
+@query("text_pii_scrub", sql=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with planted emails/IPs/phone numbers:
+    per-kind occurrence counts (on the raw text) + md5 and length of the
+    scrubbed text. Pure JVM regexp chain in the scan stage — no shuffle, no
+    UDF; patterns live in the Java∩RE2 syntax subset so the oracle runs the
+    literally-identical regexes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200).cast("string"),
+                F.lit(".3."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-1234"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    withpii = docs.select("doc_id", planted.alias("t"))
+    t = F.col("t")
+    scrub = T.pii_scrub(t)
+    return withpii.select(
+        "doc_id",
+        T.pii_count(t, "email").alias("n_emails"),
+        T.pii_count(t, "ip").alias("n_ips"),
+        T.pii_count(t, "phone").alias("n_phones"),
+        F.md5(scrub).alias("clean_md5"),
+        F.length(scrub).cast("bigint").alias("clean_len"),
+    )

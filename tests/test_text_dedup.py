@@ -247,3 +247,49 @@ def test_dedup_components_canonical_consistency(spark):
         assert sum(r["is_canonical"] for r in rows) == 1
         assert all(r["cluster_size"] == len(rows) for r in rows)
         assert len(rows) >= 2, "every pair-derived cluster has >= 2 members"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_oracle_parity(spark):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["text_pii_scrub"](spark, SF_DIR), oracles["text_pii_scrub"], SF_DIR
+    )
+
+
+def test_pii_scrub_removes_every_match(spark):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    rows = [
+        (1, "reach me at alice.smith+spam@sub.example.co.uk today"),
+        (2, "server 192.168.001.255 and backup 10.0.0.1"),
+        (3, "call 555-867-5309 or 123-456-7890 now"),
+        (4, "mixed bob@x.io at 8.8.8.8 tel 111-222-3333"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select(
+        "id",
+        T.pii_scrub(F.col("t")).alias("clean"),
+        *[T.pii_count(F.col("t"), k).alias(f"n_{k}") for k in T.PII_ORDER],
+    ).collect()
+    counts = {r["id"]: (r["n_email"], r["n_ip"], r["n_phone"]) for r in out}
+    assert counts[1] == (1, 0, 0)
+    assert counts[2] == (0, 2, 0)
+    assert counts[3] == (0, 0, 2)
+    assert counts[4] == (1, 1, 1)
+    assert counts[5] == (0, 0, 0)
+    import re
+
+    for r in out:
+        for pat, _ in T.PII_PATTERNS.values():
+            assert not re.search(pat, r["clean"]), (r["id"], pat, r["clean"])
+        # replacement tokens present iff something was redacted
+    clean4 = next(r["clean"] for r in out if r["id"] == 4)
+    assert "<EMAIL>" in clean4 and "<IP>" in clean4 and "<PHONE>" in clean4
