@@ -136,3 +136,32 @@ def test_retrieval_join_broadcasts_topk(spark, qs):
     # no has_cartesian gate here.)
     df = qs["vec_topk_with_metadata"](spark, SF_DIR)
     assert PI.has_broadcast_join(df)
+
+
+def test_pii_scrub_zero_shuffle_and_pruned(spark, qs):
+    # redaction is a chained regexp projection: no exchange at all, and the
+    # documents scan must not read lang/source/n_chars
+    df = qs["text_pii_scrub"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 0)
+    PI.assert_column_pruned(df, "lang")
+    PI.assert_column_pruned(df, "n_chars")
+
+
+def test_mixture_sample_broadcasts_totals(spark, qs):
+    # the two data-derived aggregates (per-group L, grand total T) are
+    # one-row-per-group relations: both must come back as broadcast joins,
+    # never a shuffle of the documents scan itself
+    df = qs["sample_mixture_tokens"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df) or "BroadcastNestedLoopJoin" in PI.simple_plan(df)
+    plan = PI.simple_plan(df)
+    # the only Exchanges allowed are the tiny pre-aggregations feeding the
+    # broadcasts; the big-side scan stays exchange-free. Spark plans the
+    # broadcast sides as separate subtrees, so count total exchanges: the
+    # two small aggs cost at most 2 (plus AQE reuse), the corpus scan adds 0.
+    assert PI.count_exchanges(df) <= 2, plan
+
+
+def test_dedup_components_no_cartesian(spark, qs):
+    df = qs["dedup_components"](spark, SF_DIR)
+    assert not PI.has_cartesian(df)
