@@ -125,6 +125,59 @@ def stream_tumbling_agg(
     return read_sink(spark, out_dir, agg.schema)
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–static enrichment join + windowed rollup: a streaming events
+    source inner-joined against a STATIC dimension (user → segment), then
+    aggregated per (tumbling window, segment).
+
+    This is Structured Streaming's stream-static join mode: the static side
+    is planned per micro-batch like any batch relation — small dims resolve
+    to a broadcast join, so each micro-batch enriches map-side with no
+    stream-side shuffle before the aggregation. State is only held for the
+    windowed agg (bounded by the watermark horizon); the join itself is
+    stateless — the scale contract that makes dimension enrichment safe on
+    an unbounded stream. Drained via foreachBatch → parquet (complete
+    mode), never a driver-resident sink."""
+    from .sink import drain_stream_to_parquet, read_sink
+
+    name = f"phsqis_senrich_{uuid.uuid4().hex[:8]}"
+    staged = None
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        staged = os.path.join(tempfile.gettempdir(), name + "_src")
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    if isinstance(events.schema["ts"].dataType, _types.LongType):
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    enriched = events.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "segment", "n_events", "total_value")
+    )
+    try:
+        out_dir = drain_stream_to_parquet(
+            agg, name, output_mode="complete", overwrite_each_batch=True
+        )
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, agg.schema)
+
+
 def stream_dedup(
     spark: SparkSession,
     source_file: str,

@@ -209,6 +209,36 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_ENRICH_ORACLE = """
+SELECT
+  make_timestamp(CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) * 1000000) AS win_start,
+  c.c_mktsegment AS segment,
+  count(*) AS n_events,
+  CAST(sum(CAST(e.value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("events_stream_enrich", sql=_STREAM_ENRICH_ORACLE)
+def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment: streaming events inner-joined per
+    micro-batch against the static customer dimension (user_id →
+    mktsegment, broadcast: the join is stateless and map-side), then a
+    watermarked tumbling rollup per (hour, segment). Oracle: the identical
+    batch join + epoch-floor aggregation — with a static replay fully
+    drained, stream output must equal the batch join exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    return W.stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", schema, dim, window="1 hour", watermark="2 hours"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Temporal joins: as-of (last click before each purchase) + bounded range
 #    (error/click pairs within 10 minutes)

@@ -15,6 +15,7 @@ ORACLE_QUERIES = [
     "events_stream_user_profile",
     "events_asof_join",
     "events_range_join",
+    "events_stream_enrich",
 ]
 
 
