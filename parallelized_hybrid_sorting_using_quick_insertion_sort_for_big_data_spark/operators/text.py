@@ -237,3 +237,73 @@ def pii_scrub_sql(text_expr: str) -> str:
         pat, repl = PII_PATTERNS[kind]
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    long-document → context-window preparation step of a training pipeline
+    (stride < chunk_tokens gives chunk overlap, so no boundary context is
+    lost).
+
+    Window k covers tokens [k·stride, k·stride + chunk_tokens); the last
+    window starts at the smallest k·stride that still reaches the final
+    token (K = ceil((n - chunk)/stride) for n > chunk, else 0 — an empty or
+    short doc yields exactly one chunk). All JVM expressions:
+    tokenize → sequence(0..K) → explode → slice; the shuffle-free 1→N
+    fan-out shape (`explode` pipelines into the scan; output partitioning
+    follows the input)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k_max = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+        F.size(sl).cast("bigint").alias("n_tokens"),
+    )
+
+
+def chunk_sliding_sql(
+    chunk_tokens: int = 32, stride: int = 24, table: str = "documents"
+) -> str:
+    """DuckDB SQL mirroring :func:`chunk_sliding` (1-based inclusive
+    list_slice == Spark's 1-based slice(start, length))."""
+    cs, st = chunk_tokens, stride
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM {table}
+),
+x AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+ks AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CASE WHEN n <= {cs} THEN 0
+                                        ELSE (n - {cs} + {st - 1}) // {st} END)) AS k
+  FROM x
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, k*{st} + 1, k*{st} + {cs}), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, k*{st} + 1, k*{st} + {cs})) AS BIGINT) AS n_tokens
+FROM ks
+"""

@@ -432,3 +432,24 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrub).alias("clean_md5"),
         F.length(scrub).cast("bigint").alias("clean_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Sliding-window chunking: long docs -> overlapping context windows.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "text_chunk_sliding",
+    sql=T.chunk_sliding_sql(_CHUNK_TOKENS, _CHUNK_STRIDE),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride 24): the
+    long-document preparation step before tokenization/packing. Pure JVM
+    tokenize → sequence → explode → slice, zero shuffles; every chunk's
+    text and token count are value-hash-checked against the DuckDB mirror."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.chunk_sliding(docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE)

@@ -293,3 +293,63 @@ def test_pii_scrub_removes_every_match(spark):
         # replacement tokens present iff something was redacted
     clean4 = next(r["clean"] for r in out if r["id"] == 4)
     assert "<EMAIL>" in clean4 and "<IP>" in clean4 and "<PHONE>" in clean4
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_sliding_oracle_parity(spark):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["text_chunk_sliding"](spark, SF_DIR), oracles["text_chunk_sliding"], SF_DIR
+    )
+
+
+def test_chunk_sliding_covers_every_token_with_overlap(spark):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # multi-chunk
+        (2, " ".join(f"w{i}" for i in range(10))),   # single short chunk
+        (3, ""),                                      # empty doc
+        (4, " ".join(f"w{i}" for i in range(32))),   # exactly one window
+        (5, " ".join(f"w{i}" for i in range(33))),   # one token past
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup  # silence linters; real ops below
+    chunks = T.chunk_sliding(df, chunk_tokens=32, stride=24).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, n_toks in [(1, 100), (2, 10), (3, 0), (4, 32), (5, 33)]:
+        rs = sorted(by_doc[did], key=lambda r: r["chunk_idx"])
+        # contiguous chunk indices from 0
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        # every chunk except possibly the last is full-size
+        for r in rs[:-1]:
+            assert r["n_tokens"] == 32
+        # the windows cover all n_toks tokens: last start + last size >= n
+        last = rs[-1]
+        assert last["chunk_idx"] * 24 + last["n_tokens"] == max(n_toks, 0) or n_toks <= 32
+        # overlap: consecutive chunks share 32-24=8 tokens
+        if len(rs) >= 2:
+            a = rs[0]["chunk_text"].split()
+            b = rs[1]["chunk_text"].split()
+            assert a[24:] == b[:8]
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == ""
+    assert len(by_doc[4]) == 1
+    assert len(by_doc[5]) == 2
+
+
+def test_chunk_sliding_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    with pytest.raises(ValueError):
+        T.chunk_sliding(df, stride=0)
