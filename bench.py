@@ -183,6 +183,14 @@ def main() -> None:
             print(f"bench {key} failed: {exc}", file=sys.stderr)
 
     # --- registry headline queries at sf_dir (BASELINE.md bench 2 + breadth)
+    # Fresh JVM for this section: the synthetic grid + sweeps above run ~40
+    # timed jobs whose accumulated heap/GC debt would otherwise be billed to
+    # the registry queries (measured: up to +40% on unrelated queries late
+    # in a shared JVM). Each section now measures its own work only.
+    spark.stop()
+    spark = get_spark("phsqis-bench-registry")
+    spark.range(1000).count()
+    tables.load_table(spark, sf_dir, "lineitem").count()
     skip = {"sort_seeded_ints"}  # fixed-N duplicate of the synthetic grid point
     for name, fn in registry.queries().items():
         if name in skip:

@@ -22,8 +22,31 @@ import atexit
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Shuffle-partition count the demo stream runners use while their query is
+#: live. Each stateful exchange materializes ONE state-store instance and
+#: one sink file per shuffle partition per trigger — at 32 partitions a
+#: 3-trigger demo pays 96 store commits + 96 parquet footers of pure
+#: overhead. 8 keeps the demos honest locally; a production job sizes this
+#: to its key cardinality/throughput, not to the core count.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Scoped ``spark.sql.shuffle.partitions`` override for a streaming
+    run (the value is latched into the query's state layout at checkpoint
+    creation; restoring it after the stream stops leaves batch queries on
+    the session default)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _scratch_dir(name: str) -> str:

@@ -115,7 +115,7 @@ def run_user_profile_stream(
     return the FINAL state per user as a distributed reduction over the
     sink files. The staged source and checkpoint are removed once the
     stream stops."""
-    from .sink import drain_stream_to_parquet, read_sink
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
 
     name = f"phsqis_state_{uuid.uuid4().hex[:8]}"
     stage_dir = os.path.join(tempfile.gettempdir(), name + "_src")
@@ -138,7 +138,8 @@ def run_user_profile_stream(
 
     out = user_profile_stream(events)
     try:
-        out_dir = drain_stream_to_parquet(out, name, output_mode="update")
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(out, name, output_mode="update")
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
 

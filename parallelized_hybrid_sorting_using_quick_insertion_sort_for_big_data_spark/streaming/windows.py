@@ -87,7 +87,7 @@ def stream_tumbling_agg(
     continuous pipeline needs. With a static source, processAllAvailable
     drains everything, so the result equals the batch aggregation (asserted
     in tests)."""
-    from .sink import drain_stream_to_parquet, read_sink
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
 
     name = f"phsqis_stream_{uuid.uuid4().hex[:8]}"
     staged = None
@@ -116,9 +116,10 @@ def stream_tumbling_agg(
         )
     )
     try:
-        out_dir = drain_stream_to_parquet(
-            agg, name, output_mode="complete", overwrite_each_batch=True
-        )
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(
+                agg, name, output_mode="complete", overwrite_each_batch=True
+            )
     finally:
         if staged is not None:
             shutil.rmtree(staged, ignore_errors=True)
@@ -145,7 +146,7 @@ def stream_static_enrich(
     stateless — the scale contract that makes dimension enrichment safe on
     an unbounded stream. Drained via foreachBatch → parquet (complete
     mode), never a driver-resident sink."""
-    from .sink import drain_stream_to_parquet, read_sink
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
 
     name = f"phsqis_senrich_{uuid.uuid4().hex[:8]}"
     staged = None
@@ -169,9 +170,10 @@ def stream_static_enrich(
         .select(F.col("win.start").alias("win_start"), "segment", "n_events", "total_value")
     )
     try:
-        out_dir = drain_stream_to_parquet(
-            agg, name, output_mode="complete", overwrite_each_batch=True
-        )
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(
+                agg, name, output_mode="complete", overwrite_each_batch=True
+            )
     finally:
         if staged is not None:
             shutil.rmtree(staged, ignore_errors=True)
@@ -203,7 +205,7 @@ def stream_dedup(
     demo) that coincides with dedup; a production source with genuinely
     late NON-duplicate data needs the watermark sized to its lateness
     bound."""
-    from .sink import drain_stream_to_parquet, read_sink
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
 
     key_cols = key_cols or ["event_id"]
     name = f"phsqis_sdedup_{uuid.uuid4().hex[:8]}"
@@ -221,7 +223,8 @@ def stream_dedup(
         events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
     try:
-        out_dir = drain_stream_to_parquet(deduped, name, output_mode="append")
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(deduped, name, output_mode="append")
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return read_sink(spark, out_dir, deduped.schema)
