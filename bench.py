@@ -53,12 +53,27 @@ def timed(fn) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def calibrate_ms() -> float:
+    """Fixed single-thread spin (~0.3 s nominal): a machine-health probe.
+    This host is a shared microVM — transient hypervisor steal has been
+    measured inflating identical queries 5-10×. Emitting the probe at bench
+    start and end makes a contaminated run VISIBLE in the JSON (compare
+    calib_ms across runs/rounds) instead of silently skewing totals."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    assert x  # keep the loop un-optimizable
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0  # unknown scale factor; keep the JSON line parseable
+    calib_start = calibrate_ms()
     spark = get_spark("phsqis-bench")
 
     from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark import (
@@ -247,6 +262,11 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
         "r01_comparable_total": comparable,
         "r01_comparable_baseline": 69.2,  # same keys' total in BENCH_r01.json
+        # machine-health probes (see calibrate_ms): compare across runs —
+        # a run whose calib numbers are multiples of another's measured the
+        # hypervisor, not the engine
+        "calib_ms_start": calib_start,
+        "calib_ms_end": calibrate_ms(),
     }
     if run_grid:
         out["grid"] = grid  # per-size speedup/efficiency over the P axis
