@@ -206,6 +206,22 @@ def main() -> None:
     spark = get_spark("phsqis-bench-registry")
     spark.range(1000).count()
     tables.load_table(spark, sf_dir, "lineitem").count()
+    # Warm the Structured Streaming + stateful-pandas machinery (streaming
+    # planner, state store provider, checkpoint WAL, Arrow state workers):
+    # one micro-run of the stateful runner over the tiny sf0.001 events
+    # file. Without this the FIRST streaming registry query is billed ~5 s
+    # of one-time init that belongs to the JVM, not the query (round 1
+    # accounted the same init under an earlier query in its shared JVM).
+    try:
+        from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.streaming import (
+            stateful as _stateful,
+        )
+
+        _tiny = "/root/testdata/sf0.001/events.parquet"
+        _warm_src = _tiny if os.path.exists(_tiny) else f"{sf_dir}/events.parquet"
+        _stateful.run_user_profile_stream(spark, _warm_src, n_chunks=1).count()
+    except Exception as exc:
+        print(f"bench streaming warmup failed (continuing): {exc}", file=sys.stderr)
     skip = {"sort_seeded_ints"}  # fixed-N duplicate of the synthetic grid point
     for name, fn in registry.queries().items():
         if name in skip:
