@@ -727,3 +727,72 @@ def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CORRELATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 21. Ranking-function battery: the remaining window-rank surface (dense_
+#     rank, percent_rank, cume_dist, ntile) over one deterministic window.
+# ---------------------------------------------------------------------------
+
+_RANKS_ORACLE = """
+SELECT o_orderpriority, o_orderkey,
+       row_number()   OVER w AS rn,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@query("rel_window_rank_functions", sql=_RANKS_ORACLE)
+def rel_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / dense_rank / percent_rank / cume_dist / ntile over one
+    shared window spec (one shuffle on the partition key serves all five;
+    the ORDER BY carries o_orderkey as a tiebreaker so every rank —
+    including the percent/cume ratios, which are rank arithmetic, not
+    sums — is integer-derived and engine-exact)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. Explicit GROUPING SETS (the general form rollup/cube specialize) with
+#     GROUPING() ids disambiguating real NULLs from subtotal rows.
+# ---------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), (o_orderstatus))
+"""
+
+
+@query("rel_grouping_sets", sql=_GSETS_ORACLE)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general grouping form (rollup and cube
+    are its specializations, both covered by earlier queries) — with
+    GROUPING() ids so subtotal rows are distinguishable from genuine NULL
+    group keys. One-pass Expand + single aggregation shuffle; decimal
+    accumulation keeps the double total exact."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GSETS_ORACLE)

@@ -165,3 +165,16 @@ def test_mixture_sample_broadcasts_totals(spark, qs):
 def test_dedup_components_no_cartesian(spark, qs):
     df = qs["dedup_components"](spark, SF_DIR)
     assert not PI.has_cartesian(df)
+
+
+def test_rank_battery_single_shuffle(spark, qs):
+    # five ranking functions over one shared window spec: one exchange on
+    # the partition key, one sort, no per-function re-shuffle
+    df = qs["rel_window_rank_functions"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+
+
+def test_grouping_sets_single_shuffle(spark, qs):
+    # explicit grouping sets: one-pass Expand + ONE aggregation exchange
+    df = qs["rel_grouping_sets"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
