@@ -70,7 +70,7 @@ def write_sorted_single(
 # lake formats, schema-explicit both ways)
 # ---------------------------------------------------------------------------
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
@@ -97,6 +97,9 @@ def read_table(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame
     r = spark.read
     if fmt == "parquet":
         return r.parquet(path)
+    if fmt == "orc":
+        # self-describing columnar like parquet; no schema needed
+        return r.orc(path)
     if schema is None:
         raise ValueError(f"{fmt} requires an explicit schema (inference double-scans)")
     r = r.schema(schema)

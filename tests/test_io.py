@@ -57,7 +57,7 @@ def test_write_sorted_single_text_is_fully_ordered(spark, ints, tmp_path):
     assert len(values) == 20_000
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_multiformat_roundtrip(spark, tmp_path, fmt):
     """orders (longs, strings, doubles, timestamp) survives a write+read
     round-trip losslessly in every supported format."""
