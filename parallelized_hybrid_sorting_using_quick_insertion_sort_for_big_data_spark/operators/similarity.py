@@ -691,3 +691,63 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select(query_id, corpus_id, "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) — the 4x memory cut applied before ANN serving
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(127·x_i/max|x|),
+    emitted as exploded (id, dim, q) rows.
+
+    This is the standard scalar-quantization step before ANN serving —
+    int8 codes cut vector memory 4× (64 GB of float32 embeddings → 16 GB)
+    at ~1-2% recall cost, which at 100 TB decides whether the corpus fits
+    executor memory at all. Per-row arithmetic only (zero shuffle; the
+    explode is a pipelined 1→N fan-out).
+
+    Cross-engine exactness: max|x| uses only abs/max (no FP rounding, so
+    it is order-independent), and the rounding is floor(x·scale + 0.5) —
+    one identically-parenthesized IEEE expression in the generated oracle,
+    avoiding the engines' differing round-half conventions on negatives.
+    All outputs are BIGINT."""
+    xs = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(xs, lambda v: F.abs(v)))
+    with_scale = df.select(
+        F.col(id_col),
+        xs.alias("__xs"),
+        F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0)).alias("__scale"),
+    )
+    q = F.transform(
+        F.col("__xs"), lambda v: F.floor(v * F.col("__scale") + F.lit(0.5)).cast("long")
+    )
+    return with_scale.select(
+        F.col(id_col), F.posexplode(q).alias("dim", "q")
+    ).select(F.col(id_col), F.col("dim").cast("bigint").alias("dim"), "q")
+
+
+def quantize_int8_sql(table: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`quantize_int8` (generated, same constants
+    and parenthesization)."""
+    return f"""
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs FROM {table}
+),
+s AS (
+  SELECT vec_id, xs, list_max(list_transform(xs, v -> abs(v))) AS maxabs FROM x
+),
+qs AS (
+  SELECT vec_id,
+         list_transform(xs, v -> CAST(floor(v * (CASE WHEN maxabs > 0
+           THEN 127.0 / maxabs ELSE 0.0 END) + 0.5) AS BIGINT)) AS ql
+  FROM s
+)
+SELECT vec_id,
+       CAST(generate_subscripts(ql, 1) - 1 AS BIGINT) AS dim,
+       unnest(ql) AS q
+FROM qs
+"""

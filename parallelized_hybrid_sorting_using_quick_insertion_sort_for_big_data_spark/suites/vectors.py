@@ -273,3 +273,19 @@ def vec_topk_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(topk).join(docs, topk["vec_id"] == docs["doc_id"]).select(
         "q_id", "vec_id", "sim", "rnk", "source", "n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization: int8 codes for the whole corpus, value-checked per
+# dimension (all-BIGINT output -> exact cross-engine compare).
+# ---------------------------------------------------------------------------
+
+
+@query("vec_quantize_int8", sql=similarity.quantize_int8_sql())
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of every embedding (the 4x
+    memory cut before ANN serving), emitted as (vec_id, dim, q) rows. Zero
+    shuffle; every quantized code is compared exactly against the generated
+    DuckDB mirror."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb)

@@ -204,3 +204,40 @@ def test_bucketed_gemm_sub_blocks_invariant(spark, emb):
         ).collect()
     }
     assert base == split and len(base) >= 40
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_oracle_parity(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["vec_quantize_int8"](spark, SF_DIR), oracles["vec_quantize_int8"], SF_DIR
+    )
+
+
+def test_quantize_int8_properties(spark):
+    rows = [
+        (1, [1.0, -1.0, 0.5, -0.25]),   # extremes map to ±127
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> all zeros
+        (3, [3.0, 1.5, -3.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["vec_id"], r["dim"]): r["q"] for r in similarity.quantize_int8(df).collect()}
+    assert out[(1, 0)] == 127 and out[(1, 1)] == -127
+    assert all(out[(2, d)] == 0 for d in range(4))
+    assert out[(3, 0)] == 127 and out[(3, 2)] == -127
+    # bounds + reconstruction error <= half a quantization step
+    for (vid, dim), q in out.items():
+        assert -127 <= q <= 127
+    orig = {r[0]: r[1] for r in rows}
+    for (vid, dim), q in out.items():
+        xs = orig[vid]
+        maxabs = max(abs(v) for v in xs)
+        if maxabs:
+            assert abs(xs[dim] - q * maxabs / 127) <= maxabs / 127 / 2 + 1e-9
