@@ -178,3 +178,9 @@ def test_grouping_sets_single_shuffle(spark, qs):
     # explicit grouping sets: one-pass Expand + ONE aggregation exchange
     df = qs["rel_grouping_sets"](spark, SF_DIR)
     PI.assert_max_exchanges(df, 1)
+
+
+def test_quantize_zero_shuffle(spark, qs):
+    # per-row quantize + posexplode must pipeline into the scan: no exchange
+    df = qs["vec_quantize_int8"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 0)
