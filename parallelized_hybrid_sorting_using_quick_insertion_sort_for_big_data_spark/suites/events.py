@@ -318,3 +318,32 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_us=_RANGE_US,
     )
     return out.select("error_id", "click_id", "user_id", "delta_us")
+
+
+# ---------------------------------------------------------------------------
+# 7. Z-order (Morton) codes: the data-layout curve behind multi-dimension
+#    file pruning. Pure integer bit-interleaving -> exact oracle.
+# ---------------------------------------------------------------------------
+
+from ..sources import bucketing as _B
+
+_ZORDER_ORACLE = f"""
+SELECT event_id,
+       {_B.zorder_code_sql('user_id', '(epoch_us(ts) // 60000000)')} AS z
+FROM events
+"""
+
+
+@query("events_zorder_code", sql=_ZORDER_ORACLE)
+def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code over (user_id, event-minute) for every event — the sort
+    key `write_zordered` clusters files by, so parquet min/max stats prune
+    scans filtered on EITHER dimension. Pure per-row bit arithmetic (zero
+    shuffle); every code is value-checked against the generated DuckDB
+    mirror."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.expr("unix_micros(ts) div 60000000")
+    return ev.select(
+        "event_id",
+        _B.zorder_code(F.col("user_id"), minute).cast("bigint").alias("z"),
+    )

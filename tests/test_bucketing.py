@@ -70,3 +70,71 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         "l_orderkey", "l_extendedprice", "o_totalprice"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, buck.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_code_known_values(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (65535, 65535), (1, 2)], "x long, y long"
+    )
+    out = [
+        r["z"]
+        for r in df.select(bucketing.zorder_code(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    # (0,0)->0; (0,3)->0b1010; (1,2)->0b1001; (3,0)->0b0101; (65535,65535)->2^32-1
+    assert out == [0, 10, 9, 5, 2**32 - 1]
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """The point of the Morton curve: every output file covers a tight
+    bounding box in BOTH dimensions, so min/max stats prune on either
+    column. A plain x-sort bounds only x — its files span ~the full y
+    range."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    n, dom = 40_000, 4096
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % dom).alias("x"),
+        ((F.col("id") * 40503 + 7919) % dom).alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    spath = str(tmp_path / "xsort")
+    bucketing.write_zordered(df, zpath, "x", "y", num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def max_y_span(path):
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = (
+                spark.read.parquet(f)
+                .agg((F.max("y") - F.min("y")).alias("s"))
+                .collect()[0]
+            )
+            spans.append(row["s"])
+        return max(spans), len(spans)
+
+    zy, zn = max_y_span(zpath)
+    sy, sn = max_y_span(spath)
+    assert zn >= 8 and sn >= 8  # both layouts actually split into files
+    # x-sorted files are blind to y: they span nearly the whole y domain
+    assert sy > dom * 0.9, sy
+    # 16 files = 4 bits of curve prefix = a 4x4 quadrant grid; a file whose
+    # range-boundary straddles two quadrants spans at most 2 of the 4 y
+    # quadrants -> every z-ordered file bounds y to <= dom/2 (vs ~dom for
+    # the x-sort); more files tighten the box quadratically
+    assert zy <= dom * 0.55, zy
