@@ -1,0 +1,117 @@
+"""Slowly-changing-dimension (type 2) merge — the warehouse MERGE pattern
+expressed as plain DataFrame set algebra (no table-format dependency).
+
+A 100 TB lake tracks dimension history by VERSIONING rows, not updating
+them: each key owns a chain of rows with [valid_from, valid_to) intervals
+and one open (is_current) row. Applying a batch of updates must (a) close
+the open row of every key whose tracked attributes actually changed,
+(b) insert the new open version, (c) pass no-op updates through untouched
+(no version churn), and (d) never touch closed history.
+
+Scale shape: ONE equi-join between the open slice and the update batch
+(both sides narrowed to key + tracked columns), then unions — no windows
+over the whole history, no per-key loops. Closed history streams through
+untouched (union is a zero-shuffle concatenation), so cost is bounded by
+|open rows ⋈ updates|, not by |history|. On a real lake the output
+replaces the dimension snapshot atomically (table-format commit or
+directory swap); the merge logic itself is format-agnostic.
+
+The reference has no mutation concept at all (it sorts immutable arrays);
+this module is part of the LLM-pipeline extension layer — training-data
+dimension tables (source registry, license status, quality tier) need
+exactly this history-preserving update.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    change_ts_us: int,
+) -> DataFrame:
+    """Apply ``updates`` (one row per key: the key column + new values for
+    every ``tracked`` column) to an SCD2 ``snapshot`` carrying
+    ``valid_from_us``, ``valid_to_us`` (null = open) and ``is_current``.
+
+    Returns the merged snapshot:
+
+    - closed history rows: unchanged, streamed through;
+    - open rows whose key has a DIFFERING update: closed at
+      ``change_ts_us`` + a new open row with the updated values;
+    - open rows with an identical (no-op) update or no update: unchanged
+      — idempotent re-application creates zero new versions;
+    - keys new to the dimension: inserted open at ``change_ts_us``.
+
+    Null semantics: attribute comparison is null-safe (``eqNullSafe``), so
+    null → value and value → null count as changes and null → null does
+    not.
+    """
+    meta = ["valid_from_us", "valid_to_us", "is_current"]
+    attrs = [c for c in snapshot.columns if c not in meta and c != key]
+    closed = snapshot.where(~F.col("is_current"))
+    open_rows = snapshot.where(F.col("is_current"))
+
+    u = updates.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__u_{c}") for c in tracked]
+    )
+    j = open_rows.join(u, open_rows[key] == F.col("__k"), "full_outer")
+
+    same = None
+    for c in tracked:
+        eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        same = eq if same is None else same & eq
+
+    has_open = F.col(key).isNotNull()
+    has_upd = F.col("__k").isNotNull()
+
+    # open rows kept as-is: no update for the key, or a no-op update
+    kept = j.where(has_open & (~has_upd | same)).select(*snapshot.columns)
+    # changed: old version closes at change_ts
+    closed_now = (
+        j.where(has_open & has_upd & ~same)
+        .select(
+            *[F.col(c) for c in [key] + attrs],
+            F.col("valid_from_us"),
+            F.lit(change_ts_us).cast("long").alias("valid_to_us"),
+            F.lit(False).alias("is_current"),
+        )
+        .select(*snapshot.columns)
+    )
+    # new open version for changed keys: tracked cols from the update,
+    # untracked attrs carried forward from the old open row
+    def new_val(c: str):
+        return F.col(f"__u_{c}") if c in tracked else F.col(c)
+
+    opened = (
+        j.where(has_open & has_upd & ~same)
+        .select(
+            F.col(key),
+            *[new_val(c).alias(c) for c in attrs],
+            F.lit(change_ts_us).cast("long").alias("valid_from_us"),
+            F.lit(None).cast("long").alias("valid_to_us"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*snapshot.columns)
+    )
+    # brand-new keys: insert open; untracked attrs are null
+    inserted = (
+        j.where(~has_open)
+        .select(
+            F.col("__k").alias(key),
+            *[
+                (F.col(f"__u_{c}") if c in tracked else F.lit(None)).alias(c)
+                for c in attrs
+            ],
+            F.lit(change_ts_us).cast("long").alias("valid_from_us"),
+            F.lit(None).cast("long").alias("valid_to_us"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*snapshot.columns)
+    )
+    return closed.unionByName(kept).unionByName(closed_now).unionByName(opened).unionByName(inserted)

@@ -796,3 +796,104 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation keeps the double total exact."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_GSETS_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# 23. SCD2 merge: history-preserving dimension update (the MERGE pattern,
+#     format-agnostic). Exercises every path: closed history untouched,
+#     no-op updates create no versions, changes close+reopen, new keys
+#     insert. All timestamps integer micros; null-safe attr comparison.
+# ---------------------------------------------------------------------------
+
+_SCD_TS = 86_400_000_000  # change batch applies at day 1 (micros)
+_SCD_HIST_TS = 43_200_000_000  # pre-existing closed rows ended at half-day
+
+_SCD2_ORACLE = f"""
+WITH hist AS (
+  SELECT c_custkey, c_name, c_acctbal - 50.0 AS c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from_us,
+         CAST({_SCD_HIST_TS} AS BIGINT) AS valid_to_us,
+         false AS is_current
+  FROM customer WHERE c_custkey % 13 = 0
+),
+snap AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         CAST(0 AS BIGINT) AS valid_from_us,
+         CAST(NULL AS BIGINT) AS valid_to_us,
+         true AS is_current
+  FROM customer
+  UNION ALL
+  SELECT * FROM hist
+),
+upd AS (
+  SELECT c_custkey AS k, c_acctbal + 100.0 AS nb FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 42.0 FROM customer WHERE c_custkey < 20
+),
+open_j AS (
+  SELECT s.*, u.k, u.nb
+  FROM (SELECT * FROM snap WHERE is_current) s
+  FULL OUTER JOIN upd u ON s.c_custkey = u.k
+)
+SELECT c_custkey, c_name, c_acctbal, valid_from_us, valid_to_us, is_current FROM snap WHERE NOT is_current
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, valid_from_us, valid_to_us, is_current
+FROM open_j WHERE c_custkey IS NOT NULL AND (k IS NULL OR c_acctbal IS NOT DISTINCT FROM nb)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, valid_from_us, CAST({_SCD_TS} AS BIGINT), false
+FROM open_j WHERE c_custkey IS NOT NULL AND k IS NOT NULL AND c_acctbal IS DISTINCT FROM nb
+UNION ALL
+SELECT c_custkey, c_name, nb, CAST({_SCD_TS} AS BIGINT), CAST(NULL AS BIGINT), true
+FROM open_j WHERE c_custkey IS NOT NULL AND k IS NOT NULL AND c_acctbal IS DISTINCT FROM nb
+UNION ALL
+SELECT k, CAST(NULL AS VARCHAR), nb, CAST({_SCD_TS} AS BIGINT), CAST(NULL AS BIGINT), true
+FROM open_j WHERE c_custkey IS NULL
+"""
+
+
+@query("pipeline_scd2_merge", sql=_SCD2_ORACLE)
+def pipeline_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (history-preserving) dimension merge over customer: a synthetic
+    update batch changes acctbal for %7 keys, no-ops %11 keys, and inserts
+    20 new keys, against a snapshot seeded with pre-closed history rows.
+    One equi-join between the open slice and the update batch; closed
+    history streams through untouched. Every output row (values + validity
+    interval + currency flag) is value-checked against the DuckDB mirror."""
+    from ..operators.scd import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    hist = cust.where(F.col("c_custkey") % 13 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") - 50.0).alias("c_acctbal"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(_SCD_HIST_TS).cast("long").alias("valid_to_us"),
+        F.lit(False).alias("is_current"),
+    )
+    snap = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    ).unionByName(hist)
+    upd = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            cust.where((F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0))
+            .select("c_custkey", "c_acctbal")
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") < 20).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit(42.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_merge(snap, upd, key="c_custkey", tracked=["c_acctbal"], change_ts_us=_SCD_TS)

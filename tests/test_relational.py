@@ -99,3 +99,63 @@ def test_approx_quantiles_within_rank_error(spark):
             lo = vals[max(0, int(target) - tol)]
             hi = vals[min(n - 1, int(target) + tol + 1)]
             assert lo <= got <= hi, (flag, q, got, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_merge_oracle_parity(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["pipeline_scd2_merge"](spark, SF_DIR), oracles["pipeline_scd2_merge"], SF_DIR
+    )
+
+
+def test_scd2_merge_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.scd import (
+        scd2_merge,
+    )
+
+    snap = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 0, None, True),      # will change
+            (2, "b", 20.0, 0, None, True),      # no-op update
+            (3, "c", 30.0, 0, None, True),      # no update
+            (1, "a", 5.0, -100, 0, False),      # closed history
+            (4, "d", None, 0, None, True),      # null -> value change
+        ],
+        "k long, name string, bal double, valid_from_us long, valid_to_us long, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, 11.0), (2, 20.0), (4, 44.0), (9, 99.0)], "k long, bal double"
+    )
+    out = scd2_merge(snap, upd, key="k", tracked=["bal"], change_ts_us=1000)
+    rows = {(r["k"], r["valid_from_us"]): r for r in out.collect()}
+
+    # closed history untouched
+    assert rows[(1, -100)]["valid_to_us"] == 0 and not rows[(1, -100)]["is_current"]
+    # changed key: old row closed at 1000, new open row with new value
+    assert rows[(1, 0)]["valid_to_us"] == 1000 and not rows[(1, 0)]["is_current"]
+    assert rows[(1, 1000)]["bal"] == 11.0 and rows[(1, 1000)]["is_current"]
+    # null -> value counts as a change (null-safe comparison)
+    assert rows[(4, 0)]["valid_to_us"] == 1000
+    assert rows[(4, 1000)]["bal"] == 44.0
+    # no-op and untouched keys: single unchanged open row
+    assert rows[(2, 0)]["is_current"] and rows[(2, 0)]["valid_to_us"] is None
+    assert rows[(3, 0)]["is_current"]
+    # new key inserted open, untracked attr null
+    assert rows[(9, 1000)]["is_current"] and rows[(9, 1000)]["name"] is None
+    # exactly one open row per key
+    opens = out.where("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+    # idempotence: re-applying the same batch adds nothing
+    again = scd2_merge(out, upd, key="k", tracked=["bal"], change_ts_us=2000)
+    assert again.count() == out.count()
+    assert again.where("valid_from_us = 2000").count() == 0
