@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         return
     from .suites import (  # noqa: F401
         core_sort,
+        decontam,
         events,
         multimodal,
         relational,
