@@ -22,35 +22,10 @@ No Python UDFs anywhere: n-gram construction is ``transform`` over
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import TOKEN_RE, tokens
-
-
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word ``n``-grams of the lowercased token
-    stream; empty array when the document has fewer than ``n`` tokens
-    (guarded — ``sequence`` would otherwise count DOWN and fabricate
-    grams)."""
-    toks = tokens(text)
-    n_t = F.size(toks)
-    return F.when(n_t < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_t - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
-
-
-def word_ngrams_sql(text_expr: str, n: int) -> str:
-    """DuckDB expression mirroring :func:`word_ngrams` (1-based inclusive
-    ``list_slice`` == Spark's 1-based ``slice(start, length)``)."""
-    toks = f"regexp_extract_all(lower({text_expr}), '{TOKEN_RE}')"
-    return (
-        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)),"
-        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
-    )
+from .text import word_ngrams, word_ngrams_sql  # noqa: F401  (re-export)
 
 
 def contamination_stats(

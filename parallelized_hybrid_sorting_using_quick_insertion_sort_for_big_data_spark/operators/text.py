@@ -92,6 +92,31 @@ def lang_id_sql(text_expr: str) -> str:
       ELSE 'fr' END"""
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the lowercased token
+    stream; empty array when the document has fewer than ``n`` tokens
+    (guarded — ``sequence`` would otherwise count DOWN and fabricate
+    grams)."""
+    toks = tokens(text)
+    n_t = F.size(toks)
+    return F.when(n_t < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_t - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def word_ngrams_sql(text_expr: str, n: int) -> str:
+    """DuckDB expression mirroring :func:`word_ngrams` (1-based inclusive
+    ``list_slice`` == Spark's 1-based ``slice(start, length)``)."""
+    toks = f"regexp_extract_all(lower({text_expr}), '{TOKEN_RE}')"
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Share of characters that are not [a-z0-9 ] after lowercasing."""
     stripped = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", ""))
@@ -142,6 +167,64 @@ def quality_score_sql(text_expr: str) -> str:
         f" + least(({stop_hits} / greatest({n_tok}, 1)) * 4.0, 1.0) * 0.3"
         f" + greatest(1.0 - {punct} * 5.0, 0.0) * 0.3)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1):
+# repetitive documents — one token dominating, or heavy n-gram duplication —
+# are the classic low-quality class a training pipeline filters out.
+# All per-row array arithmetic (higher-order functions, whole-stage codegen,
+# ZERO shuffle): the top-token scan is O(tokens · distinct-tokens) per row,
+# bounded and embarrassingly parallel — nothing crosses the wire.
+# ---------------------------------------------------------------------------
+
+
+def top_token_share(text: Column) -> Column:
+    """Fraction of tokens equal to the single most frequent token."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    return top.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Share of word ``n``-grams that are repeats of an earlier occurrence
+    (1 − distinct/total; 0 for docs shorter than ``n`` tokens)."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )
+
+
+def repetition_metrics_sql(
+    text_expr: str, ngram: int = 2, top_share_max: float = 0.2, dup_frac_max: float = 0.5
+) -> dict[str, str]:
+    """DuckDB expressions mirroring the repetition metrics; keys are the
+    output column names used by the `text_repetition` query."""
+    toks = f"regexp_extract_all(lower({text_expr}), '{TOKEN_RE}')"
+    counts = (
+        f"list_transform(list_distinct({toks}),"
+        f" d -> len(list_filter({toks}, t -> t = d)))"
+    )
+    top_share = (
+        f"(CAST(coalesce(list_max({counts}), 0) AS DOUBLE)"
+        f" / greatest(len({toks}), 1))"
+    )
+    grams = word_ngrams_sql(text_expr, ngram)
+    dup_frac = (
+        f"(CASE WHEN len({grams}) <= 0 THEN 0.0"
+        f" ELSE 1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / len({grams}) END)"
+    )
+    return {
+        "top_token_share": f"round({top_share}, 9)",
+        "dup_ngram_frac": f"round({dup_frac}, 9)",
+        "repetitive": f"(round({top_share}, 9) > {top_share_max}"
+        f" OR round({dup_frac}, 9) > {dup_frac_max})",
+    }
 
 
 def normalized_text(text: Column) -> Column:

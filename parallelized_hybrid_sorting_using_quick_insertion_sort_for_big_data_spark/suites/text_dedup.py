@@ -453,3 +453,59 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     text and token count are value-hash-checked against the DuckDB mirror."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.chunk_sliding(docs, chunk_tokens=_CHUNK_TOKENS, stride=_CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# 11. Repetition metrics (Gopher-style quality rules). The corpus is salted
+#     with synthetically repetitive docs (token floods + phrase loops) so
+#     both verdicts of the `repetitive` flag are exercised.
+# ---------------------------------------------------------------------------
+
+_REP_NGRAM = 2
+_REP_TOP_MAX = 0.2
+_REP_DUP_MAX = 0.5
+_REP_SHIFT = 3_000_000
+
+_REP_EXPRS = T.repetition_metrics_sql(
+    "text", ngram=_REP_NGRAM, top_share_max=_REP_TOP_MAX, dup_frac_max=_REP_DUP_MAX
+)
+
+_REPETITION_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_REP_SHIFT} AS doc_id,
+         concat(text, ' ', repeat('spam ', 40), text) AS text
+  FROM documents WHERE doc_id % 41 = 0
+)
+SELECT doc_id,
+       {_REP_EXPRS['top_token_share']} AS top_token_share,
+       {_REP_EXPRS['dup_ngram_frac']} AS dup_ngram_frac,
+       {_REP_EXPRS['repetitive']} AS repetitive
+FROM corpus
+"""
+
+
+@query("text_repetition", sql=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics (top-token share, duplicate-bigram
+    fraction) with the Gopher-style `repetitive` verdict. Pure per-row
+    higher-order array arithmetic — zero shuffle, pipelines into the scan.
+    Planted token-flood docs must be flagged; organic docs must not."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    flooded = docs.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + _REP_SHIFT).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" "), F.lit("spam " * 40), F.col("text")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(flooded)
+    t = F.col("text")
+    top = F.round(T.top_token_share(t), 9)
+    dup = F.round(T.dup_ngram_frac(t, _REP_NGRAM), 9)
+    return corpus.select(
+        "doc_id",
+        top.alias("top_token_share"),
+        dup.alias("dup_ngram_frac"),
+        ((top > _REP_TOP_MAX) | (dup > _REP_DUP_MAX)).alias("repetitive"),
+    )

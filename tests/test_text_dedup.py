@@ -353,3 +353,55 @@ def test_chunk_sliding_rejects_bad_params(spark):
 
     with pytest.raises(ValueError):
         T.chunk_sliding(df, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_flags_planted_floods(spark):
+    import __spark_entry__ as entrymod
+
+    out = entrymod.queries()["text_repetition"](spark, SF_DIR).cache()
+    try:
+        planted = out.where(F.col("doc_id") >= 3_000_000)
+        organic = out.where(F.col("doc_id") < 3_000_000)
+        n_planted = planted.count()
+        assert n_planted > 0
+        # every token-flood doc is flagged — short docs via top-token share,
+        # long ones via the duplicated-bigram rule (text repeated twice)
+        assert planted.where("repetitive").count() == n_planted
+        assert planted.agg(F.min("dup_ngram_frac")).first()[0] > 0.5
+        # organic docs: no floods; dup-bigram fraction stays below the gate
+        assert organic.where("dup_ngram_frac > 0.5").count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_repetition_metrics_zero_shuffle(spark):
+    import __spark_entry__ as entrymod
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+        inspect as PI,
+    )
+
+    df = entrymod.queries()["text_repetition"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 0)
+
+
+def test_repetition_edge_cases(spark):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    df = spark.createDataFrame(
+        [("",), ("word",), ("a a a a",), ("x y x y x y",)], "text string"
+    )
+    rows = df.select(
+        T.top_token_share(F.col("text")).alias("top"),
+        T.dup_ngram_frac(F.col("text"), 2).alias("dup"),
+    ).collect()
+    assert rows[0]["top"] == 0.0 and rows[0]["dup"] == 0.0  # empty
+    assert rows[1]["top"] == 1.0 and rows[1]["dup"] == 0.0  # single token
+    assert rows[2]["top"] == 1.0 and abs(rows[2]["dup"] - 2 / 3) < 1e-12  # 'a a' x3
+    assert abs(rows[3]["dup"] - 3 / 5) < 1e-12  # x y/y x repeats
