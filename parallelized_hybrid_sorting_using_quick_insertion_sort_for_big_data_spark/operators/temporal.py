@@ -100,6 +100,62 @@ def asof_join(
     )
 
 
+def resample_gapfill(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key: bucket to
+    ``bucket_us`` intervals, aggregate (count + exact decimal mean), emit a
+    DENSE row per grid cell between each key's first and last bucket, and
+    carry the last observed mean forward across gaps (`filled_value`;
+    `is_gap` marks interpolated cells).
+
+    Scale shape: aggregation shuffles (key, bucket) — linear in events; the
+    spine (per-key min/max + ``sequence`` explode) is bounded by
+    time-span/bucket per key, NOT by event count; the gap-fill is one
+    window per key over already-aggregated rows. No driver logic, no UDFs.
+    A key's dense grid lands in one partition — size ``bucket_us`` so
+    span/bucket stays ≪ task memory (e.g. a year of minutes = 525 600 rows
+    per key, fine; a year of milliseconds is not).
+    """
+    bucket = F.expr(
+        f"(unix_micros({ts_col}) - pmod(unix_micros({ts_col}), {bucket_us}))"
+        f" div {bucket_us}"
+    ).alias("__bk")
+    agg = df.groupBy(*by, bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col(value_col).cast("decimal(27,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg"),
+    )
+    spine = (
+        agg.groupBy(*by)
+        .agg(F.min("__bk").alias("__lo"), F.max("__bk").alias("__hi"))
+        .select(*by, F.explode(F.sequence("__lo", "__hi")).alias("__bk"))
+    )
+    j = spine.join(agg, [*by, "__bk"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        *by,
+        F.timestamp_micros(F.col("__bk") * bucket_us).alias("bucket_start"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(F.col("__avg"), round_digits).alias("avg_value"),
+        F.round(F.last("__avg", ignorenulls=True).over(w), round_digits).alias(
+            "filled_value"
+        ),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

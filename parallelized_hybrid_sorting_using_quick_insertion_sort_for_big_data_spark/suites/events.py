@@ -347,3 +347,53 @@ def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         _B.zorder_code(F.col("user_id"), minute).cast("bigint").alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resample + gap-fill: regularize the event stream onto a dense 6-hour grid
+# per user with carry-forward interpolation across empty cells.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_US = 21_600_000_000  # 6 hours
+
+_RESAMPLE_ORACLE = f"""
+WITH a AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bk,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(*) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, unnest(generate_series(min(bk), max(bk))) AS bk
+  FROM a GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.bk, a.n_events, a.avg_v
+  FROM s LEFT JOIN a ON s.user_id = a.user_id AND s.bk = a.bk
+)
+SELECT user_id,
+       make_timestamp(bk * {_RESAMPLE_US}) AS bucket_start,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       round(avg_v, 9) AS avg_value,
+       round(last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS filled_value,
+       n_events IS NULL AS is_gap
+FROM j
+"""
+
+
+@query("events_resample_gapfill", sql=_RESAMPLE_ORACLE)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resampling with dense-grid gap fill: every cell
+    between a user's first and last active bucket appears, empty cells
+    carry the last observed mean forward (`is_gap` marks them). Spine rows
+    are bounded by time-span/bucket, not event count; every value is
+    hash-checked against the DuckDB mirror."""
+    from ..operators import temporal as T
+
+    ev = load_table(spark, sf_dir, "events")
+    return T.resample_gapfill(
+        ev, by=["user_id"], ts_col="ts", value_col="value", bucket_us=_RESAMPLE_US
+    )

@@ -110,3 +110,41 @@ def test_asof_join_with_map_value_col(spark):
     got = {r["lts"]: r["prev_props"] for r in out.collect()}
     assert got[100] == {"a": "1"}  # latest right at ts<=100 is rts=60
     assert got[50] == {"b": "2"}  # latest right at ts<=50 is rts=10
+
+
+# ---------------------------------------------------------------------------
+# resample_gapfill
+# ---------------------------------------------------------------------------
+
+
+def test_resample_gapfill_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.temporal import (
+        resample_gapfill,
+    )
+
+    us = 1_000_000  # 1s buckets
+    rows = [
+        ("a", 0, 10.0), ("a", 500_000, 20.0),  # bucket 0: avg 15
+        ("a", 3_200_000, 7.0),                 # bucket 3; buckets 1,2 are gaps
+        ("b", 5_000_000, 1.0),                 # single-bucket key: no gaps
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, value double").select(
+        "k", F.timestamp_micros(F.col("t")).alias("ts"), "value"
+    )
+    out = resample_gapfill(df, by=["k"], ts_col="ts", value_col="value", bucket_us=us)
+    got = {
+        (r["k"], r["bucket_start"].second + r["bucket_start"].minute * 60): r
+        for r in out.collect()
+    }
+    assert len(got) == 5  # a: buckets 0..3 dense; b: bucket 5
+    assert got[("a", 0)]["avg_value"] == 15.0 and not got[("a", 0)]["is_gap"]
+    assert got[("a", 0)]["n_events"] == 2
+    # gap cells: no events, null avg, carried filled value
+    for sec in (1, 2):
+        r = got[("a", sec)]
+        assert r["is_gap"] and r["n_events"] == 0 and r["avg_value"] is None
+        assert r["filled_value"] == 15.0
+    assert got[("a", 3)]["filled_value"] == 7.0
+    assert got[("b", 5)]["n_events"] == 1 and not got[("b", 5)]["is_gap"]
