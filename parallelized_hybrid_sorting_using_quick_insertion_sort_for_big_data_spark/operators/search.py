@@ -1,0 +1,121 @@
+"""BM25 keyword search over a document corpus (extension layer, SURVEY
+§2c): the classic Okapi BM25 ranking function, expressed so the full
+computation — term frequencies, document frequencies, idf, length
+normalization, final ranking — is pure DataFrame algebra AND replayable as
+ANSI SQL for the oracle.
+
+Scale shape: the query's term list is tiny and literal, so per-document
+term frequencies are per-row array arithmetic (``size(filter(tokens …))``)
+— NO explode, NO (doc, term) shuffle. Corpus statistics (N, avgdl, per-term
+document frequency) reduce to ONE row in a single aggregation pass and
+re-enter the plan as a broadcast nested-loop join of a 1-row relation
+(constant cost). The only ordered operation is the final top-k —
+``TakeOrderedAndProject``, per-partition heaps, zero exchanges.
+
+Determinism: scores involve ``ln`` — engines may differ in the last ulp —
+so scores are rounded (default 9 dp) BEFORE ranking and the ordering key is
+(rounded score desc, doc_id): both engines rank identical keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE, tokens
+
+
+def _tf(toks, term: str):
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 score for the bag-of-words query
+    ``terms``. Output: (id_col, score, rank), rank 1-based dense by
+    (score desc, id asc); zero-score documents never rank."""
+    toks = tokens(F.col(text_col))
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("__dl"),
+        *[_tf(toks, t).cast("double").alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("int")).cast("double").alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.join(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5) + 1.0
+        )
+        tf = F.col(f"__tf_{i}")
+        part = idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = part if score is None else score + part
+    scored = j.select(
+        id_col, F.round(score, round_digits).alias("score")
+    ).where(F.col("score") > 0)
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.select(id_col, "score", F.row_number().over(w).cast("bigint").alias("rank"))
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB SQL replaying :func:`bm25_topk` exactly."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({toks}, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln((s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (d.tf_{i} * ({k1} + 1.0)"
+        f" / (d.tf_{i} + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, CAST(len({toks}) AS DOUBLE) AS dl, {tf_cols} FROM {table}
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) / count(*) AS avgdl, {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT d.doc_id, round({parts}, {round_digits}) AS score
+  FROM per_doc d CROSS JOIN stats s
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""

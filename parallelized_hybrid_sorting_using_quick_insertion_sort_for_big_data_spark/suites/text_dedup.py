@@ -509,3 +509,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("dup_ngram_frac"),
         ((top > _REP_TOP_MAX) | (dup > _REP_DUP_MAX)).alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. BM25 keyword search: rank the corpus for a bag-of-words query.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "merge", "window"]
+_BM25_K = 20
+
+from ..operators import search as _S  # noqa: E402
+
+
+@query("text_bm25_topk", sql=_S.bm25_topk_sql(_BM25_TERMS, k=_BM25_K))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {spark, merge, window}: per-doc term
+    frequencies as per-row array arithmetic (no explode, no (doc,term)
+    shuffle), corpus stats as a broadcast 1-row relation, ranking via
+    TakeOrderedAndProject. Scores rounded before ranking so Spark and
+    DuckDB order identical keys."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _S.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)

@@ -405,3 +405,43 @@ def test_repetition_edge_cases(spark):
     assert rows[1]["top"] == 1.0 and rows[1]["dup"] == 0.0  # single token
     assert rows[2]["top"] == 1.0 and abs(rows[2]["dup"] - 2 / 3) < 1e-12  # 'a a' x3
     assert abs(rows[3]["dup"] - 3 / 5) < 1e-12  # x y/y x repeats
+
+
+# ---------------------------------------------------------------------------
+# BM25 search
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_properties(spark):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        search as S,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark merge"),   # high tf on both terms
+            (2, "spark merge filler filler filler filler filler filler"),  # diluted
+            (3, "filler words only nothing relevant"),  # zero score
+            (4, "spark"),                      # short, one term
+        ],
+        "doc_id long, text string",
+    )
+    out = S.bm25_topk(docs, ["spark", "merge"], k=10).collect()
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert 3 not in ranks  # zero-score docs never rank
+    assert ranks[1] == 1  # repeated terms + both terms -> top
+    assert scores[1] > scores[2] > 0
+    assert sorted(ranks.values()) == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_plan_broadcasts_stats_and_takeordered(spark):
+    import __spark_entry__ as entrymod
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+        inspect as PI,
+    )
+
+    df = entrymod.queries()["text_bm25_topk"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or PI.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
