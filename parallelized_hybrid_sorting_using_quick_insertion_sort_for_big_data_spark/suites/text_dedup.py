@@ -530,3 +530,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB order identical keys."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _S.bm25_topk(docs, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# 13. Keep-best cluster collapse: near-dup clusters keep the HIGHEST-QUALITY
+#     member (not the min-id one) — the selection policy a production
+#     training pipeline actually wants. Singleton docs survive untouched.
+# ---------------------------------------------------------------------------
+
+_KEEPBEST_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jpairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+member AS (
+  SELECT d.doc_id,
+         coalesce(comp.component, d.doc_id) AS component,
+         round({{q}}, 9) AS quality
+  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+    count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM member
+)
+SELECT component, doc_id AS kept_doc_id, quality AS kept_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+""".replace("{q}", T.quality_score_sql("d.text"))
+
+
+@query("pipeline_dedup_keep_best", sql=_KEEPBEST_ORACLE)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse keeping the best-quality member per cluster:
+    Jaccard pairs -> connected components -> left-join the full corpus
+    (singletons = their own cluster) -> per-cluster argmax(quality, min id).
+    One window over clusters; component ids and every kept doc are
+    value-checked against the recursive-closure oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    )
+    cc = dedup.connected_components(pairs)
+    member = (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            F.round(T.quality_score(F.col("text")), 9).alias("quality"),
+        )
+    )
+    w = Window.partitionBy("component")
+    ranked = member.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("quality").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("quality").alias("kept_quality"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+    )
