@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .suites import (  # noqa: F401
+        behavior,
         core_sort,
         decontam,
         events,

@@ -1,0 +1,148 @@
+"""Behavioral analytics: cascade-funnel semantics on crafted event logs
+(ordering, strict-after ties, partial cascades), retention-matrix
+invariants, and the plan gates that keep both one-shuffle-shaped."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+import __spark_entry__ as entrymod
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    behavior as B,
+)
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+    inspect as PI,
+)
+from tests.conftest import SF_DIR
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+
+STEPS = ("view", "click", "purchase")
+
+
+def test_funnel_cascade_semantics(spark):
+    rows = [
+        # user 1: full in-order cascade; earliest qualifying event wins
+        (1, _ts(1), "view"),
+        (1, _ts(2), "view"),  # later view ignored (t1 = min)
+        (1, _ts(3), "click"),
+        (1, _ts(5), "purchase"),
+        # user 2: purchase BEFORE click → cascade stops at step 2
+        (2, _ts(1), "view"),
+        (2, _ts(2), "purchase"),
+        (2, _ts(3), "click"),
+        # user 3: click tied with view (same ts) → strict-after excludes it
+        (3, _ts(1), "view"),
+        (3, _ts(1), "click"),
+        # user 4: step-1 only
+        (4, _ts(9), "view"),
+        # user 5: never starts (click without view)
+        (5, _ts(1), "click"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in B.funnel(_events(spark, rows), STEPS).collect()
+    }
+    assert out[1]["step1_ts"] == _ts(1)
+    assert out[1]["step2_ts"] == _ts(3)
+    assert out[1]["step3_ts"] == _ts(5)
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 2
+    assert out[2]["step3_ts"] is None
+    assert out[3]["steps_completed"] == 1
+    assert out[4]["steps_completed"] == 1
+    assert out[5]["steps_completed"] == 0
+    assert out[5]["step1_ts"] is None
+
+
+def test_funnel_late_restart_not_used(spark):
+    # cascade is EARLIEST-anchored: a second view after the click does NOT
+    # re-anchor; click strictly before the first view never counts
+    rows = [
+        (1, _ts(5), "view"),
+        (1, _ts(3), "click"),  # before the view → dropped
+        (1, _ts(8), "view"),
+    ]
+    (r,) = B.funnel(_events(spark, rows), STEPS).collect()
+    assert r["step1_ts"] == _ts(5)
+    assert r["steps_completed"] == 1
+
+
+def test_funnel_counts_table(spark):
+    rows = [
+        (1, _ts(1), "view"),
+        (1, _ts(2), "click"),
+        (1, _ts(3), "purchase"),
+        (2, _ts(1), "view"),
+        (2, _ts(2), "click"),
+        (3, _ts(1), "view"),
+        (4, _ts(1), "purchase"),  # 0 steps (no view)
+    ]
+    per_user = B.funnel(_events(spark, rows), STEPS)
+    table = {r["step"]: r for r in B.funnel_counts(per_user, 3).collect()}
+    assert [table[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert table[1]["conversion_from_prev"] == 1.0
+    assert table[2]["conversion_from_prev"] == pytest.approx(2 / 3, abs=1e-9)
+    assert table[3]["conversion_from_prev"] == pytest.approx(1 / 2, abs=1e-9)
+
+
+def test_funnel_empty_steps_rejected(spark):
+    with pytest.raises(ValueError):
+        B.funnel(_events(spark, []), ())
+
+
+def test_retention_matrix_invariants(spark):
+    day = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        # cohort Jan 1: users 1,2 — user 1 returns day+1 and day+3
+        (1, day(1), "view"),
+        (1, day(2), "view"),
+        (1, day(4, 5), "click"),
+        (2, day(1, 8), "view"),
+        # cohort Jan 2: user 3, returns day+1 (two events same day → 1 active)
+        (3, day(2), "view"),
+        (3, day(3, 1), "view"),
+        (3, day(3, 2), "click"),
+    ]
+    out = {
+        (r["cohort_date"], r["day_offset"]): r
+        for r in B.cohort_retention(_events(spark, rows)).collect()
+    }
+    c1, c2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    assert out[(c1, 0)]["n_active"] == 2 and out[(c1, 0)]["cohort_size"] == 2
+    assert out[(c1, 1)]["n_active"] == 1
+    assert out[(c1, 3)]["n_active"] == 1
+    assert out[(c2, 1)]["n_active"] == 1
+    assert (c2, 2) not in out
+    for r in out.values():
+        assert r["n_active"] <= r["cohort_size"]
+        assert r["retention_frac"] == pytest.approx(
+            r["n_active"] / r["cohort_size"], abs=1e-9
+        )
+    assert out[(c1, 0)]["retention_frac"] == 1.0
+
+
+def test_funnel_single_shuffle_and_pushdown(spark):
+    qs = entrymod.queries()
+    df = qs["events_funnel"](spark, SF_DIR)
+    # one groupBy(user) exchange; the step-type filter reaches the scan
+    PI.assert_max_exchanges(df, 1)
+    PI.assert_filter_pushed(df, "event_type")
+    assert not PI.has_cartesian(df)
+
+
+def test_retention_bounded_shuffles(spark):
+    qs = entrymod.queries()
+    df = qs["events_cohort_retention"](spark, SF_DIR)
+    # window-by-user + distinct/agg + tiny cohort-size window
+    PI.assert_max_exchanges(df, 3)
+    assert not PI.has_cartesian(df)
