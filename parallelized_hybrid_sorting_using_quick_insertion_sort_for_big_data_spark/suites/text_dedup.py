@@ -605,3 +605,48 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Fuzzy vocabulary match: edit-distance self-join over the distinct
+#     part-name vocabulary with SymSpell deletion-neighborhood blocking.
+#     The oracle is the NAIVE O(n^2) cross join — so any pair the blocking
+#     misses is a hash mismatch, i.e. the driver check IS the completeness
+#     proof at data scale.
+# ---------------------------------------------------------------------------
+
+from ..operators import fuzzy as _FZ  # noqa: E402
+
+_FUZZY_D = 2
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name, count(*) AS n_ids FROM part GROUP BY 1
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance,
+       a.n_ids AS n_a, b.n_ids AS n_b
+FROM names a JOIN names b
+  ON a.name < b.name AND levenshtein(a.name, b.name) <= {_FUZZY_D}
+"""
+
+
+@query("fuzzy_name_match", sql=_FUZZY_ORACLE)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-level fuzzy matching (entity resolution shape): distinct
+    part names within edit distance 2, found via the complete
+    deletion-neighborhood equi-join (operators/fuzzy.py), then re-weighted
+    with per-name id counts via a broadcast join of the tiny vocabulary."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_ids")
+    )
+    pairs = _FZ.fuzzy_self_pairs(names, "name", max_dist=_FUZZY_D)
+    counts = F.broadcast(names)
+    return (
+        pairs.join(counts.withColumnRenamed("name", "name_a"), "name_a")
+        .withColumnRenamed("n_ids", "n_a")
+        .join(counts.withColumnRenamed("name", "name_b"), "name_b")
+        .withColumnRenamed("n_ids", "n_b")
+        .select("name_a", "name_b", "edit_distance", "n_a", "n_b")
+    )
