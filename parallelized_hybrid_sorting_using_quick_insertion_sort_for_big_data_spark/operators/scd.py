@@ -115,3 +115,64 @@ def scd2_merge(
         .select(*snapshot.columns)
     )
     return closed.unionByName(kept).unionByName(closed_now).unionByName(opened).unionByName(inserted)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style reconciliation of two table snapshots: one row per key
+    whose state differs, labeled ``added`` (key only in ``new``),
+    ``removed`` (only in ``old``) or ``changed`` (present in both, any
+    ``compare_cols`` value differing null-safely). Unchanged keys are
+    dropped — the output IS the change feed a downstream incremental
+    consumer would apply.
+
+    Output: key_cols, change_type, then ``old_<c>`` / ``new_<c>`` for every
+    compare column (nulls on the absent side for added/removed).
+
+    Scale shape: both sides are PRUNED to key + compare columns before the
+    single full-outer sort-merge join — the one unavoidable shuffle per
+    side, on the key both snapshots are naturally bucketed by on a real
+    lake (bucketed layouts from sources/bucketing.py make it zero-exchange).
+    Comparison is column-wise ``<=>`` (null-safe), no row serialization.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ko_{k}") == F.col(f"__kn_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else differs | d
+
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k) for k in key_cols
+    ]
+    val_cols = [c for pair in zip(
+        [f"old_{c}" for c in compare_cols], [f"new_{c}" for c in compare_cols]
+    ) for c in pair]
+    return (
+        joined.withColumn("change_type", change_type)
+        .where(F.col("change_type").isNotNull())
+        .select(*out_keys, "change_type", *val_cols)
+    )

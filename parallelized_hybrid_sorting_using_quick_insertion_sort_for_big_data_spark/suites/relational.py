@@ -897,3 +897,70 @@ def pipeline_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_merge(snap, upd, key="c_custkey", tracked=["c_acctbal"], change_ts_us=_SCD_TS)
+
+
+# ---------------------------------------------------------------------------
+# 24. Snapshot diff (CDC reconciliation): one full-outer join between two
+#     snapshot versions -> labeled change feed (added/removed/changed),
+#     unchanged keys dropped. New snapshot is derived deterministically from
+#     orders so the oracle can rebuild both sides: %10 keys removed, %7
+#     totalprices bumped, %17 keys re-inserted under shifted ids.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH old_s AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 42.0, 'A' FROM orders WHERE o_orderkey % 17 = 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice,
+         o.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+              THEN 'changed' END AS change_type
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, old_o_totalprice, new_o_totalprice,
+       old_o_orderstatus, new_o_orderstatus
+FROM j WHERE change_type IS NOT NULL
+"""
+
+
+@query("pipeline_snapshot_diff", sql=_DIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot reconciliation over orders: full-outer join of two
+    snapshot versions, column-wise null-safe comparison, labeled change
+    feed. The one shuffle per side is on the snapshot key — zero-exchange
+    under the bucketed layouts of sources/bucketing.py."""
+    from ..operators.scd import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_s = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new_s = (
+        old_s.where(F.col("o_orderkey") % 10 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                F.lit(42.0).alias("o_totalprice"),
+                F.lit("A").alias("o_orderstatus"),
+            )
+        )
+    )
+    return snapshot_diff(
+        old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
