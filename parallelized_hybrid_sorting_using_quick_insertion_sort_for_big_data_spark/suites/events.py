@@ -397,3 +397,48 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.resample_gapfill(
         ev, by=["user_id"], ts_col="ts", value_col="value", bucket_us=_RESAMPLE_US
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Robust per-group outlier detection: median/MAD modified z-score
+#     (Iglewicz-Hoaglin). Spark computes exact interpolated medians
+#     (percentile == DuckDB quantile_cont); z rounded to 6 so last-ulp
+#     interpolation differences can't flip the hash.
+# ---------------------------------------------------------------------------
+
+_OUTLIER_K = 3.5
+
+_OUTLIER_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1),
+z AS (
+  SELECT d.event_id, d.event_type, d.value,
+         round(d.med, 6) AS med, round(m2.mad, 6) AS mad,
+         round(0.6745 * (d.value - d.med) / nullif(m2.mad, 0.0), 6) AS robust_z
+  FROM dev d JOIN mad m2 USING (event_type)
+)
+SELECT event_id, event_type, value, med, mad, robust_z
+FROM z WHERE abs(robust_z) > {_OUTLIER_K}
+"""
+
+
+@query("events_outlier_robust", sql=_OUTLIER_ORACLE)
+def events_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits more than 3.5 robust z-scores (median/MAD)
+    from their event-type median — two grouped aggregations, per-group
+    stats broadcast back, the event stream itself never shuffles."""
+    from ..operators import anomaly as A
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return A.robust_outliers(ev, ["event_type"], "value", k=_OUTLIER_K).select(
+        "event_id", "event_type", "value", "med", "mad", "robust_z"
+    )
