@@ -650,3 +650,39 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_ids", "n_b")
         .select("name_a", "name_b", "edit_distance", "n_a", "n_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. Heavy hitters: exact frequent tokens via bounded-state two-pass
+#     (per-partition local pruning -> broadcast candidates -> exact counts).
+#     The oracle is the direct full GROUP BY — so the hash check proves the
+#     candidate pass dropped no true hitter.
+# ---------------------------------------------------------------------------
+
+from ..operators import heavy as _HH  # noqa: E402
+
+_HH_K = 150
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS value
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT value, count(*) AS n_occurrences,
+       round(CAST(count(*) AS DOUBLE) / tot.n, 9) AS support
+FROM toks, tot
+GROUP BY value, tot.n
+HAVING count(*) * {_HH_K} > tot.n
+"""
+
+
+@query("text_heavy_hitters", sql=_HH_ORACLE)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding n/150 of all token occurrences, exact counts via
+    the bounded-state two-pass (operators/heavy.py) — the distinct token
+    universe never shuffles; the oracle's full GROUP BY double-checks
+    candidate completeness at data scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    return _HH.heavy_hitters(toks, "token", k=_HH_K)
