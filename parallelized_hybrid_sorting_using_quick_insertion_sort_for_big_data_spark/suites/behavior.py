@@ -8,6 +8,7 @@ fold, the oracle is the k-join reference form.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import behavior as B
 from ..queries import query
@@ -115,3 +116,66 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-active counts and retention fractions. cohort_date emitted as
     TIMESTAMP on both sides so engine dtypes agree."""
     return B.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Event-path transition matrix: per-user event bigrams (lead over the
+# user-time window) -> Markov transition counts + row-normalized
+# probabilities. One shuffle by user serves the sequencing; the matrix agg
+# is |types|^2 rows. Ties on (user, ts) are broken by event_id so both
+# engines sequence identically.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, sum(n_transitions) OVER (PARTITION BY from_type) AS from_total
+  FROM pairs
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE) / from_total, 9) AS p_transition
+FROM tot
+"""
+
+
+@query("events_transition_matrix", sql=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event paths: lead() bigrams on
+    the (user, ts, event_id) ordering, counted and row-normalized. The
+    event stream shuffles ONCE (by user for the window); the |types|² matrix
+    and its normalizing window are negligible."""
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = _W.partitionBy("from_type")
+    return pairs.withColumn(
+        "from_total", F.sum("n_transitions").over(w_from)
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("from_total"), 9).alias(
+            "p_transition"
+        ),
+    )

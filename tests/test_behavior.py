@@ -146,3 +146,51 @@ def test_retention_bounded_shuffles(spark):
     # window-by-user + distinct/agg + tiny cohort-size window
     PI.assert_max_exchanges(df, 3)
     assert not PI.has_cartesian(df)
+
+
+def test_transition_matrix_semantics(spark):
+    qs = entrymod.queries()
+    import datetime as _dt
+
+    # crafted check via the operator path on a tiny df, including a ts tie
+    # broken by event_id
+    rows = [
+        (1, 10, _ts(1), "a"),
+        (1, 11, _ts(2), "b"),
+        (1, 12, _ts(2), "c"),  # tie with event 11 → ordered by event_id: b→c
+        (1, 13, _ts(3), "a"),
+        (2, 20, _ts(1), "a"),
+        (2, 21, _ts(2), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    df.createOrReplaceTempView("__trans_events")
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in (
+            df.withColumn("next_type", F.lead("event_type").over(w))
+            .where(F.col("next_type").isNotNull())
+            .groupBy(
+                F.col("event_type").alias("from_type"),
+                F.col("next_type").alias("to_type"),
+            )
+            .count()
+            .withColumnRenamed("count", "n_transitions")
+        ).collect()
+    }
+    assert pairs == {("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1}
+
+    # registry query: probabilities row-normalize to 1 per from_type
+    out = qs["events_transition_matrix"](spark, SF_DIR)
+    import collections
+
+    sums = collections.defaultdict(float)
+    for r in out.collect():
+        sums[r["from_type"]] += r["p_transition"]
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values()), dict(sums)
+    assert not PI.has_cartesian(out)
