@@ -55,9 +55,58 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Driver-facing registration order. The correctness driver oracle-checks only
+# the FIRST 50 entries of ``queries()``, so ordering is part of the public
+# contract: queries that have never had a driver correctness row (or whose
+# implementation changed this round) are listed here and float to the front;
+# queries with two green rounds behind them keep their import order at the
+# tail. Names not present in the registry are ignored (forward references to
+# planned queries are harmless).
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked, oracle SQL ready (VERDICT r02 "What's missing" #1)
+    "sample_train_split",
+    "sample_stratified_langs",
+    "pipeline_pack_sequences",
+    "sample_mixture_tokens",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_analysis",
+    "text_token_frequency",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "pipeline_clean_corpus",
+    "dedup_components",
+    "text_pii_scrub",
+    "text_chunk_sliding",
+    "text_repetition",
+    "text_bm25_topk",
+    "pipeline_dedup_keep_best",
+    "fuzzy_name_match",
+    "text_heavy_hitters",
+    "vec_cosine_topk",
+    "vec_exact_near_dup",
+    "vec_lsh_portable",
+    "vec_bucketed_near_dup",
+    "vec_ivf_topk",
+    "vec_label_centroids",
+    "vec_topk_with_metadata",
+    "vec_quantize_int8",
+    "pipeline_snapshot_diff",
+    # -- never driver-checked, rows-only by design
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "vec_lsh_near_dup",
+    # -- changed this round (r02 row was err/stale)
+    "rel_approx_quantiles",
+    # -- new round-3 queries register here (keep total ≤ 50 before the tail)
+)
+
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (import-for-side-effect)."""
+    """Import every module that registers queries (import-for-side-effect),
+    then apply the driver-facing priority order."""
     global _LOADED
     if _LOADED:
         return
@@ -74,4 +123,9 @@ def _ensure_loaded() -> None:
         vectors,
     )
 
+    prioritized = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    tail = [n for n in REGISTRY if n not in set(prioritized)]
+    ordered = {n: REGISTRY[n] for n in (*prioritized, *tail)}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True

@@ -635,10 +635,15 @@ def rel_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile(l_extendedprice) per l_returnflag at accuracy
     10000 — single-pass sketch aggregation, the scale substitute for
-    `rel_percentiles`' exact interpolation."""
+    `rel_percentiles`' exact interpolation. Emitted as three scalar columns
+    (not array<double>) so the driver's rows-only canonicalization can sort
+    and hash the frame."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
+        pcts[0].alias("approx_p25"),
+        pcts[1].alias("approx_p50"),
+        pcts[2].alias("approx_p75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
