@@ -63,44 +63,67 @@ _LOADED = False
 # tail. Names not present in the registry are ignored (forward references to
 # planned queries are harmless).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked, oracle SQL ready (VERDICT r02 "What's missing" #1)
-    "sample_train_split",
-    "sample_stratified_langs",
-    "pipeline_pack_sequences",
-    "sample_mixture_tokens",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_analysis",
-    "text_token_frequency",
+    # -- round 4: the 9 events/streaming queries broken by the regenerated
+    #    events.parquet (TIMESTAMP_NTZ) and repaired this round — the driver
+    #    must re-check every one (VERDICT r03 "Next round" #1-2)
+    "events_sessionize",
+    "events_stream_user_profile",
+    "events_stream_tumbling",
+    "events_stream_dedup",
+    "events_stream_enrich",
+    "events_asof_join",
+    "events_range_join",
+    "events_zorder_code",
+    "events_resample_gapfill",
+    # -- past r03's 50-query cap AND dependent on the regenerated events data
+    "events_outlier_robust",
+    # -- queries whose last driver row is two rounds stale (r02)
+    "mm_metadata_summary",
+    "mm_frame_inventory",
+    "mm_byte_features",
+    "mm_frame_sample",
+    "rel_q1_pricing_summary",
+    "rel_join_revenue_by_nation",
+    "rel_window_top_orders_per_segment",
+    "rel_semi_anti_join",
+    "rel_set_operations",
+    "rel_scalar_functions",
+    "rel_rollup_customers",
+    "rel_distinct_aggregates",
+    "rel_outer_join",
+    "rel_sql_q3_shipping_priority",
+    "rel_percentiles",
+    "rel_histogram",
+    "rel_cube_orders",
+    "rel_pivot_priority_by_year",
+    "rel_window_running_totals",
+    "rel_approx_distinct",
+    "rel_unpivot_part_metrics",
+    "rel_correlated_subquery",
+    "rel_window_rank_functions",
+    "rel_grouping_sets",
+    "pipeline_scd2_merge",
+    # -- reshaped in r03, never driver-checked since
+    "rel_approx_quantiles",
+    # -- graduating from rows-only to oracle-checked this round
+    "vec_bucketed_near_dup",
+    # -- new round-4 queries register here (keep total ≤ 50 before sentinels)
+    "events_stream_sessionize",
+    "text_minhash_doc_sketch",
+    "vec_ann_recall",
+    # -- sentinels: one r03-green query per suite/table kept inside the
+    #    checked window so a testdata or engine regression in a "settled"
+    #    area is still caught (ADVICE r03: never leave a suite unwatched)
+    "sort_total_lineitem",
+    "sort_hybrid_quickinsertion",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "pipeline_clean_corpus",
-    "dedup_components",
-    "text_pii_scrub",
-    "text_chunk_sliding",
-    "text_repetition",
-    "text_bm25_topk",
-    "pipeline_dedup_keep_best",
-    "fuzzy_name_match",
+    "text_analysis",
     "text_heavy_hitters",
     "vec_cosine_topk",
-    "vec_exact_near_dup",
-    "vec_lsh_portable",
-    "vec_bucketed_near_dup",
-    "vec_ivf_topk",
-    "vec_label_centroids",
-    "vec_topk_with_metadata",
-    "vec_quantize_int8",
-    "pipeline_snapshot_diff",
-    # -- never driver-checked, rows-only by design
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "vec_lsh_near_dup",
-    # -- changed this round (r02 row was err/stale)
-    "rel_approx_quantiles",
-    # -- new round-3 queries register here (keep total ≤ 50 before the tail)
+    "sample_train_split",
+    "skew_salted_join",
+    "decontam_ngram_overlap",
 )
 
 
@@ -124,7 +147,8 @@ def _ensure_loaded() -> None:
     )
 
     prioritized = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
-    tail = [n for n in REGISTRY if n not in set(prioritized)]
+    prioritized_set = set(prioritized)
+    tail = [n for n in REGISTRY if n not in prioritized_set]
     ordered = {n: REGISTRY[n] for n in (*prioritized, *tail)}
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -48,21 +48,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects outright. Read nanos as long and truncate to
-    microseconds — exactly what DuckDB's nanos→micros read does, so the
-    oracle sees identical instants."""
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-tz TIMESTAMP regardless of
+    how the parquet writer encoded it. The driver has regenerated
+    events.parquet with different physical types across rounds, so the
+    loader must accept every encoding it has ever shipped:
+
+    - INT64 TIMESTAMP(NANOS) read with ``nanosAsLong`` → LongType nanos.
+      ``ts div 1000`` truncates to micros with exact integer division
+      (``/ 1000`` would round-trip through DOUBLE's 53-bit mantissa and
+      corrupt ~2^60 nano-epoch values) — matching DuckDB's nanos→micros
+      read, so the oracle sees identical instants.
+    - ``timestamp[us]`` without timezone → TimestampNTZType. Cast to
+      TIMESTAMP: the session timezone is pinned UTC (session.py), so the
+      wall-clock micros are reinterpreted as UTC instants deterministically
+      — exactly how DuckDB treats a naive timestamp.
+    - tz-aware ``timestamp[us, UTC]`` → already TimestampType; no-op.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as STypes
 
+    dt = df.schema[col].dataType
+    if isinstance(dt, STypes.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, STypes.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(STypes.TimestampType()))
+    return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing ``ts`` to TIMESTAMP via
+    :func:`normalize_event_ts` (the testdata's physical encoding has varied
+    across driver rounds: INT64 nanos, then naive micros)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if isinstance(df.schema["ts"].dataType, STypes.LongType):
-        # `ts / 1000` would go through DOUBLE (53-bit mantissa) and corrupt
-        # nano-epoch values (~2^60); `div` is exact integer division.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

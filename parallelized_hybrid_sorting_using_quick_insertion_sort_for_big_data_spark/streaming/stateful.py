@@ -128,13 +128,13 @@ def run_user_profile_stream(
         n_chunks, "__c"
     ).drop("__c").write.mode("overwrite").parquet(stage_dir)
 
-    events = (
+    from ..sources.tables import normalize_event_ts
+
+    events = normalize_event_ts(
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
     )
-    if isinstance(events.schema["ts"].dataType, T.LongType):
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     out = user_profile_stream(events)
     try:

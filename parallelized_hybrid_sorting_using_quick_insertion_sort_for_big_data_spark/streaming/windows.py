@@ -20,7 +20,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as _types
+
+from ..sources.tables import normalize_event_ts
 
 _DEC = "decimal(27,8)"
 
@@ -100,10 +101,7 @@ def stream_tumbling_agg(
         os.makedirs(staged, exist_ok=True)
         shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
         source_dir = staged
-    events = spark.readStream.schema(schema).parquet(source_dir)
-    # nanos-as-long ts → truncate to micros (same as the batch loader)
-    if isinstance(events.schema["ts"].dataType, _types.LongType):
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "event_type")
@@ -156,9 +154,7 @@ def stream_static_enrich(
         os.makedirs(staged, exist_ok=True)
         shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
         source_dir = staged
-    events = spark.readStream.schema(schema).parquet(source_dir)
-    if isinstance(events.schema["ts"].dataType, _types.LongType):
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
     enriched = events.join(F.broadcast(dim), "user_id")
     agg = (
         enriched.withWatermark("ts", watermark)
@@ -214,13 +210,11 @@ def stream_dedup(
     os.makedirs(staged, exist_ok=True)
     for i in range(copies):
         shutil.copy(source_file, os.path.join(staged, f"copy{i}.parquet"))
-    events = (
+    events = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
     )
-    if isinstance(events.schema["ts"].dataType, _types.LongType):
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
     try:
         with stream_shuffle_partitions(spark):

@@ -81,7 +81,7 @@ def test_approx_quantiles_within_rank_error(spark):
 
     qs = entrymod.queries()
     approx = {
-        r["l_returnflag"]: r["approx_pcts"]
+        r["l_returnflag"]: (r["approx_p25"], r["approx_p50"], r["approx_p75"])
         for r in qs["rel_approx_quantiles"](spark, SF_DIR).collect()
     }
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
