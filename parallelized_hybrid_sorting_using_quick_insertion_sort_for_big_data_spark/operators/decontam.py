@@ -51,7 +51,16 @@ def contamination_stats(
     production path); ``False`` joins on the raw gram string so an external
     SQL engine can replay the computation exactly.
     """
-    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    # Hash ONLY non-null grams: ``xxhash64(NULL)`` returns the seed (a
+    # non-null LONG), so the explode_outer NULL marker for a doc shorter
+    # than ``n`` tokens would otherwise turn into a countable, joinable key
+    # — n_grams=1 instead of 0, and a spurious hit if a benchmark gram ever
+    # hashed to the seed. NULL must stay NULL through the key function.
+    key = (
+        (lambda c: F.when(c.isNotNull(), F.xxhash64(c)))
+        if hash_grams
+        else (lambda c: c)
+    )
 
     bench_grams = (
         benchmark.select(

@@ -735,6 +735,16 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    else:
+        # Exhausting max_rounds without the checksum stabilizing means the
+        # edge set never reached the star fixpoint — labels would be
+        # silently WRONG (some nodes still pointing at non-roots). Fail
+        # loudly; callers with adversarial graphs should raise max_rounds
+        # (convergence is O(log n) rounds, so 25 covers ~2^25 nodes).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds (rounds needed grow as O(log n))"
+        )
 
     # fixpoint: every edge is (member, root-of-component)
     roots = edges.select(F.col("v").alias("node")).distinct()

@@ -18,9 +18,9 @@ universe is far too large to groupBy:
 Versus a plain ``groupBy(col).count()``: the shuffle there carries one row
 per distinct value per partition (a token universe at 100 TB is billions);
 here the shuffle carries only candidate hits (< k per partition) and the
-candidate/total relations are kilobytes. Three column-pruned scans, zero
-driver-side actions (the total-row count rides the same lazy plan via a
-broadcast 1-row cross join).
+candidate/total relations are kilobytes. Two column-pruned scans of the
+input; the bounded candidate summary is collected once (no persist — a
+cached summary would outlive the query and leak blocks across a session).
 
 Arrow-batched ``value_counts`` does the local pruning vectorized — the
 per-partition distinct set is bounded by the partition size
@@ -72,20 +72,24 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
     vals = df.select(F.col(value_col).cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    summary = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).persist()
-    cand = summary.where(F.col("value").isNotNull()).select("value").distinct()
-    total = summary.agg(F.sum("part_rows").alias("__n"))
+    # The candidate summary is bounded-small BY CONSTRUCTION (< k survivor
+    # rows + 1 total row per partition), so one driver-side collect replaces
+    # the earlier persist() — which leaked cached blocks for the session
+    # because both downstream branches of a lazy plan referenced it and no
+    # safe unpersist point existed. At k=100 and 100k partitions this is
+    # ≤ 10M tiny rows; typical calls (k ≤ a few thousand) are kilobytes.
+    summary = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).collect()
+    total_n = sum(r.part_rows for r in summary)
+    cand_vals = sorted({r.value for r in summary if r.value is not None})
+    spark = df.sparkSession
+    cand = spark.createDataFrame([(v,) for v in cand_vals], "value string")
     exact = (
         vals.join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .where(F.col("n_occurrences") * k > F.col("__n"))
-        .select(
-            "value",
-            "n_occurrences",
-            F.round(F.col("n_occurrences") / F.col("__n"), 9).alias("support"),
-        )
+    return exact.where(F.col("n_occurrences") * k > F.lit(total_n)).select(
+        "value",
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.lit(total_n), 9).alias("support"),
     )

@@ -69,8 +69,12 @@ _SPREAD_STEPS = (
 
 def _spread16(col: Column) -> Column:
     """Spread the low 16 bits of ``col`` so bit i lands at position 2i.
-    Pure integer shifts/masks — exact in any engine."""
-    out = col.bitwiseAND(F.lit(0xFFFF))
+    Pure integer shifts/masks — exact in any engine.
+
+    The input is cast to LONG first: on IntegerType the spread reaches bit
+    31 (the int32 sign bit), flipping codes negative and disagreeing with
+    the all-BIGINT DuckDB mirror."""
+    out = col.cast("long").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD_STEPS:
         out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
     return out

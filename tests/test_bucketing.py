@@ -93,6 +93,36 @@ def test_zorder_code_known_values(spark):
     assert out == [0, 10, 9, 5, 2**32 - 1]
 
 
+def test_zorder_code_int32_inputs_nonnegative(spark):
+    """IntegerType inputs must produce the same codes as LONG: without the
+    internal long-cast the spread reaches the int32 sign bit and codes go
+    negative, disagreeing with the all-BIGINT DuckDB mirror."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(65535, 65535), (32768, 0), (0, 32768), (40000, 50000)], "x int, y int"
+    )
+    got = [
+        r["z"]
+        for r in df.select(bucketing.zorder_code(F.col("x"), F.col("y")).alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+    import duckdb
+
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT "
+            + bucketing.zorder_code_sql("CAST(x AS BIGINT)", "CAST(y AS BIGINT)")
+            + " FROM (VALUES (0, 32768), (32768, 0), (40000, 50000),"
+            " (65535, 65535)) AS t(x, y)"
+        ).fetchall()
+    ]
+    assert got == exp
+    assert all(z >= 0 for z in got)
+
+
 def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     """The point of the Morton curve: every output file covers a tight
     bounding box in BOTH dimensions, so min/max stats prune on either

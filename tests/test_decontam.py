@@ -52,6 +52,27 @@ def test_hash_and_raw_gram_paths_agree(spark):
     assert raw.exceptAll(fast).isEmpty() and fast.exceptAll(raw).isEmpty()
 
 
+def test_short_doc_hash_path_parity(spark):
+    """A doc shorter than n tokens must report n_grams=0 on BOTH paths:
+    xxhash64(NULL) returns the hash seed (non-null), so an unguarded hash
+    key would count the explode_outer NULL marker as a real gram."""
+    corpus = spark.createDataFrame(
+        [(1, "too short"), (2, "this document has plenty of tokens to form grams")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "completely unrelated benchmark material goes here today")],
+        "doc_id long, text string",
+    )
+    raw = {r["doc_id"]: r for r in decontam.contamination_stats(
+        corpus, bench, n=5, hash_grams=False).collect()}
+    fast = {r["doc_id"]: r for r in decontam.contamination_stats(
+        corpus, bench, n=5, hash_grams=True).collect()}
+    assert fast[1]["n_grams"] == 0 and fast[1]["n_overlap"] == 0
+    for d in (1, 2):
+        assert raw[d] == fast[d]
+
+
 def test_short_doc_yields_empty_grams(spark):
     df = spark.createDataFrame([("a b c",), ("",)], "text string")
     rows = df.select(decontam.word_ngrams(F.col("text"), 5).alias("g")).collect()

@@ -50,6 +50,16 @@ def test_support_fraction_and_threshold_strictness(spark):
     assert all(r["support"] == pytest.approx(0.25, abs=1e-9) for r in rows)
 
 
+def test_no_cached_blocks_leak(spark):
+    """heavy_hitters must leave nothing persisted: its old persist() of the
+    candidate summary leaked cached blocks for the whole session (measured
+    as later-query slowdowns in bench)."""
+    df = spark.createDataFrame([("x",)] * 50 + [("y",)] * 10, "token string")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    HH.heavy_hitters(df, "token", k=3).collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
 def test_nulls_ignored_and_k_validation(spark):
     df = spark.createDataFrame(
         [("x",)] * 9 + [(None,)] * 20, "token string"

@@ -222,6 +222,15 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert {r["component"] for r in got} == {0}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exit-by-exhaustion must raise, never return silently-wrong labels: a
+    long chain cannot reach its star fixpoint in 1 round."""
+    chain = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_rounds=1)
+
+
 def test_connected_components_ignores_self_loops_and_nulls(spark):
     rows = [(1, 1), (2, 3), (None, 4), (5, None)]
     df = spark.createDataFrame(rows, "id_a long, id_b long")
