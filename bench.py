@@ -269,7 +269,8 @@ def main() -> None:
     comparable = round(
         sum(t for k, t in times.items() if k in r01_keys and t > 0), 4
     )
-    out = {
+    calib_end = calibrate_ms()
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -282,11 +283,54 @@ def main() -> None:
         # a run whose calib numbers are multiples of another's measured the
         # hypervisor, not the engine
         "calib_ms_start": calib_start,
-        "calib_ms_end": calibrate_ms(),
+        "calib_ms_end": calib_end,
     }
     if run_grid:
-        out["grid"] = grid  # per-size speedup/efficiency over the P axis
-    print(json.dumps(out))
+        detail["grid"] = grid  # per-size speedup/efficiency over the P axis
+
+    # The driver keeps only the LAST ~2000 chars of output and parses them
+    # as JSON (BENCH_r02/r03 recorded `parsed: null` because the single
+    # ~7 KB line was truncated mid-structure). Emission contract:
+    #   1. the full detail goes to BENCH_DETAIL.json next to this script
+    #      (a persistent artifact) AND to an early stdout line for logs;
+    #   2. the FINAL stdout line is a compact summary guaranteed to fit the
+    #      capture window: headline totals, the comparable subtotal, calib
+    #      probes, and the slowest queries (2 dp) — everything needed to
+    #      audit a perf claim without the detail file.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    print(json.dumps(detail, separators=(",", ":")))
+
+    slowest = dict(
+        sorted(
+            ((k, round(t, 2)) for k, t in times.items() if t > 0),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "n_queries": sum(1 for t in times.values() if t > 0),
+        "n_failed": sum(1 for t in times.values() if t < 0),
+        "queries": slowest,  # the 15 slowest; full map in BENCH_DETAIL.json
+        "synthetic_total_sort_4m": times.get("synthetic_total_sort_4m"),
+        "r01_comparable_total": comparable,
+        "r01_comparable_baseline": 69.2,
+        "calib_ms_start": calib_start,
+        "calib_ms_end": calib_end,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # never exceed the driver's capture window
+        summary["queries"] = dict(list(slowest.items())[:5])
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -459,6 +459,7 @@ def bucketed_near_dup_pairs(
     round_digits: int | None = 9,
     n_rows: int | None = None,
     target_bucket_size: int = 128,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH-bucketed candidate generation + per-bucket blocked
     GEMM re-rank — the composition ``exact_near_dup_pairs_blocked``'s
@@ -482,19 +483,30 @@ def bucketed_near_dup_pairs(
     path): a matrix product amortizes per-pair cost to ~nothing, so bigger
     buckets mean fewer probe-replicated rows and fewer tiny numpy calls.
     Note the candidate set equals ``lsh_near_dup_pairs``'s only at equal
-    nbits — pass the same explicit nbits/target to compare the two."""
+    nbits — pass the same explicit nbits/target to compare the two.
+
+    ``planes``: an explicit literal plane table (``make_planes``) switches
+    signature derivation to ``lsh_signature_planes`` — same bucket/GEMM
+    topology, but the whole pipeline becomes reproducible by the generated
+    DuckDB oracle (``lsh_portable_oracle_sql``): candidates are exactly the
+    Hamming-distance-≤1 bucket pairs, re-rank is the same rounded cosine."""
     import pandas as pd
 
     from pyspark.storagelevel import StorageLevel
 
-    if nbits is None:
-        if n_rows is None:
-            n_rows = df.count()
-        nbits = choose_nbits(n_rows, target_bucket_size)
+    if planes is not None:
+        nbits = len(planes)
+        signed = lsh_signature_planes(df, planes, vec_col)
+    else:
+        if nbits is None:
+            if n_rows is None:
+                n_rows = df.count()
+            nbits = choose_nbits(n_rows, target_bucket_size)
+        signed = lsh_signature(df, vec_col, nbits, seed)
     S = max(1, sub_blocks)
 
     sig = (
-        lsh_signature(df, vec_col, nbits, seed)
+        signed
         .select(
             F.col(id_col).alias("__id"),
             _as_double(F.col(vec_col)).alias("__v"),

@@ -128,17 +128,24 @@ def vec_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_bucketed_near_dup", sql=None)
+@query("vec_bucketed_near_dup", sql=_LSH_PORTABLE_ORACLE)
 def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with LSH-bucketed candidates AND per-bucket GEMM
-    re-rank — the full corpus-scale composition: auto-scaled bucket count
-    (constant bucket population), logarithmic replication, one matrix
-    product per bucket group, no corpus-wide O(n·B) shuffle and no sizing
-    count() job. Rows-only here; pair-set equality with the LSH path and
-    recall vs exact are pytest-asserted."""
-    corpus, n = _dup_corpus(spark, sf_dir)
+    re-rank — the full corpus-scale composition: constant bucket
+    population, logarithmic replication, one matrix product per bucket
+    group, no corpus-wide O(n·B) shuffle and no sizing count() job.
+
+    Oracle-checked end-to-end via the SAME shared-literal plane table (and
+    therefore the same generated SQL) as ``vec_lsh_portable``: the two
+    queries are independent physical strategies (per-pair fold re-rank vs
+    per-bucket GEMM) that must produce the identical pair set and rounded
+    sims — the strongest equivalence check the harness can express. The
+    auto-scaled in-engine-signature form (``nbits=None``) remains the
+    production entry point and is exercised by ``vec_lsh_near_dup`` +
+    pytest pair-set/recall assertions."""
+    corpus, _ = _dup_corpus(spark, sf_dir)
     return similarity.bucketed_near_dup_pairs(
-        corpus, threshold=_NEARDUP_T, nbits=None, n_rows=n
+        corpus, threshold=0.95, planes=_PORTABLE_PLANES
     )
 
 
