@@ -329,6 +329,44 @@ WHERE CAST(agree AS DOUBLE) / {num_hashes} >= {threshold}
 """
 
 
+def minhash_sketch_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_signatures(..., portable=True)``
+    exploded to (id, sig_idx, minhash) rows — the sketch-materialization
+    oracle. Shares every constant with ``minhash_lsh_oracle_sql`` by
+    construction (same shingle CTE, base hash, and permutations)."""
+    p = _MH_PRIME
+    mins = ",\n         ".join(
+        f"min((h0 * {2 * j + 1} + {seed * 31 + j}) % {p}) AS h{j}"
+        for j in range(num_hashes)
+    )
+    sig_list = ", ".join(f"h{j}" for j in range(num_hashes))
+    return f"""
+WITH d AS (SELECT {id_col}, trim(lower({text_col})) AS t FROM {table}),
+idx AS (SELECT {id_col}, t,
+               unnest(generate_series(1, greatest(length(t) - {n - 1}, 1))) AS i
+        FROM d),
+sh AS (SELECT DISTINCT {id_col}, substr(t, CAST(i AS INT), {n}) AS shingle FROM idx),
+h AS (SELECT {id_col},
+             (CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) + {seed}) % {p} AS h0
+      FROM sh),
+sig AS (SELECT {id_col},
+         {mins}
+        FROM h GROUP BY {id_col}),
+lists AS (SELECT {id_col}, [{sig_list}] AS l FROM sig)
+SELECT {id_col},
+       CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS sig_idx,
+       unnest(l) AS minhash
+FROM lists
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

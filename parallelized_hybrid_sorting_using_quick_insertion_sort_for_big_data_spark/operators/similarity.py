@@ -306,6 +306,18 @@ def lsh_portable_near_dup_pairs(
     )
 
 
+def plane_bits_sql(planes: list[list[float]], vec_expr: str = "v") -> str:
+    """DuckDB expression assembling the literal-plane signature bucket from
+    ``vec_expr`` (DOUBLE[]): bit p = sign of the 9-rounded projection —
+    exactly what ``lsh_signature_planes`` computes."""
+    return " + ".join(
+        f"(CASE WHEN round(list_dot_product({vec_expr}, ["
+        + ", ".join(repr(c) for c in row)
+        + f"]), 9) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+
+
 def lsh_portable_oracle_sql(
     planes: list[list[float]],
     threshold: float,
@@ -317,12 +329,7 @@ def lsh_portable_oracle_sql(
     planes, same rounded-projection sign bits, candidates = bucket Hamming
     distance ≤ 1 (the multi-probe set), same rounded-cosine re-rank.
     Generated from the same plane table the Spark plan embeds."""
-    plane_bits = " + ".join(
-        "(CASE WHEN round(list_dot_product(v, ["
-        + ", ".join(repr(c) for c in row)
-        + f"]), 9) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p, row in enumerate(planes)
-    )
+    plane_bits = plane_bits_sql(planes)
     return f"""
 WITH corpus AS ({corpus_sql}),
 sig AS (SELECT {id_col}, v, {plane_bits} AS bucket FROM corpus)

@@ -124,6 +124,56 @@ def stream_tumbling_agg(
     return read_sink(spark, out_dir, agg.schema)
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization as a real Structured Streaming job: the
+    actual state-store session-merge path (``session_window`` over a
+    watermarked stream), not the batch planner's sort-based rewrite.
+
+    State shape at scale: the store holds OPEN sessions per user — sessions
+    whose latest event is within the watermark horizon; a session closes
+    (and its state is evicted) once the watermark passes its end. Complete
+    mode + overwrite-per-batch drains the full result for oracle parity
+    with the batch form (a production job runs append mode and emits each
+    session exactly once, on close)."""
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_ssess_{uuid.uuid4().hex[:8]}"
+    staged = None
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        staged = os.path.join(tempfile.gettempdir(), name + "_src")
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    events = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    try:
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(
+                agg, name, output_mode="complete", overwrite_each_batch=True
+            )
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, agg.schema)
+
+
 def stream_static_enrich(
     spark: SparkSession,
     source_dir: str,

@@ -106,6 +106,20 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
+@query("events_stream_sessionize", sql=_SESSION_ORACLE)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 30-minute-gap sessionization as events_sessionize, executed
+    as a real readStream job — the state-store session-merge path (open
+    sessions held per user, closed and evicted as the watermark passes).
+    Fully drained over the static replay, the stream result must equal the
+    batch form, so both share one oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return W.stream_sessionize(
+        spark, f"{sf_dir}/events.parquet", schema, gap="30 minutes", watermark="2 hours"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. JSON props extraction + aggregation
 # ---------------------------------------------------------------------------

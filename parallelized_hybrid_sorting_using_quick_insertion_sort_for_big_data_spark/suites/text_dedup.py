@@ -211,6 +211,26 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_minhash_doc_sketch",
+    sql=dedup.minhash_sketch_oracle_sql(n=_NGRAM_N, num_hashes=32, seed=42),
+)
+def text_minhash_doc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-document MinHash sketch: the portable 32-permutation
+    signature exploded to (doc_id, sig_idx, minhash) rows — the artifact a
+    pipeline persists so later corpora can be deduped AGAINST this one
+    without re-shingling it (cross-corpus / incremental dedup). One shuffle
+    (the per-doc min aggregation, map-side partial); every signature value
+    is hash-checked against the generated DuckDB mirror."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(
+        docs, n=_NGRAM_N, num_hashes=32, seed=42, portable=True
+    )
+    return sig.select(
+        "doc_id", F.posexplode("signature").alias("sig_idx", "minhash")
+    ).select("doc_id", F.col("sig_idx").cast("bigint").alias("sig_idx"), "minhash")
+
+
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 8 via the complete pigeonhole

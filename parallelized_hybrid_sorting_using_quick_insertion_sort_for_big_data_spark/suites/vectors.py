@@ -149,6 +149,70 @@ def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_RECALL_T = 0.95
+
+_ANN_RECALL_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VEC_SHIFT} AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (SELECT vec_id, v, {similarity.plane_bits_sql(_PORTABLE_PLANES)} AS bucket FROM corpus),
+exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 9) >= {_ANN_RECALL_T}
+),
+ann AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+  WHERE round(list_cosine_similarity(a.v, b.v), 9) >= {_ANN_RECALL_T}
+),
+counts AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM ann) AS n_ann,
+         (SELECT count(*) FROM exact JOIN ann USING (id_a, id_b)) AS n_hit
+)
+SELECT n_exact, n_ann, n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_exact, 1), 9) AS recall
+FROM counts
+"""
+
+
+@query("vec_ann_recall", sql=_ANN_RECALL_ORACLE)
+def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement — the pipeline-health query every ANN
+    deployment runs: exact near-dup pairs (blocked GEMM baseline) vs the
+    portable-LSH approximate pairs at the same threshold, reduced to one
+    row (n_exact, n_ann, n_hit, recall). Both sides and the set
+    intersection are recomputed independently by the DuckDB oracle. At
+    corpus scale the exact side runs on a SAMPLE; here the full corpus is
+    small enough to measure recall exactly."""
+    corpus, n = _dup_corpus(spark, sf_dir)
+    exact = similarity.exact_near_dup_pairs_blocked(
+        corpus, threshold=_ANN_RECALL_T, n_rows=n
+    ).select("id_a", "id_b")
+    ann = similarity.lsh_portable_near_dup_pairs(
+        corpus, _PORTABLE_PLANES, threshold=_ANN_RECALL_T
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    a = ann.agg(F.count(F.lit(1)).alias("n_ann"))
+    h = exact.join(ann, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(a)
+        .crossJoin(h)
+        .select(
+            "n_exact",
+            "n_ann",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 9
+            ).alias("recall"),
+        )
+    )
+
+
 # IVF oracle: rebuild the SAME rounded decimal centroids, assign each
 # vector to its rounded-argmax cell (ties -> lowest cell, mirroring the
 # struct-max), probe the 2 best cells per query, exact-rank inside them.

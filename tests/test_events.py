@@ -66,6 +66,16 @@ def test_stream_equals_batch(spark):
     assert len(batch) > 0
 
 
+def test_stream_sessionize_equals_batch(spark):
+    """The state-store session merge, fully drained over a static replay,
+    must produce exactly the batch session_window result."""
+    qs = entrymod.queries()
+    batch = {tuple(r) for r in qs["events_sessionize"](spark, SF_DIR).collect()}
+    stream = {tuple(r) for r in qs["events_stream_sessionize"](spark, SF_DIR).collect()}
+    assert batch == stream
+    assert len(batch) > 0
+
+
 def test_stream_dedup_restores_single_copy(spark):
     """Row-level pin (stronger than the aggregate oracle): deduping a
     twice-staged source through the state store yields exactly the distinct
