@@ -329,6 +329,118 @@ WHERE CAST(agree AS DOUBLE) / {num_hashes} >= {threshold}
 """
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    the MOSS scheme): hash every char ``k``-gram, then from each window of
+    ``w`` consecutive k-gram hashes select the minimum (rightmost on ties),
+    dedup the selections. Output: (id, pos, fingerprint) — ``pos`` is the
+    1-based k-gram position the fingerprint was taken from.
+
+    Guarantee: any shared substring of length ≥ k + w - 1 between two
+    documents yields at least one shared fingerprint — the local, position-
+    robust containment detector (plagiarism / quote / near-dup span
+    detection), complementary to MinHash's whole-document Jaccard.
+
+    Scale shape: O(len · w) per-row JVM array arithmetic, fingerprints
+    deduped per row with ``array_distinct`` BEFORE the explode — ZERO
+    shuffle end to end. The md5-prefix hash keeps every value reproducible
+    in any SQL engine (``winnow_oracle_sql``)."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    t = F.trim(F.lower(F.col(text_col)))
+    prepared = df.select(F.col(id_col), t.alias("__t"))
+    prepared = prepared.withColumn(
+        "__hs",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))),
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("__t").substr(i, F.lit(k))), 1, 8), 16, 10
+                ).cast("long")
+                + F.lit(seed),
+                F.lit(_MH_PRIME),
+            ),
+        ),
+    )
+    n = F.size(F.col("__hs"))
+    win_len = F.least(F.lit(w), n)
+    starts = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+
+    def pick(j):
+        sl = F.slice(F.col("__hs"), j, win_len)
+        min_h = F.array_min(sl)
+        rel = F.array_max(
+            F.zip_with(
+                sl,
+                F.sequence(F.lit(1), F.size(sl)),
+                lambda h, idx: F.when(h == min_h, idx).otherwise(F.lit(0)),
+            )
+        )
+        return F.struct((j - 1 + rel).cast("bigint").alias("pos"), min_h.alias("fp"))
+
+    selected = F.array_distinct(F.transform(starts, pick))
+    return (
+        prepared.select(F.col(id_col), F.explode(selected).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.fp").alias("fingerprint"),
+        )
+    )
+
+
+def winnow_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB SQL reproducing :func:`winnow_fingerprints` exactly (same
+    md5-prefix hashes, same rightmost-min window rule, same dedup)."""
+    p = _MH_PRIME
+    return f"""
+WITH d AS (SELECT {id_col}, trim(lower({text_col})) AS t FROM {table}),
+hs AS (
+  SELECT {id_col},
+         list_transform(
+           generate_series(1, greatest(length(t) - {k - 1}, 1)),
+           i -> (CAST('0x' || substr(md5(substr(t, CAST(i AS INT), {k})), 1, 8) AS BIGINT)
+                 + {seed}) % {p}
+         ) AS h
+  FROM d
+),
+wins AS (
+  SELECT {id_col}, h,
+         unnest(generate_series(1, greatest(len(h) - {w - 1}, 1))) AS j
+  FROM hs
+),
+sel AS (
+  SELECT {id_col}, j,
+         h[CAST(j AS INT):CAST(j + least({w}, len(h)) - 1 AS INT)] AS sl
+  FROM wins
+),
+pick AS (
+  SELECT {id_col},
+         CAST(j - 1 + list_max(list_transform(generate_series(1, len(sl)),
+              idx -> CASE WHEN sl[CAST(idx AS INT)] = list_min(sl)
+                          THEN idx ELSE 0 END)) AS BIGINT) AS pos,
+         list_min(sl) AS fingerprint
+  FROM sel
+)
+SELECT DISTINCT {id_col}, pos, fingerprint FROM pick
+"""
+
+
 def minhash_sketch_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",

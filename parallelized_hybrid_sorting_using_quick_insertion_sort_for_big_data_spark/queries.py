@@ -111,11 +111,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_sessionize",
     "text_minhash_doc_sketch",
     "vec_ann_recall",
+    "text_winnow_fingerprints",
     # -- sentinels: one r03-green query per suite/table kept inside the
     #    checked window so a testdata or engine regression in a "settled"
     #    area is still caught (ADVICE r03: never leave a suite unwatched)
     "sort_total_lineitem",
-    "sort_hybrid_quickinsertion",
     "dedup_exact",
     "dedup_minhash_portable",
     "text_analysis",

@@ -231,6 +231,20 @@ def text_minhash_doc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("sig_idx").cast("bigint").alias("sig_idx"), "minhash")
 
 
+@query(
+    "text_winnow_fingerprints",
+    sql=dedup.winnow_oracle_sql(k=_NGRAM_N, w=4, seed=42),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): rolling k-gram hash + rightmost-min
+    selection per w-window, deduped per doc BEFORE the explode — zero
+    shuffle end to end. Detects shared SPANS (quotes, plagiarized passages)
+    position-robustly, complementary to MinHash's whole-doc Jaccard; every
+    (pos, fingerprint) row hash-checked against the generated mirror."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=_NGRAM_N, w=4, seed=42)
+
+
 @query("dedup_simhash", sql=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 8 via the complete pigeonhole

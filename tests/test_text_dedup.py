@@ -222,6 +222,46 @@ def test_connected_components_chain_converges_in_log_rounds(spark):
     assert {r["component"] for r in got} == {0}
 
 
+def test_winnow_known_values_and_coverage(spark):
+    """Winnowing invariants on a crafted doc: every w-window of k-gram
+    hashes contributes a selected fingerprint (the coverage guarantee),
+    positions are in range, and two docs sharing a long substring share at
+    least one fingerprint (the MOSS detection property)."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAAA {shared} BBBB"),
+            (2, f"zzz {shared} qqq"),
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    k, w = 8, 4
+    fps = dedup.winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    # shared substring len >= k + w - 1 => guaranteed shared fingerprint VALUE
+    f1 = {f for _, f in by_doc[1]}
+    f2 = {f for _, f in by_doc[2]}
+    f3 = {f for _, f in by_doc[3]}
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
+    # coverage: consecutive selected positions differ by at most w
+    for d in (1, 2, 3):
+        poss = sorted(p for p, _ in by_doc[d])
+        assert poss[0] <= w
+        assert all(b - a <= w for a, b in zip(poss, poss[1:]))
+
+
+def test_winnow_short_doc_single_window(spark):
+    """A doc shorter than k chars still yields exactly one fingerprint
+    (one whole-text gram, one window)."""
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    rows = dedup.winnow_fingerprints(docs, k=8, w=4).collect()
+    assert len(rows) == 1 and rows[0]["pos"] == 1
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """Exit-by-exhaustion must raise, never return silently-wrong labels: a
     long chain cannot reach its star fixpoint in 1 round."""
