@@ -254,6 +254,17 @@ def test_winnow_known_values_and_coverage(spark):
         assert all(b - a <= w for a, b in zip(poss, poss[1:]))
 
 
+def test_winnow_zero_shuffle_plan(spark):
+    """Winnowing is pure per-row array work: the plan must contain no
+    Exchange (the per-doc dedup happens in array_distinct, not a shuffle)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+        inspect as PI,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert PI.count_exchanges(dedup.winnow_fingerprints(docs)) == 0
+
+
 def test_winnow_short_doc_single_window(spark):
     """A doc shorter than k chars still yields exactly one fingerprint
     (one whole-text gram, one window)."""
