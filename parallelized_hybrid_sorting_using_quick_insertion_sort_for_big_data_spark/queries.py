@@ -109,6 +109,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_bucketed_near_dup",
     # -- new round-4 queries register here (keep total ≤ 50 before sentinels)
     "events_stream_sessionize",
+    "events_stream_stream_join",
     "text_minhash_doc_sketch",
     "vec_ann_recall",
     "text_winnow_fingerprints",
@@ -120,7 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_portable",
     "text_analysis",
     "text_heavy_hitters",
-    "vec_cosine_topk",
     "sample_train_split",
     "skew_salted_join",
     "decontam_ngram_overlap",

@@ -226,6 +226,68 @@ def stream_static_enrich(
     return read_sink(spark, out_dir, agg.schema)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    source_file: str,
+    schema,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    tolerance: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream inner join: two watermarked streaming relations (two
+    independent readers over the replay) joined on user_id with a bounded
+    event-time constraint — right events in the ``tolerance`` window at or
+    before each left event.
+
+    This is the join shape with state on BOTH sides: each side buffers rows
+    until the other side's watermark plus the time bound proves no further
+    match can arrive, then evicts — the two watermarks AND the range
+    condition are what make the state finite, which is why Spark requires
+    the time constraint in the join condition for cleanup. Without the
+    bound the buffers grow forever on an unbounded stream. Append mode:
+    each matched pair is emitted exactly once."""
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_ssjoin_{uuid.uuid4().hex[:8]}"
+    staged = os.path.join(tempfile.gettempdir(), name + "_src")
+    os.makedirs(staged, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    shutil.copy(source_file, os.path.join(staged, os.path.basename(source_file)))
+
+    def side(event_type: str, prefix: str):
+        return (
+            normalize_event_ts(spark.readStream.schema(schema).parquet(staged))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", watermark)
+        )
+
+    left = side(left_type, "l")
+    right = side(right_type, "r")
+    joined = left.join(
+        right,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"interval {tolerance}"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("delta_us"),
+    )
+    try:
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(joined, name, output_mode="append")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, joined.schema)
+
+
 def stream_dedup(
     spark: SparkSession,
     source_file: str,

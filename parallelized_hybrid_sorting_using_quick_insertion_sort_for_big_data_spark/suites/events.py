@@ -253,6 +253,37 @@ def events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSJOIN_US = 10 * 60 * 1_000_000
+
+_SSJOIN_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND {_SSJOIN_US}
+"""
+
+
+@query("events_stream_stream_join", sql=_SSJOIN_ORACLE)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join (state on BOTH sides): purchases joined to
+    same-user clicks within the 10 minutes before them, both sides
+    watermarked — the watermarks + time bound are what let Spark evict
+    buffered rows, keeping state finite on an unbounded stream. Fully
+    drained over the static replay, the append-mode output must equal the
+    batch range join (the oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return W.stream_stream_join(
+        spark, f"{sf_dir}/events.parquet", schema,
+        left_type="purchase", right_type="click",
+        tolerance="10 minutes", watermark="2 hours",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Temporal joins: as-of (last click before each purchase) + bounded range
 #    (error/click pairs within 10 minutes)

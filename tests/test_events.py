@@ -76,6 +76,39 @@ def test_stream_sessionize_equals_batch(spark):
     assert len(batch) > 0
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Two watermarked streams joined with a time bound, fully drained,
+    must equal the batch range join exactly."""
+    from pyspark.sql import functions as F
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    qs = entrymod.queries()
+    stream = {tuple(r) for r in qs["events_stream_stream_join"](spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    batch = {
+        tuple(r)
+        for r in p.join(
+            c,
+            (p["user_id"] == c["c_user"])
+            & ((p["p_us"] - c["c_us"]).between(0, 10 * 60 * 1_000_000)),
+        )
+        .select("purchase_id", "click_id", "user_id", (F.col("p_us") - F.col("c_us")).alias("delta_us"))
+        .collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
+
+
 def test_stream_dedup_restores_single_copy(spark):
     """Row-level pin (stronger than the aggregate oracle): deduping a
     twice-staged source through the state store yields exactly the distinct
