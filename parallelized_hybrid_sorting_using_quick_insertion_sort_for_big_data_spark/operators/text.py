@@ -150,6 +150,60 @@ def quality_score(text: Column) -> Column:
     return (length_term * 0.4 + stop_term * 0.3 + punct_term * 0.3).cast("double")
 
 
+def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, detected_lang, punct_ratio, mean_token_len, quality,
+    fingerprint) with the token array built ONCE per row.
+
+    Same staging rationale as :func:`repetition_metrics`: the scalar Column
+    helpers each re-tokenize internally (~10 regex extractions per row in
+    the naive single projection, since no codegen subexpression elimination
+    reaches higher-order functions). Stages: tokenize once → reduce the
+    array to scalar counts (marker hits, sizes) → assemble the metrics from
+    cheap attribute references. Expression shapes match the scalar helpers
+    exactly, so results (and the generated oracles) are bit-identical."""
+    t = F.col(text_col)
+    s1 = df.select(F.col(id_col), t.alias("__text"), tokens(t).alias("__toks"))
+    toks = F.col("__toks")
+    s2 = s1.select(
+        F.col(id_col),
+        F.size(toks).alias("__nt"),
+        *[
+            _marker_hits(toks, LANG_MARKERS[lang]).alias(f"__{lang}")
+            for lang in ("en", "de", "es", "fr")
+        ],
+        F.length(F.array_join(toks, "")).alias("__ttl"),
+        punct_ratio(F.col("__text")).alias("__punct"),
+        (F.regexp_count(F.col("__text"), F.lit(CJK_RE)) > 0).alias("__cjk"),
+        fingerprint_md5(F.col("__text")).alias("fingerprint"),
+    )
+    en, de, es, fr = (F.col(f"__{lang}") for lang in ("en", "de", "es", "fr"))
+    n_tok_d = F.col("__nt").cast("bigint").cast("double")
+    length_term = F.least(n_tok_d / F.lit(100.0), F.lit(1.0))
+    stop_ratio = en.cast("double") / F.greatest(F.col("__nt"), F.lit(1)).cast("double")
+    stop_term = F.least(stop_ratio * 4.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - F.col("__punct") * 5.0, F.lit(0.0))
+    return s2.select(
+        F.col(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        (
+            F.when(F.col("__cjk"), "zh")
+            .when((en >= de) & (en >= es) & (en >= fr), "en")
+            .when((de >= es) & (de >= fr), "de")
+            .when(es >= fr, "es")
+            .otherwise("fr")
+        ).alias("detected_lang"),
+        F.col("__punct").alias("punct_ratio"),
+        (
+            F.col("__ttl").cast("double")
+            / F.greatest(F.col("__nt"), F.lit(1)).cast("double")
+        ).alias("mean_token_len"),
+        (length_term * 0.4 + stop_term * 0.3 + punct_term * 0.3)
+        .cast("double")
+        .alias("quality"),
+        "fingerprint",
+    )
+
+
 def quality_score_sql(text_expr: str) -> str:
     t = text_expr
     n_tok = f"CAST(len(regexp_extract_all(lower({t}), '{TOKEN_RE}')) AS DOUBLE)"

@@ -37,18 +37,10 @@ FROM documents
 
 @query("text_analysis", sql=_ANALYSIS_ORACLE)
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text metrics — one narrow JVM-side pass, no shuffle."""
+    """Per-document text metrics — one narrow JVM-side pass, no shuffle,
+    tokenized ONCE per row (staged projections; see text.text_metrics)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        T.token_count(t).alias("n_tokens"),
-        T.lang_id(t).alias("detected_lang"),
-        T.punct_ratio(t).alias("punct_ratio"),
-        T.mean_token_len(t).alias("mean_token_len"),
-        T.quality_score(t).alias("quality"),
-        T.fingerprint_md5(t).alias("fingerprint"),
-    )
+    return T.text_metrics(docs)
 
 
 # ---------------------------------------------------------------------------
