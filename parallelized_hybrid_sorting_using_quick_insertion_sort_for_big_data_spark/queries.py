@@ -111,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_sessionize",
     "events_stream_stream_join",
     "text_minhash_doc_sketch",
+    "dedup_incremental_minhash",
     "vec_ann_recall",
     "text_winnow_fingerprints",
     # -- sentinels: one r03-green query per suite/table kept inside the
@@ -118,7 +119,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    area is still caught (ADVICE r03: never leave a suite unwatched)
     "sort_total_lineitem",
     "dedup_exact",
-    "dedup_minhash_portable",
     "text_analysis",
     "text_heavy_hitters",
     "sample_train_split",

@@ -203,6 +203,50 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_SHIFT = 2_000_000
+_BATCH_MOD = 23
+
+_INCR_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_BATCH_SHIFT} AS doc_id, text FROM documents
+  WHERE doc_id % {_BATCH_MOD} = 0
+) corpus"""
+
+_INCR_ORACLE = f"""
+SELECT id_a AS base_id, id_b AS batch_id, est_jaccard
+FROM ({dedup.minhash_lsh_oracle_sql(table=_INCR_CORPUS_SQL, num_hashes=32, bands=8, threshold=0.5, seed=42)})
+WHERE id_a < {_BATCH_SHIFT} AND id_b >= {_BATCH_SHIFT}
+"""
+
+
+@query("dedup_incremental_minhash", sql=_INCR_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the reason a pipeline persists
+    MinHash sketches: a NEW batch of documents (here a deterministic
+    re-crawl: every 23rd doc, re-idded) is minhashed and band-joined
+    against the existing corpus's signatures, so only the batch is
+    shingled per increment; the historical lake is never re-read beyond
+    its stored sketch (this demo recomputes the base signatures inline
+    because the testdata has no sketch store — topology identical).
+    Output: (base_id, batch_id, est_jaccard) links at est-Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % _BATCH_MOD == 0).select(
+        (F.col("doc_id") + _BATCH_SHIFT).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(batch)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=32, bands=8, threshold=0.5, seed=42, portable=True
+    )
+    return pairs.where(
+        (F.col("id_a") < _BATCH_SHIFT) & (F.col("id_b") >= _BATCH_SHIFT)
+    ).select(
+        F.col("id_a").alias("base_id"),
+        F.col("id_b").alias("batch_id"),
+        "est_jaccard",
+    )
+
+
 @query(
     "text_minhash_doc_sketch",
     sql=dedup.minhash_sketch_oracle_sql(n=_NGRAM_N, num_hashes=32, seed=42),
