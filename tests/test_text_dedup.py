@@ -17,6 +17,9 @@ ORACLE_QUERIES = [
     "text_token_frequency",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "text_minhash_doc_sketch",
+    "dedup_incremental_minhash",
+    "text_winnow_fingerprints",
 ]
 
 
