@@ -336,6 +336,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     seed: int = 42,
+    strategy: str = "pandas",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
@@ -349,12 +350,27 @@ def winnow_fingerprints(
     robust containment detector (plagiarism / quote / near-dup span
     detection), complementary to MinHash's whole-document Jaccard.
 
-    Scale shape: O(len · w) per-row JVM array arithmetic, fingerprints
-    deduped per row with ``array_distinct`` BEFORE the explode — ZERO
-    shuffle end to end. The md5-prefix hash keeps every value reproducible
-    in any SQL engine (``winnow_oracle_sql``)."""
+    Scale shape: the k-gram hash array is built with JVM built-ins (md5 —
+    reproducible in any SQL engine, see ``winnow_oracle_sql``); the window
+    selection is O(len · w) per row. Fingerprints dedup per row BEFORE the
+    explode — ZERO shuffle end to end, both strategies.
+
+    ``strategy``:
+    - ``"pandas"`` (default): the selection runs as an Arrow-batched
+      ``mapInPandas`` over (id, hash-array) rows — numpy sliding-window
+      min over position-encoded keys. Higher-order-function expressions
+      are interpreted (no whole-stage codegen), so the per-window
+      slice/fold machinery costs ~10 s at sf0.1 where the numpy kernel
+      costs ~1 s; this is the sanctioned escape hatch: JVM built-ins for
+      what they express well (the scan + hashes), a vectorized kernel for
+      the part they don't.
+    - ``"expr"``: pure built-in expressions end to end (the SQL-portable
+      reference form). Byte-identical output — equality is pytest-pinned.
+    """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    if strategy not in ("pandas", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     t = F.trim(F.lower(F.col(text_col)))
     prepared = df.select(F.col(id_col), t.alias("__t"))
     prepared = prepared.withColumn(
@@ -369,7 +385,11 @@ def winnow_fingerprints(
                 F.lit(_MH_PRIME),
             ),
         ),
-    )
+    ).select(F.col(id_col), "__hs")
+
+    if strategy == "pandas":
+        return _winnow_select_pandas(prepared, id_col, w)
+
     n = F.size(F.col("__hs"))
     win_len = F.least(F.lit(w), n)
     starts = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
@@ -395,6 +415,45 @@ def winnow_fingerprints(
             F.col("__s.fp").alias("fingerprint"),
         )
     )
+
+
+def _winnow_select_pandas(prepared: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Window-minimum selection as a vectorized numpy kernel over Arrow
+    batches of (id, hash-array) rows. Rightmost-min tie rule via position-
+    encoded keys: key = h·2^21 + (2^21−1−pos); min key ⇒ min hash, then
+    max pos. Hashes < 2^31 and positions < 2^21 keep keys < 2^52 (exact
+    in int64 and under any float round-trip)."""
+    import pandas as pd
+
+    pos_bits = 21
+    pos_mod = 1 << pos_bits
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_id, out_pos, out_fp = [], [], []
+            for doc, hs in zip(pdf[id_col].to_numpy(), pdf["__hs"].to_numpy()):
+                h = np.asarray(hs, dtype=np.int64)
+                n = len(h)
+                if n == 0:
+                    continue
+                if n >= pos_mod:
+                    raise ValueError(
+                        f"document too long for winnow position encoding: {n}"
+                    )
+                keys = h * pos_mod + (pos_mod - 1 - np.arange(1, n + 1))
+                we = min(w, n)
+                wins = np.lib.stride_tricks.sliding_window_view(keys, we)
+                mins = np.unique(wins.min(axis=1))
+                out_id.extend([doc] * len(mins))
+                out_pos.extend((pos_mod - 1 - (mins % pos_mod)).tolist())
+                out_fp.extend((mins // pos_mod).tolist())
+            yield pd.DataFrame(
+                {id_col: out_id, "pos": out_pos, "fingerprint": out_fp}
+            ).astype({id_col: "int64", "pos": "int64", "fingerprint": "int64"})
+
+    return prepared.mapInPandas(gen, f"{id_col} bigint, pos bigint, fingerprint bigint")
 
 
 def winnow_oracle_sql(
