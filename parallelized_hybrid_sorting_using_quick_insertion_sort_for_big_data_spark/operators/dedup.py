@@ -937,7 +937,11 @@ def connected_components(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the checksum aggregate right below is the materializing
+            # action, so each round pays ONE job (checkpoint + convergence
+            # check together) instead of two — on small edge sets the loop
+            # is job-overhead-bound, not data-bound
+            .localCheckpoint(eager=False)
         )
 
         cur = _checksum(edges)
