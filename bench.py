@@ -121,6 +121,10 @@ def main() -> None:
     grid_sizes = (1_000, 50_000, 100_000, 1_000_000, 2_000_000, 4_000_000)
     grid_procs = (1, 4, 8, 16, 24)
     run_grid = os.environ.get("SPARK_GRAFT_BENCH_GRID", "1") != "0"
+    # single-shot cells on this shared microVM flap 2-3× between identical
+    # runs (hypervisor steal, GC); the recorded cell time is the MEDIAN of
+    # N reps so a one-off stall can't masquerade as a perf regression
+    grid_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     grid: dict[str, dict[str, dict[str, float]]] = {}
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if run_grid:
@@ -130,23 +134,29 @@ def main() -> None:
                 spark.conf.set("spark.sql.shuffle.partitions", str(p))
                 # one failed cell must not cost the driver the whole JSON
                 # line (same contract as the registry loop below)
-                try:
-                    t = timed(
-                        lambda: materialize(
-                            sorting.total_sort(
-                                datagen.seeded_ints(
-                                    spark, size, modulus=datagen.DIST_B_MOD,
-                                    seed=42, num_partitions=p,
-                                ),
-                                ["value", "id"],
+                reps: list[float] = []
+                for _ in range(grid_reps):
+                    try:
+                        reps.append(
+                            timed(
+                                lambda: materialize(
+                                    sorting.total_sort(
+                                        datagen.seeded_ints(
+                                            spark, size, modulus=datagen.DIST_B_MOD,
+                                            seed=42, num_partitions=p,
+                                        ),
+                                        ["value", "id"],
+                                    )
+                                )
                             )
                         )
-                    )
-                except Exception as exc:
-                    t = -1.0
-                    print(f"bench grid n{size} p{p} failed: {exc}", file=sys.stderr)
+                    except Exception as exc:
+                        reps.append(-1.0)
+                        print(f"bench grid n{size} p{p} failed: {exc}", file=sys.stderr)
+                ok_reps = sorted(r for r in reps if r > 0)
+                t = ok_reps[len(ok_reps) // 2] if ok_reps else -1.0
                 times[f"grid_total_sort_n{size}_p{p}"] = t
-                cell[f"p{p}"] = {"sec": t}
+                cell[f"p{p}"] = {"sec": t, "reps": reps}
             t1 = cell["p1"]["sec"]
             for p in grid_procs:
                 tp = cell[f"p{p}"]["sec"]
