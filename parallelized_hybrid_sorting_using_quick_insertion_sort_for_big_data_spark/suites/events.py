@@ -1,6 +1,9 @@
 """Extension-layer queries: event-time analytics over `events` (SURVEY §2c)
-— tumbling windows, sessionization, JSON props — plus the Structured
-Streaming form (rows-only; equality with the batch form is pytest-asserted).
+— tumbling/sliding windows, sessionization, JSON props, temporal joins —
+plus the Structured Streaming forms (tumbling, sessionization, dedup,
+stream–static enrich, stream–stream join, custom stateful), each fully
+drained over the static replay and oracle-checked against its batch
+equivalent (stream==batch equality additionally pytest-asserted).
 """
 
 from __future__ import annotations
