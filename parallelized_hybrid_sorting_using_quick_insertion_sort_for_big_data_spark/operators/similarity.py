@@ -658,6 +658,90 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd's algorithm) — the production
+    IVF codebook builder (``centroid_vectors`` over a label column is the
+    degenerate no-iteration form). Returns (cell, centroid array<double>).
+
+    Determinism + engine portability by construction, so the WHOLE
+    iterative fit is oracle-checkable:
+    - init = the ``k`` lowest-id vectors (no RNG);
+    - assignment = argmax of the 9-rounded cosine, exact ties to the
+      LOWEST cell (struct-max, mirrored by ORDER BY sim DESC, cell);
+    - centroid update = decimal-exact per-dimension mean rounded to 9
+      (order-independent across partitionings and engines).
+
+    Scale shape per iteration: the codebook is broadcast (k·dim doubles),
+    assignment is map-side argmax over the corpus (no corpus shuffle), and
+    the update shuffles only (cell, dim) partial sums — the standard
+    k-means-on-Spark topology. Cells that lose all members drop out (both
+    engines aggregate only over occupied cells)."""
+    cents = df.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col, round_digits)
+        cents = centroid_vectors(assigned, label_col="cell", vec_col=vec_col)
+    return cents
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing :func:`kmeans_fit` exactly — the ``iters``
+    Lloyd rounds unrolled as (assign, update) CTE pairs, emitted as
+    (cell, dim_idx, centroid) rows. Generated, so constants and tie rules
+    can never drift from the Spark side."""
+    ctes = [
+        f"e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
+        f"c0 AS (SELECT {id_col} AS cell, v AS cv FROM e WHERE {id_col} < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (
+  SELECT {id_col}, v, cell FROM (
+    SELECT e.{id_col}, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cell
+           ) AS rn
+    FROM e, {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT cell, list(cc ORDER BY i) AS cv FROM (
+    SELECT cell, i,
+           round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 9) AS cc
+    FROM (SELECT cell, unnest(generate_series(1, len(v))) AS i, v FROM a{it})
+    GROUP BY cell, i
+  ) GROUP BY cell
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT cell,
+       CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim_idx,
+       unnest(cv) AS centroid
+FROM c{iters}
+"""
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus_assigned: DataFrame,

@@ -113,6 +113,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_minhash_doc_sketch",
     "dedup_incremental_minhash",
     "vec_ann_recall",
+    "vec_kmeans_centroids",
     "text_winnow_fingerprints",
     # -- sentinels: one r03-green query per suite/table kept inside the
     #    checked window so a testdata or engine regression in a "settled"
@@ -120,7 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_total_lineitem",
     "dedup_exact",
     "text_analysis",
-    "text_heavy_hitters",
     "sample_train_split",
     "skew_salted_join",
     "decontam_ngram_overlap",

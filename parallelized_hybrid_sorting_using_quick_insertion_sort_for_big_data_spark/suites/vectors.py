@@ -276,6 +276,21 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, assigned, cents, k=_K, nprobe=2)
 
 
+@query("vec_kmeans_centroids", sql=similarity.kmeans_oracle_sql(k=8, iters=3))
+def vec_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means codebook (k=8, 3 Lloyd rounds) over the
+    embeddings — the production IVF build path (vec_ivf_topk's label
+    codebook is the no-iteration stand-in). Every Lloyd round is
+    reproduced by the generated DuckDB oracle (unrolled assign/update
+    CTEs), so the full ITERATIVE fit is value-hash-checked, not just the
+    final aggregation shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    return cents.select(
+        "cell", F.posexplode("centroid").alias("dim_idx", "centroid")
+    ).select("cell", F.col("dim_idx").cast("bigint").alias("dim_idx"), "centroid")
+
+
 _CENTROID_ORACLE = """
 WITH e AS (
   SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -16,6 +16,8 @@ ORACLE_QUERIES = [
     "vec_exact_near_dup",
     "vec_label_centroids",
     "vec_lsh_portable",
+    "vec_kmeans_centroids",
+    "vec_ann_recall",
 ]
 
 
@@ -116,6 +118,34 @@ def test_ivf_finds_planted_twin(spark, emb):
     assert len(top) == 5
     for r in top:
         assert r["vec_id"] == r["q_id"] + 50_000 and r["sim"] == 1.0
+
+
+def test_kmeans_improves_on_init_and_is_deterministic(spark, emb):
+    """Lloyd iterations must not WORSEN the mean assignment similarity vs
+    the raw init codebook, and the fit is a pure function of the input."""
+    from pyspark.sql import functions as F
+
+    def mean_sim(cents):
+        assigned = similarity.ivf_assign(emb, cents)
+        joined = assigned.join(
+            F.broadcast(cents.select(F.col("cell"), F.col("centroid"))), "cell"
+        )
+        sim = similarity.cosine(
+            F.col("embedding").cast("array<double>"), F.col("centroid")
+        )
+        return joined.agg(F.avg(sim)).first()[0]
+
+    init = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").cast("array<double>").alias("centroid")
+    )
+    fit = similarity.kmeans_fit(emb, k=8, iters=3)
+    assert mean_sim(fit) >= mean_sim(init) - 1e-9
+    a = {(r["cell"], tuple(r["centroid"])) for r in fit.collect()}
+    b = {
+        (r["cell"], tuple(r["centroid"]))
+        for r in similarity.kmeans_fit(emb, k=8, iters=3).collect()
+    }
+    assert a == b and len(a) > 0
 
 
 def test_lsh_signature_deterministic(spark, emb):
