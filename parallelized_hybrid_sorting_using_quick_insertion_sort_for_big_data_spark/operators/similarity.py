@@ -692,17 +692,17 @@ def kmeans_fit(
     return cents
 
 
-def kmeans_oracle_sql(
+def kmeans_ctes_sql(
     k: int = 8,
     iters: int = 3,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """DuckDB SQL reproducing :func:`kmeans_fit` exactly — the ``iters``
-    Lloyd rounds unrolled as (assign, update) CTE pairs, emitted as
-    (cell, dim_idx, centroid) rows. Generated, so constants and tie rules
-    can never drift from the Spark side."""
+    """The WITH-body CTE chain for the unrolled Lloyd rounds: ``e`` (the
+    corpus as (id, v DOUBLE[])), ``c0`` (init) through ``c{iters}`` (the
+    final codebook as (cell, cv)). Shared by the codebook oracle and the
+    k-means IVF serving oracle."""
     ctes = [
         f"e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
         f"c0 AS (SELECT {id_col} AS cell, v AS cv FROM e WHERE {id_col} < {k})",
@@ -732,9 +732,22 @@ def kmeans_oracle_sql(
   ) GROUP BY cell
 )"""
         )
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing :func:`kmeans_fit` exactly — the ``iters``
+    Lloyd rounds unrolled as (assign, update) CTE pairs, emitted as
+    (cell, dim_idx, centroid) rows. Generated, so constants and tie rules
+    can never drift from the Spark side."""
     return f"""
-WITH {joined}
+WITH {kmeans_ctes_sql(k, iters, table, id_col, vec_col)}
 SELECT cell,
        CAST(generate_subscripts(cv, 1) - 1 AS BIGINT) AS dim_idx,
        unnest(cv) AS centroid

@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "vec_ann_recall",
     "vec_kmeans_centroids",
+    "vec_kmeans_ivf_topk",
     "text_winnow_fingerprints",
     # -- sentinels: one r03-green query per suite/table kept inside the
     #    checked window so a testdata or engine regression in a "settled"
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "text_analysis",
     "sample_train_split",
-    "skew_salted_join",
     "decontam_ngram_overlap",
 )
 

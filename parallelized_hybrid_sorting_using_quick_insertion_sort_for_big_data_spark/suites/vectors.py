@@ -213,19 +213,12 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF oracle: rebuild the SAME rounded decimal centroids, assign each
-# vector to its rounded-argmax cell (ties -> lowest cell, mirroring the
-# struct-max), probe the 2 best cells per query, exact-rank inside them.
-_IVF_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-ex AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
-comp AS (
-  SELECT label, i,
-         round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c
-  FROM ex GROUP BY label, i
-),
-cent AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
-scored AS (
+# IVF serve section shared by the label-codebook and k-means-codebook
+# oracles: assign each vector to its rounded-argmax cell (ties -> lowest
+# cell, mirroring the struct-max), probe the 2 best cells per query,
+# exact-rank inside them. Expects prior CTEs `e (vec_id, v)` and
+# `cent (cell, cv)`.
+_IVF_SERVE_SQL = f"""scored AS (
   SELECT e.vec_id, e.v, c.cell,
          round(list_cosine_similarity(e.v, c.cv), 9) AS s
   FROM e, cent c
@@ -255,8 +248,42 @@ pairs AS (
 SELECT q_id, vec_id, sim, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
   FROM pairs
-) WHERE rnk <= {_K}
+) WHERE rnk <= {_K}"""
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+comp AS (
+  SELECT label, i,
+         round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c
+  FROM ex GROUP BY label, i
+),
+cent AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+{_IVF_SERVE_SQL}
 """
+
+
+_KMEANS_IVF_ORACLE = f"""
+WITH {similarity.kmeans_ctes_sql(k=8, iters=3)},
+cent AS (SELECT cell, cv FROM c3),
+{_IVF_SERVE_SQL}
+"""
+
+
+@query("vec_kmeans_ivf_topk", sql=_KMEANS_IVF_ORACLE)
+def vec_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 served through the k-means codebook (build → assign →
+    probe 2 cells → exact re-rank): the full production composition, every
+    stage — including all three Lloyd rounds — recomputed by the generated
+    oracle. Same serving plan as vec_ivf_topk (broadcast codebook, map-side
+    assignment, probe-bounded exact ranking)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=8, iters=3)
+    assigned = similarity.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return similarity.ivf_topk(queries, assigned, cents, k=_K, nprobe=2)
 
 
 @query("vec_ivf_topk", sql=_IVF_ORACLE)
