@@ -112,6 +112,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_stream_join",
     "text_minhash_doc_sketch",
     "dedup_incremental_minhash",
+    "text_cms_counts",
     "vec_ann_recall",
     "vec_kmeans_centroids",
     "vec_kmeans_ivf_topk",
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_total_lineitem",
     "dedup_exact",
     "text_analysis",
-    "sample_train_split",
     "decontam_ngram_overlap",
 )
 

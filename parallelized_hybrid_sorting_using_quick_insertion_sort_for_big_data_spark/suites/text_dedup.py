@@ -575,6 +575,42 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators import sketch as _SK  # noqa: E402
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 1024, 20
+
+
+@query(
+    "text_cms_counts",
+    sql=_SK.cms_topk_oracle_sql(depth=_CMS_DEPTH, width=_CMS_WIDTH, topk=_CMS_TOPK),
+)
+def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the corpus token stream (4×1024 counters),
+    probed with the top-20 exact tokens: (token, exact_n, cms_est,
+    overcount). The bounded-memory mergeable counter a streaming pipeline
+    keeps when even a candidate set churns too fast; est ≥ exact always,
+    est ≤ exact + εN w.h.p. Build AND estimates are cell-for-cell
+    reproduced by the generated DuckDB oracle (md5-prefix cell hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    cms = _SK.cms_build(toks, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(_CMS_TOPK)
+    )
+    est = _SK.cms_estimate(
+        cms, exact, value_col="token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 12. BM25 keyword search: rank the corpus for a bag-of-words query.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Count-Min Sketch invariants: one-sided error, absent-value zero,
+partitioning invariance, and parameter validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    sketch as SK,
+)
+
+
+def _vals(spark, values, parts=1):
+    return spark.createDataFrame([(v,) for v in values], "value string").repartition(
+        parts
+    )
+
+
+def test_estimate_never_undercounts_and_hits_exact_without_collisions(spark):
+    values = ["a"] * 50 + ["b"] * 30 + ["c"] * 7 + [f"t{i}" for i in range(40)]
+    df = _vals(spark, values)
+    cms = SK.cms_build(df, "value", depth=4, width=1024)
+    exact = df.groupBy("value").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = SK.cms_estimate(cms, exact, value_col="value", depth=4, width=1024)
+    rows = est.collect()
+    assert len(rows) == 43
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+    # 43 distinct values in 4 rows of 1024 cells: expect ~zero collisions on
+    # at least one row per value, so the min equals exact for the heads
+    heads = {r["value"]: (r["exact_n"], r["cms_est"]) for r in rows}
+    assert heads["a"] == (50, 50) and heads["b"] == (30, 30)
+
+
+def test_absent_value_estimates_zero_and_partitioning_invariance(spark):
+    df1 = _vals(spark, ["x"] * 9 + ["y"] * 4, parts=1)
+    df13 = _vals(spark, ["x"] * 9 + ["y"] * 4, parts=13)
+    probes = spark.createDataFrame([("x",), ("zzz",)], "value string")
+    outs = []
+    for df in (df1, df13):
+        cms = SK.cms_build(df, "value", depth=3, width=64)
+        outs.append(
+            {
+                r["value"]: r["cms_est"]
+                for r in SK.cms_estimate(
+                    cms, probes, value_col="value", depth=3, width=64
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1]
+    assert outs[0]["x"] == 9 and outs[0]["zzz"] == 0
+
+
+def test_param_validation(spark):
+    df = _vals(spark, ["a"])
+    with pytest.raises(ValueError):
+        SK.cms_build(df, "value", depth=0)
