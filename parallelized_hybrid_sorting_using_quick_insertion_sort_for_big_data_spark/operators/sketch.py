@@ -100,6 +100,106 @@ def cms_estimate(
     )
 
 
+def bloom_build(df: DataFrame, value_col: str, m_bits: int = 65536, k_hashes: int = 4) -> DataFrame:
+    """Build a Bloom filter as its OCCUPIED bit positions: one ``(pos)``
+    row per set bit (≤ min(k·|values|, m) rows — kilobytes for an eval
+    set, broadcastable anywhere). md5-prefix position hashes, so any
+    engine reconstructs the identical bit array.
+
+    The compact-membership form of decontamination at scale: a 64Ki-bit
+    filter summarizes an arbitrary-size benchmark set with NO false
+    negatives (a missed contaminated doc is impossible); false positives
+    are bounded by (1 − e^(−k·n/m))^k and only cost over-filtering."""
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(f"m_bits and k_hashes must be >= 1, got {m_bits}, {k_hashes}")
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_cell(v, j, m_bits).alias(f"p{j}") for j in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Append ``bloom_hit`` to ``probes``: true iff ALL ``k_hashes`` bit
+    positions of the value are set. Probe side fans out ×k and left-joins
+    the broadcast position set; a value hits iff every position matched."""
+    v = F.col(value_col)
+    fanned = probes.select(
+        "*",
+        F.explode(
+            F.array(*[_cell(v, j, m_bits) for j in range(k_hashes)])
+        ).alias("pos"),
+    )
+    marked = fanned.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), "pos", "left"
+    )
+    probe_cols = list(probes.columns)
+    return marked.groupBy(*probe_cols).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__set"), F.lit(0)))).alias(
+            "bloom_hit"
+        )
+    )
+
+
+def bloom_decontam_oracle_sql(
+    bench_sql: str,
+    corpus_sql: str,
+    n: int = 8,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> str:
+    """DuckDB SQL reproducing Bloom-based shingle decontamination exactly:
+    build the bit set from the benchmark's char-``n``-gram shingles, flag
+    every corpus doc gram that has all ``k_hashes`` bits set, aggregate
+    per doc. ``bench_sql``/``corpus_sql`` yield (doc_id, text)."""
+    pos_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT {_cell_sql('shingle', j, m_bits)} AS pos FROM bench_sh"
+        for j in range(k_hashes)
+    )
+    gram_pos = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, shingle, {_cell_sql('shingle', j, m_bits)} AS pos"
+        f" FROM corpus_sh"
+        for j in range(k_hashes)
+    )
+    return f"""
+WITH bench_d AS (SELECT doc_id, trim(lower(text)) AS t FROM ({bench_sql})),
+bench_idx AS (SELECT t, unnest(generate_series(1, greatest(length(t) - {n - 1}, 1))) AS i FROM bench_d),
+bench_sh AS (SELECT DISTINCT substr(t, CAST(i AS INT), {n}) AS shingle FROM bench_idx),
+bloom AS (SELECT DISTINCT pos FROM (
+    {pos_rows}
+)),
+corpus_d AS (SELECT doc_id, trim(lower(text)) AS t FROM ({corpus_sql})),
+corpus_idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - {n - 1}, 1))) AS i FROM corpus_d),
+corpus_sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {n}) AS shingle FROM corpus_idx),
+gram_bits AS (
+    {gram_pos}
+),
+gram_hits AS (
+  SELECT g.doc_id, g.shingle,
+         (count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)) AS hit
+  FROM gram_bits g LEFT JOIN bloom b ON g.pos = b.pos
+  GROUP BY g.doc_id, g.shingle
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS flagged
+FROM gram_hits
+GROUP BY doc_id
+"""
+
+
 def cms_topk_oracle_sql(
     depth: int = 4,
     width: int = 1024,

@@ -113,6 +113,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_minhash_doc_sketch",
     "dedup_incremental_minhash",
     "text_cms_counts",
+    "decontam_bloom_membership",
     "vec_ann_recall",
     "vec_kmeans_centroids",
     "vec_kmeans_ivf_topk",
@@ -123,7 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_total_lineitem",
     "dedup_exact",
     "text_analysis",
-    "decontam_ngram_overlap",
 )
 
 

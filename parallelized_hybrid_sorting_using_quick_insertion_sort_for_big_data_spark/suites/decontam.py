@@ -62,3 +62,40 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contamination_stats(
         corpus, bench, n=_N, threshold=_THRESH, hash_grams=False
     )
+
+
+_BLOOM_N = 8
+_BLOOM_M = 65536
+_BLOOM_K = 4
+
+from ..operators import dedup as _dedup  # noqa: E402
+from ..operators import sketch as _sketch  # noqa: E402
+
+_BLOOM_ORACLE = _sketch.bloom_decontam_oracle_sql(
+    _BENCH_SQL, _CORPUS_SQL, n=_BLOOM_N, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+)
+
+
+@query("decontam_bloom_membership", sql=_BLOOM_ORACLE)
+def decontam_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the benchmark's char-8-gram shingles
+    compressed into a 64Ki-bit filter (kilobytes regardless of eval-set
+    size — what actually ships to every executor at 100 TB), corpus grams
+    probed against it. NO false negatives by construction — a leaked doc
+    cannot slip through; false positives only over-filter. Output per
+    corpus doc: (doc_id, n_grams, n_bloom_hits, flagged); the oracle
+    rebuilds the identical bit set and verdicts."""
+    corpus, bench = _corpus_and_bench(spark, sf_dir)
+    bench_sh = _dedup.shingles(bench, n=_BLOOM_N).select("shingle").distinct()
+    bloom = _sketch.bloom_build(bench_sh, "shingle", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    corpus_sh = _dedup.shingles(corpus, n=_BLOOM_N)
+    hits = _sketch.bloom_contains(
+        corpus_sh, bloom, "shingle", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        (F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)) > 0).alias("flagged"),
+    )

@@ -55,3 +55,24 @@ def test_param_validation(spark):
     df = _vals(spark, ["a"])
     with pytest.raises(ValueError):
         SK.cms_build(df, "value", depth=0)
+    with pytest.raises(ValueError):
+        SK.bloom_build(df, "value", m_bits=0)
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = [f"member{i}" for i in range(200)]
+    others = [f"other{i}" for i in range(1000)]
+    bloom = SK.bloom_build(_vals(spark, members), "value", m_bits=65536, k_hashes=4)
+    probes = _vals(spark, members + others)
+    got = {
+        r["value"]: r["bloom_hit"]
+        for r in SK.bloom_contains(
+            probes, bloom, "value", m_bits=65536, k_hashes=4
+        ).collect()
+    }
+    # membership NEVER misses
+    assert all(got[m] for m in members)
+    # false-positive rate with n=200, m=64Ki, k=4: (1-e^(-kn/m))^k ~ 2e-8;
+    # allow a generous bound
+    fps = sum(1 for o in others if got[o])
+    assert fps <= 2
