@@ -67,6 +67,18 @@ def cms_build(df: DataFrame, value_col: str, depth: int = 4, width: int = 1024) 
     )
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the same (depth, width, hash family):
+    cell-wise addition — the property that lets shards/streams/windows
+    sketch independently and combine later (union + one bounded re-agg)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("j", "cell").agg(F.sum("n").alias("n"))
+
+
 def cms_estimate(
     cms: DataFrame,
     probes: DataFrame,

@@ -51,6 +51,21 @@ def test_absent_value_estimates_zero_and_partitioning_invariance(spark):
     assert outs[0]["x"] == 9 and outs[0]["zzz"] == 0
 
 
+def test_shard_merge_equals_whole_corpus_sketch(spark):
+    """Sketching shards independently then cms_merge-ing must equal the
+    single-pass sketch of the union — the mergeability contract."""
+    a = ["x"] * 5 + ["y"] * 3 + [f"a{i}" for i in range(20)]
+    b = ["x"] * 2 + ["z"] * 7 + [f"b{i}" for i in range(15)]
+    whole = SK.cms_build(_vals(spark, a + b), "value", depth=3, width=128)
+    merged = SK.cms_merge(
+        SK.cms_build(_vals(spark, a), "value", depth=3, width=128),
+        SK.cms_build(_vals(spark, b), "value", depth=3, width=128),
+    )
+    assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in merged.collect()}
+    with pytest.raises(ValueError):
+        SK.cms_merge()
+
+
 def test_param_validation(spark):
     df = _vals(spark, ["a"])
     with pytest.raises(ValueError):
