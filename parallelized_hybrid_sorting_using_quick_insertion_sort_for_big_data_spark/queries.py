@@ -62,6 +62,13 @@ _LOADED = False
 # queries with two green rounds behind them keep their import order at the
 # tail. Names not present in the registry are ignored (forward references to
 # planned queries are harmless).
+#
+# ROUND 5 ROTATION NOTE: after CORRECTNESS_r04 lands, the 43 tail queries'
+# newest rows are r03 — float them back into the window (events_funnel …
+# pipeline_scd2_merge by then-staleness), keep ~7 slots for new/changed
+# queries plus one sentinel per suite from the r04-green set, and NEVER
+# assume old rows stay valid across a testdata regeneration (see the r03
+# TIMESTAMP_NTZ incident).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round 4: the 9 events/streaming queries broken by the regenerated
     #    events.parquet (TIMESTAMP_NTZ) and repaired this round — the driver
