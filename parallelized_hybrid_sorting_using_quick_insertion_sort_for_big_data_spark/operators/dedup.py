@@ -420,12 +420,14 @@ def winnow_fingerprints(
 def _winnow_select_pandas(prepared: DataFrame, id_col: str, w: int) -> DataFrame:
     """Window-minimum selection as a vectorized numpy kernel over Arrow
     batches of (id, hash-array) rows. Rightmost-min tie rule via position-
-    encoded keys: key = h·2^21 + (2^21−1−pos); min key ⇒ min hash, then
-    max pos. Hashes < 2^31 and positions < 2^21 keep keys < 2^52 (exact
-    in int64 and under any float round-trip)."""
+    encoded keys: key = h·2^32 + (2^32−1−pos); min key ⇒ min hash, then
+    max pos. Hashes < 2^31 (pmod 2^31−1) keep keys < 2^63 — exact in
+    int64 end to end (keys never round-trip through float). The position
+    budget of 2^32 k-grams can never be exceeded: a JVM string holds at
+    most 2^31−1 chars, so n ≤ 2^31−1 by construction."""
     import pandas as pd
 
-    pos_bits = 21
+    pos_bits = 32
     pos_mod = 1 << pos_bits
 
     def gen(batches):
@@ -438,7 +440,7 @@ def _winnow_select_pandas(prepared: DataFrame, id_col: str, w: int) -> DataFrame
                 n = len(h)
                 if n == 0:
                     continue
-                if n >= pos_mod:
+                if n >= pos_mod:  # unreachable (JVM string cap), defensive
                     raise ValueError(
                         f"document too long for winnow position encoding: {n}"
                     )

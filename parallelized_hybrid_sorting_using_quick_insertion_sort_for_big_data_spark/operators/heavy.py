@@ -19,8 +19,10 @@ Versus a plain ``groupBy(col).count()``: the shuffle there carries one row
 per distinct value per partition (a token universe at 100 TB is billions);
 here the shuffle carries only candidate hits (< k per partition) and the
 candidate/total relations are kilobytes. Two column-pruned scans of the
-input; the bounded candidate summary is collected once (no persist — a
-cached summary would outlive the query and leak blocks across a session).
+input; the bounded candidate summary stays cluster-side behind an eager
+``localCheckpoint`` (freed with the result's lineage — no session-lifetime
+persist leak, and no multi-million-row driver collect at the 100k-partition
+worst case).
 
 Arrow-batched ``value_counts`` does the local pruning vectorized — the
 per-partition distinct set is bounded by the partition size
@@ -73,16 +75,19 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
         F.col("value").isNotNull()
     )
     # The candidate summary is bounded-small BY CONSTRUCTION (< k survivor
-    # rows + 1 total row per partition), so one driver-side collect replaces
-    # the earlier persist() — which leaked cached blocks for the session
-    # because both downstream branches of a lazy plan referenced it and no
-    # safe unpersist point existed. At k=100 and 100k partitions this is
-    # ≤ 10M tiny rows; typical calls (k ≤ a few thousand) are kilobytes.
-    summary = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).collect()
-    total_n = sum(r.part_rows for r in summary)
-    cand_vals = sorted({r.value for r in summary if r.value is not None})
-    spark = df.sparkSession
-    cand = spark.createDataFrame([(v,) for v in cand_vals], "value string")
+    # rows + 1 total row per partition), but at the worst case (k=100, 100k
+    # partitions) that is still ~10M rows — too many to round-trip through
+    # the driver. localCheckpoint(eager=True) materializes it once in
+    # executor storage with truncated lineage; both consumers (the scalar
+    # total and the candidate set) read the checkpoint, so the candidate
+    # pass runs exactly once and only ONE NUMBER ever reaches the driver.
+    # The checkpoint blocks are freed when the RDD is GC'd at function exit
+    # — no session-lifetime persist leak.
+    summary = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).localCheckpoint(
+        eager=True
+    )
+    total_n = summary.agg(F.sum("part_rows")).collect()[0][0] or 0
+    cand = summary.where(F.col("value").isNotNull()).select("value").distinct()
     exact = (
         vals.join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value")

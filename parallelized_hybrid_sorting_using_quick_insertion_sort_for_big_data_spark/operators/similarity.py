@@ -496,7 +496,17 @@ def bucketed_near_dup_pairs(
     signature derivation to ``lsh_signature_planes`` — same bucket/GEMM
     topology, but the whole pipeline becomes reproducible by the generated
     DuckDB oracle (``lsh_portable_oracle_sql``): candidates are exactly the
-    Hamming-distance-≤1 bucket pairs, re-rank is the same rounded cosine."""
+    Hamming-distance-≤1 bucket pairs, re-rank is the same rounded cosine.
+
+    Oracle-equality caveat: the numpy GEMM sums float64 products in a
+    different association order than a sequential engine's per-pair fold
+    (DuckDB ``list_cosine_similarity``). After ``round(sim, 9)`` the two
+    agree empirically on the test corpora, but a pair whose 9th digit sits
+    within an ulp of a rounding boundary — or within an ulp of
+    ``threshold`` — could diverge by one last-digit step under a testdata
+    regeneration. That is a float-association artifact, not a candidate-set
+    or ranking bug; a tolerant compare (±1 ulp at 9 digits) is the right
+    oracle relation if exact hashing ever flaps."""
     import pandas as pd
 
     from pyspark.storagelevel import StorageLevel

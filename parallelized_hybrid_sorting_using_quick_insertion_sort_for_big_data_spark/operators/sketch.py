@@ -22,6 +22,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# _cell draws positions from a 32-bit md5 prefix, so any bit-array / counter
+# width beyond 2^32 would leave high positions permanently unset — a silent
+# false-positive-rate degradation. Builders validate against this bound.
+_MAX_POSITIONS = 1 << 32
+
+
 def _cell(value, j: int, width: int):
     """Row-``j`` cell index of ``value``: md5-prefix of "value|j" mod width
     — bit-identical in any engine with md5."""
@@ -47,6 +53,12 @@ def cms_build(df: DataFrame, value_col: str, depth: int = 4, width: int = 1024) 
     the input size. Null values are ignored (consistent with heavy.py)."""
     if depth < 1 or width < 1:
         raise ValueError(f"depth and width must be >= 1, got {depth}, {width}")
+    if width > _MAX_POSITIONS:
+        raise ValueError(
+            f"width must be <= 2^32 ({_MAX_POSITIONS}): cell positions come "
+            f"from a 32-bit md5 prefix, so wider sketches would silently "
+            f"never occupy high cells; got {width}"
+        )
     v = F.col(value_col)
     cells = df.where(v.isNotNull()).select(
         F.explode(
@@ -124,6 +136,12 @@ def bloom_build(df: DataFrame, value_col: str, m_bits: int = 65536, k_hashes: in
     are bounded by (1 − e^(−k·n/m))^k and only cost over-filtering."""
     if m_bits < 1 or k_hashes < 1:
         raise ValueError(f"m_bits and k_hashes must be >= 1, got {m_bits}, {k_hashes}")
+    if m_bits > _MAX_POSITIONS:
+        raise ValueError(
+            f"m_bits must be <= 2^32 ({_MAX_POSITIONS}): bit positions come "
+            f"from a 32-bit md5 prefix, so larger filters would silently "
+            f"never set high bits; got {m_bits}"
+        )
     v = F.col(value_col)
     return (
         df.where(v.isNotNull())

@@ -142,7 +142,14 @@ def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims — the strongest equivalence check the harness can express. The
     auto-scaled in-engine-signature form (``nbits=None``) remains the
     production entry point and is exercised by ``vec_lsh_near_dup`` +
-    pytest pair-set/recall assertions."""
+    pytest pair-set/recall assertions.
+
+    Known oracle fragility (ADVICE r04): the GEMM side sums float64
+    products in parallel order, DuckDB's ``list_cosine_similarity``
+    sequentially; after round(...,9) equality is empirical, not
+    guaranteed — a near-boundary pair could flap by one last digit on a
+    testdata regeneration. See ``bucketed_near_dup_pairs``'s docstring;
+    a flap here means float association, not a real pair-set bug."""
     corpus, _ = _dup_corpus(spark, sf_dir)
     return similarity.bucketed_near_dup_pairs(
         corpus, threshold=0.95, planes=_PORTABLE_PLANES
@@ -188,7 +195,13 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (n_exact, n_ann, n_hit, recall). Both sides and the set
     intersection are recomputed independently by the DuckDB oracle. At
     corpus scale the exact side runs on a SAMPLE; here the full corpus is
-    small enough to measure recall exactly."""
+    small enough to measure recall exactly.
+
+    Known oracle fragility (ADVICE r04): the exact side's numpy GEMM vs
+    DuckDB's sequential cosine can disagree by one ulp at the 9th rounded
+    digit for a pair sitting exactly on the 0.95 threshold — empirically
+    green, but a flap on regenerated data indicates float association,
+    not a recall bug."""
     corpus, n = _dup_corpus(spark, sf_dir)
     exact = similarity.exact_near_dup_pairs_blocked(
         corpus, threshold=_ANN_RECALL_T, n_rows=n

@@ -51,13 +51,28 @@ def test_support_fraction_and_threshold_strictness(spark):
 
 
 def test_no_cached_blocks_leak(spark):
-    """heavy_hitters must leave nothing persisted: its old persist() of the
-    candidate summary leaked cached blocks for the whole session (measured
-    as later-query slowdowns in bench)."""
+    """heavy_hitters must not leak storage for the session: the candidate
+    summary is an eager localCheckpoint whose blocks live exactly as long
+    as the result plan that references them — once the caller drops the
+    result, GC + ContextCleaner free the checkpoint (vs the old persist(),
+    which stayed registered forever, and the old driver collect(), which
+    shipped the whole summary through the driver)."""
+    import gc
+    import time
+
     df = spark.createDataFrame([("x",)] * 50 + [("y",)] * 10, "token string")
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
-    HH.heavy_hitters(df, "token", k=3).collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    result = HH.heavy_hitters(df, "token", k=3)
+    assert {r["value"] for r in result.collect()} == {"x"}
+    del result
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        gc.collect()  # drop py4j proxies so the JVM Dataset becomes garbage
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner's weak refs fire
+        if len(spark.sparkContext._jsc.getPersistentRDDs()) <= before:
+            break
+        time.sleep(1)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
 
 
 def test_nulls_ignored_and_k_validation(spark):

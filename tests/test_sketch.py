@@ -72,6 +72,16 @@ def test_param_validation(spark):
         SK.cms_build(df, "value", depth=0)
     with pytest.raises(ValueError):
         SK.bloom_build(df, "value", m_bits=0)
+    # positions come from a 32-bit md5 prefix: widths beyond 2^32 would
+    # silently never occupy high cells (degraded FP rate, no error) — the
+    # builders must reject them (ADVICE r04)
+    with pytest.raises(ValueError, match="2\\^32"):
+        SK.bloom_build(df, "value", m_bits=(1 << 32) + 1)
+    with pytest.raises(ValueError, match="2\\^32"):
+        SK.cms_build(df, "value", width=(1 << 32) + 1)
+    # the bound itself is allowed
+    SK.bloom_build(df, "value", m_bits=1 << 32)
+    SK.cms_build(df, "value", width=1 << 32)
 
 
 def test_bloom_no_false_negatives_and_low_fp(spark):
