@@ -63,74 +63,74 @@ _LOADED = False
 # tail. Names not present in the registry are ignored (forward references to
 # planned queries are harmless).
 #
-# ROUND 5 ROTATION NOTE: after CORRECTNESS_r04 lands, the 43 tail queries'
-# newest rows are r03 — float them back into the window (events_funnel …
-# pipeline_scd2_merge by then-staleness), keep ~7 slots for new/changed
-# queries plus one sentinel per suite from the r04-green set, and NEVER
-# assume old rows stay valid across a testdata regeneration (see the r03
-# TIMESTAMP_NTZ incident).
+# ROUND 5 ROTATION (executed; VERDICT r04 "Next round" #1): the 43 queries
+# whose newest driver rows were r03 are floated back through the 50-slot
+# window; new round-5 queries go first (never checked); 4 r04-green
+# sentinels cover the suites the stale set doesn't touch (relational,
+# multimodal, streaming + a lineitem join). After CORRECTNESS_r05 lands,
+# every oracle query's newest green row is r04 or r05. Round-6 rotation:
+# float the r04-checked set (events_sessionize … text_analysis block of
+# CORRECTNESS_r04.json) back in, same scheme. NEVER assume old rows stay
+# valid across a testdata regeneration (r03 TIMESTAMP_NTZ incident;
+# compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round 4: the 9 events/streaming queries broken by the regenerated
-    #    events.parquet (TIMESTAMP_NTZ) and repaired this round — the driver
-    #    must re-check every one (VERDICT r03 "Next round" #1-2)
-    "events_sessionize",
-    "events_stream_user_profile",
-    "events_stream_tumbling",
-    "events_stream_dedup",
-    "events_stream_enrich",
-    "events_asof_join",
-    "events_range_join",
-    "events_zorder_code",
-    "events_resample_gapfill",
-    # -- past r03's 50-query cap AND dependent on the regenerated events data
-    "events_outlier_robust",
-    # -- queries whose last driver row is two rounds stale (r02)
-    "mm_metadata_summary",
-    "mm_frame_inventory",
-    "mm_byte_features",
-    "mm_frame_sample",
+    # -- new in round 5: never driver-checked (forward refs until the
+    #    suites register them; harmless if a name lands later)
+    "skew_salted_outer",
+    "events_outlier_robust_approx",
+    "fuzzy_token_match",
+    # -- the 43 queries whose newest driver row is r03, oldest-checked first
+    "events_funnel",
+    "events_funnel_counts",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "sort_topk_lineitem",
+    "sort_seeded_ints",
+    "sort_hybrid_quickinsertion",
+    "sort_multikey_orders",
+    "sort_within_partitions",
+    "decontam_ngram_overlap",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_json_props",
+    "pipeline_snapshot_diff",
+    "sample_train_split",
+    "sample_stratified_langs",
+    "pipeline_pack_sequences",
+    "sample_mixture_tokens",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_token_frequency",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
+    "dedup_simhash",
+    "dedup_simhash_portable",
+    "pipeline_clean_corpus",
+    "dedup_components",
+    "text_pii_scrub",
+    "text_chunk_sliding",
+    "text_repetition",
+    "text_bm25_topk",
+    "pipeline_dedup_keep_best",
+    "fuzzy_name_match",
+    "text_heavy_hitters",
+    "vec_cosine_topk",
+    "vec_exact_near_dup",
+    "vec_lsh_near_dup",
+    "vec_lsh_portable",
+    "vec_ivf_topk",
+    "vec_label_centroids",
+    "vec_topk_with_metadata",
+    "vec_quantize_int8",
+    # -- sentinels: r04-green, one per suite/table family the 43 above
+    #    leave unwatched (relational+lineitem agg, join+orders, multimodal,
+    #    streaming) so a testdata or engine regression in a "settled" area
+    #    is still caught this round
     "rel_q1_pricing_summary",
     "rel_join_revenue_by_nation",
-    "rel_window_top_orders_per_segment",
-    "rel_semi_anti_join",
-    "rel_set_operations",
-    "rel_scalar_functions",
-    "rel_rollup_customers",
-    "rel_distinct_aggregates",
-    "rel_outer_join",
-    "rel_sql_q3_shipping_priority",
-    "rel_percentiles",
-    "rel_histogram",
-    "rel_cube_orders",
-    "rel_pivot_priority_by_year",
-    "rel_window_running_totals",
-    "rel_approx_distinct",
-    "rel_unpivot_part_metrics",
-    "rel_correlated_subquery",
-    "rel_window_rank_functions",
-    "rel_grouping_sets",
-    "pipeline_scd2_merge",
-    # -- reshaped in r03, never driver-checked since
-    "rel_approx_quantiles",
-    # -- graduating from rows-only to oracle-checked this round
-    "vec_bucketed_near_dup",
-    # -- new round-4 queries register here (keep total ≤ 50 before sentinels)
-    "events_stream_sessionize",
-    "events_stream_stream_join",
-    "text_minhash_doc_sketch",
-    "dedup_incremental_minhash",
-    "text_cms_counts",
-    "decontam_bloom_membership",
-    "vec_ann_recall",
-    "vec_kmeans_centroids",
-    "vec_kmeans_ivf_topk",
-    "text_winnow_fingerprints",
-    # -- sentinels: one r03-green query per suite/table kept inside the
-    #    checked window so a testdata or engine regression in a "settled"
-    #    area is still caught (ADVICE r03: never leave a suite unwatched)
-    "sort_total_lineitem",
-    "dedup_exact",
-    "text_analysis",
+    "mm_byte_features",
+    "events_stream_tumbling",
 )
 
 
