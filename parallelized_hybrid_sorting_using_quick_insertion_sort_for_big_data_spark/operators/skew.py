@@ -48,12 +48,31 @@ def salted_join(
     big side at all) instead of paying for salting; auto-broadcast would
     otherwise silently turn this operator into pure overhead at test scale
     while the plan it is designed for (big-vs-unbroadcastable) never runs.
+
+    ``left_semi`` / ``left_anti`` are also exact (output: big columns
+    only): every small key is replicated to EVERY salt, so a salted big
+    row finds its salt-local replica iff the key exists at all — existence
+    and non-existence are both salt-invariant. Right/full outer modes are
+    still rejected here (an unmatched small-side row would surface once
+    per replica); use :func:`salted_outer_join` for the full-outer
+    composition.
     """
-    if how not in ("inner", "left", "leftouter", "left_outer"):
+    if how not in (
+        "inner",
+        "left",
+        "leftouter",
+        "left_outer",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    ):
         raise ValueError(
-            f"salted_join is exact only for inner/left joins, got how={how!r}: "
-            "a right/full outer join replicates unmatched small-side rows "
-            "n_salts times"
+            f"salted_join is exact only for inner/left/semi/anti joins, got "
+            f"how={how!r}: a right/full outer join replicates unmatched "
+            "small-side rows n_salts times (see salted_outer_join)"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).alias("__salt")
     big_s = big.withColumn("__salt", salt)
@@ -67,7 +86,56 @@ def salted_join(
         (F.col(key_big) == F.col("__k_small")) & (big_s["__salt"] == small_s["__salt"]),
         how,
     )
+    if how in ("left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        return out.drop("__salt")  # semi/anti output carries big columns only
     return out.drop(big_s["__salt"]).drop(small_s["__salt"]).drop("__k_small")
+
+
+def salted_outer_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_big: str,
+    key_small: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof FULL OUTER equi-join — the mode :func:`salted_join` must
+    reject, recovered exactly as a composition:
+
+    1. the salted LEFT join (exact: inner matches + null-extended unmatched
+       big rows, hot keys spread over ``n_salts`` reducers);
+    2. the small-side-only remainder — small rows whose key never occurs in
+       ``big`` — via an anti join against the DISTINCT big keys, emitted
+       once each with null-extended big columns.
+
+    Their union is the full outer join, row for row. The output carries
+    ``big``'s columns plus ``small``'s non-key columns; ``key_big`` holds
+    ``coalesce(big key, small key)`` (on small-only rows the big side is
+    all-null, so the small key is the only key there is). Null join keys
+    follow SQL semantics: they match nothing and surface null-extended
+    from their own side.
+
+    Scale shape: the distinct of big keys partial-aggregates map-side
+    (a hot key collapses to one row per partition before the shuffle), and
+    the anti join runs on unique keys — no skew on either leg. This is the
+    decontamination / CDC-merge shape (``scd2_merge``'s full outer) made
+    hot-key-proof.
+    """
+    left = salted_join(big, small, key_big, key_small, n_salts, "left")
+    big_keys = big.select(F.col(key_big).alias("__k")).where(
+        F.col("__k").isNotNull()
+    ).distinct()
+    small_only = small.join(
+        big_keys, F.col(key_small) == F.col("__k"), "left_anti"
+    )
+    big_types = dict(zip(big.schema.names, [f.dataType for f in big.schema.fields]))
+    other_big = [c for c in big.columns if c != key_big]
+    small_cols = [c for c in small.columns if c != key_small]
+    right_part = small_only.select(
+        F.col(key_small).alias(key_big),
+        *[F.lit(None).cast(big_types[c]).alias(c) for c in other_big],
+        *small_cols,
+    )
+    return left.unionByName(right_part)
 
 
 def salted_distinct_count(

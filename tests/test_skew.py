@@ -78,3 +78,79 @@ def test_salted_equals_plain_forms(spark):
     c = sorted(map(tuple, skewq.skew_salted_join(spark, SF_DIR).collect()))
     d = sorted(map(tuple, skewq.skew_plain_join(spark, SF_DIR).collect()))
     assert c == d
+
+
+def test_salted_semi_anti_equal_plain(spark, skewed, dim):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    # dim covers keys 0..100; restrict to evens so both semi and anti are
+    # non-trivial on the hot key's side
+    dim_even = dim.where(F.col("dk") % 2 == 0)
+    for how in ("left_semi", "left_anti"):
+        plain = skewed.join(dim_even, skewed.k == dim_even.dk, how)
+        salted = skew.salted_join(skewed, dim_even, "k", "dk", n_salts=8, how=how)
+        assert salted.columns == skewed.columns  # big columns only, no __salt
+        a = salted.groupBy("k", "v").count()
+        b = plain.groupBy("k", "v").count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_outer_join_equals_plain(spark, skewed, dim):
+    """Full-outer composition: salted left leg + anti-join small-only leg
+    must reproduce the plain full outer row for row, across all three row
+    classes (matched, big-only, small-only)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    # shrink dim to keys 50..100 so hot key 0 (45k rows) is UNMATCHED —
+    # the straggler case — and keys 1..49 surface big-only too
+    dim_part = dim.where(F.col("dk") >= 50)
+    plain = (
+        skewed.join(dim_part, skewed.k == dim_part.dk, "full_outer")
+        .select(
+            F.coalesce(F.col("k"), F.col("dk")).alias("k"), "v", "dname"
+        )
+    )
+    salted = skew.salted_outer_join(skewed, dim_part, "k", "dk", n_salts=8)
+    assert set(salted.columns) == {"k", "v", "dname"}
+    a = salted.groupBy("k", "v", "dname").count()
+    b = plain.groupBy("k", "v", "dname").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salted_outer_join_null_keys(spark):
+    """Null keys match nothing and surface null-extended from their own
+    side — SQL semantics on both legs."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, payload string"
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (None, "y"), (9, "z")], "sk int, dval string"
+    )
+    got = {
+        (r["k"], r["payload"], r["dval"])
+        for r in skew.salted_outer_join(big, small, "k", "sk", n_salts=4).collect()
+    }
+    assert got == {
+        (1, "a", "x"),
+        (None, "b", None),   # null big key: kept, never matched
+        (2, "c", None),      # unmatched big key
+        (None, None, "y"),   # null small key: kept once, null-extended
+        (9, None, "z"),      # unmatched small key
+    }
+
+
+def test_salted_join_still_rejects_full_outer(spark, skewed, dim):
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        skew,
+    )
+
+    with pytest.raises(ValueError):
+        skew.salted_join(skewed, dim, "k", "dk", how="full_outer")
