@@ -11,9 +11,10 @@ Scale shape:
   aggregation; the per-group stats relations are ONE ROW PER GROUP and are
   explicitly broadcast back, so the event stream itself never shuffles.
 - Exact `percentile` needs the group's values collected per partition —
-  right up to groups of ~10^8 values; beyond that swap `percentile` for
-  `percentile_approx` (t-digest, mergeable) — the operator takes the
-  aggregate expression as a parameter for exactly that swap.
+  right up to groups of ~10^8 values; beyond that pass ``approx=True`` to
+  swap `percentile` for `percentile_approx` (mergeable quantile sketch,
+  rank error ≤ 1/accuracy, constant memory per group) — the documented
+  100 TB tier, implemented as a parameter on the same two-shuffle plan.
 """
 
 from __future__ import annotations
@@ -28,22 +29,34 @@ from pyspark.sql import functions as F
 MAD_Z = 0.6745
 
 
-def _median(col: str) -> Column:
+def _median(col: str, approx: bool = False, accuracy: int = 10000) -> Column:
+    if approx:
+        return F.percentile_approx(col, 0.5, accuracy)
     return F.expr(f"percentile({col}, 0.5D)")
 
 
 def robust_group_stats(
-    df: DataFrame, group_cols: Sequence[str], value_col: str
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group (median, MAD): two grouped aggregations, second over
-    absolute deviations from the first. Output: group_cols, med, mad."""
+    absolute deviations from the first. Output: group_cols, med, mad.
+
+    ``approx=True`` swaps exact ``percentile`` (which buffers each group's
+    values — fine to ~10^8 values per group) for ``percentile_approx``
+    (Greenwald-Khanna-style mergeable sketch, rank error ≤ 1/accuracy,
+    constant memory per group) — the 100 TB tier, where a hot group no
+    longer bounds executor memory. Same two-shuffle plan either way."""
     g = list(group_cols)
-    med = df.groupBy(*g).agg(_median(value_col).alias("med"))
+    med = df.groupBy(*g).agg(_median(value_col, approx, accuracy).alias("med"))
     dev = df.join(F.broadcast(med), g).withColumn(
         "__dev", F.abs(F.col(value_col) - F.col("med"))
     )
     return dev.groupBy(*g).agg(
-        F.first("med").alias("med"), _median("__dev").alias("mad")
+        F.first("med").alias("med"), _median("__dev", approx, accuracy).alias("mad")
     )
 
 
@@ -52,6 +65,8 @@ def robust_outliers(
     group_cols: Sequence[str],
     value_col: str,
     k: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Rows whose modified z-score ``0.6745·(x - med)/MAD`` exceeds ``k``
     in absolute value within their group (3.5 is the Iglewicz-Hoaglin
@@ -60,9 +75,14 @@ def robust_outliers(
 
     Output: the input columns + med, mad, robust_z (z rounded to 6 so the
     engine-boundary last-ulp of the interpolated medians can't flip the
-    comparison hash)."""
+    comparison hash).
+
+    ``approx=True`` selects the sketch-based median tier (see
+    :func:`robust_group_stats`); the flagged set then differs from exact
+    only for rows whose |z| sits within the sketch's rank error of ``k``
+    — pytest pins that bound."""
     g = list(group_cols)
-    stats = robust_group_stats(df, g, value_col)
+    stats = robust_group_stats(df, g, value_col, approx, accuracy)
     z = F.round(
         F.lit(MAD_Z)
         * (F.col(value_col) - F.col("med"))

@@ -490,3 +490,24 @@ def events_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.robust_outliers(ev, ["event_type"], "value", k=_OUTLIER_K).select(
         "event_id", "event_type", "value", "med", "mad", "robust_z"
     )
+
+
+@query("events_outlier_robust_approx", sql=None)
+def events_outlier_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-median tier of ``events_outlier_robust``: same
+    median/MAD modified-z plan with ``percentile_approx`` (mergeable
+    quantile sketch, rank error ≤ 1/10000, constant memory per group)
+    replacing exact ``percentile`` — the swap the operator documents for
+    groups beyond ~10^8 values, where buffering a group's values stops
+    being an option. No oracle: the sketch's pick of which order statistic
+    stands in for an even-count median is engine-specific; the flagged-set
+    divergence vs the exact path is pytest-pinned to a band around k
+    instead (test_anomaly.py)."""
+    from ..operators import anomaly as A
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return A.robust_outliers(
+        ev, ["event_type"], "value", k=_OUTLIER_K, approx=True
+    ).select("event_id", "event_type", "value", "med", "mad", "robust_z")
