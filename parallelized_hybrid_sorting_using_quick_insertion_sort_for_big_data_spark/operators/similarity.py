@@ -692,13 +692,24 @@ def kmeans_fit(
     assignment is map-side argmax over the corpus (no corpus shuffle), and
     the update shuffles only (cell, dim) partial sums — the standard
     k-means-on-Spark topology. Cells that lose all members drop out (both
-    engines aggregate only over occupied cells)."""
+    engines aggregate only over occupied cells).
+
+    Each round's codebook is pinned with an eager ``localCheckpoint`` (the
+    same lineage cut ``connected_components`` applies to its edge set):
+    without it the logical plan nests one full assign+update under the
+    next, growing the plan — and Catalyst's analysis time — geometrically
+    with ``iters``. The checkpoint is k tiny rows per round; blocks free
+    with the result's lineage on GC. The returned codebook's plan is a
+    constant-size RDD scan regardless of ``iters`` (plan-size gate in
+    test_plans.py)."""
     cents = df.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )
     for _ in range(iters):
         assigned = ivf_assign(df, cents, id_col, vec_col, round_digits)
-        cents = centroid_vectors(assigned, label_col="cell", vec_col=vec_col)
+        cents = centroid_vectors(
+            assigned, label_col="cell", vec_col=vec_col
+        ).localCheckpoint(eager=True)
     return cents
 
 

@@ -184,3 +184,24 @@ def test_quantize_zero_shuffle(spark, qs):
     # per-row quantize + posexplode must pipeline into the scan: no exchange
     df = qs["vec_quantize_int8"](spark, SF_DIR)
     PI.assert_max_exchanges(df, 0)
+
+
+def test_kmeans_lineage_flat_at_high_iters(spark):
+    """Each Lloyd round localCheckpoints the codebook, so the returned
+    plan is a constant-size RDD scan no matter how many rounds ran —
+    without the cut, iters=10 nests ten assign+update rounds and the
+    analyzed plan grows geometrically."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        similarity,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    fit10 = similarity.kmeans_fit(emb, k=4, iters=10)
+    plan = PI.formatted_plan(fit10)
+    assert len(plan) < 4000, f"plan not flattened: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan
+    # no join/aggregate machinery survives into the result plan
+    assert "Join" not in plan and "HashAggregate" not in plan
