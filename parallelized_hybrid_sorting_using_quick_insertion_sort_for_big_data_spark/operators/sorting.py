@@ -94,6 +94,30 @@ def top_k(
     return df.orderBy(*_sort_columns(keys, ascending)).limit(k)
 
 
+# monotonically_increasing_id packs (partition_index << 33) + local ordinal;
+# masking keeps the low 33 bits, so a partition holding >= 2^33 rows would
+# wrap the ordinal and silently repeat ranks. The count pass checks every
+# partition against this bound and fails loudly instead.
+_LRN_BOUND = 1 << 33
+
+
+def _rank_offsets(counts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Running (pid, offset) from sorted (pid, count) pairs, validating
+    every partition count against the 2^33 local-ordinal mask bound."""
+    offsets, running = [], 0
+    for pid, cnt in counts:
+        if cnt >= _LRN_BOUND:
+            raise ValueError(
+                f"partition {pid} holds {cnt} rows, at or beyond the 2^33 "
+                f"local-ordinal bound of monotonically_increasing_id — ranks "
+                f"would alias; raise num_partitions so partitions stay under "
+                f"{_LRN_BOUND} rows"
+            )
+        offsets.append((pid, running))
+        running += cnt
+    return offsets
+
+
 def ranked(
     df: DataFrame,
     keys: Iterable[str | Column],
@@ -123,7 +147,9 @@ def ranked(
     the local ordinal must be assigned over the identical partition
     iteration both times); at cluster scale use StorageLevel.DISK_ONLY or
     checkpoint instead. Partition size bound: 2^33 rows per partition —
-    range partitions sized to task memory are orders of magnitude smaller.
+    range partitions sized to task memory are orders of magnitude smaller,
+    and the count pass ENFORCES the bound (a partition at 2^33 would alias
+    the masked ordinal and silently repeat ranks; see ``_rank_offsets``).
     """
     spark = df.sparkSession
     sort_cols = _sort_columns(keys, ascending)
@@ -142,10 +168,7 @@ def ranked(
         (r[_PID], r["cnt"])
         for r in arranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-    offsets, running = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, running))
-        running += cnt
+    offsets = _rank_offsets(counts)
     if not offsets:  # empty input
         return df.withColumn(rank_col, F.lit(None).cast("bigint")).limit(0)
 

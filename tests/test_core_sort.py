@@ -101,3 +101,17 @@ def test_topk_matches_full_sort(spark):
     top = sorting.top_k(ints, ["value", "id"], k=50, ascending=[False, True]).collect()
     full = sorting.total_sort(ints, ["value", "id"], ascending=[False, True]).limit(50).collect()
     assert top == full
+
+
+def test_rank_offset_mask_bound_guard():
+    """A partition count at or beyond 2^33 must raise (masked ordinal would
+    alias and ranks silently repeat), below the bound offsets accumulate."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.sorting import (
+        _LRN_BOUND,
+        _rank_offsets,
+    )
+
+    assert _rank_offsets([(0, 5), (1, 3), (2, 0)]) == [(0, 0), (1, 5), (2, 8)]
+    assert _rank_offsets([(0, _LRN_BOUND - 1)]) == [(0, 0)]
+    with pytest.raises(ValueError, match="2\\^33"):
+        _rank_offsets([(0, 10), (1, _LRN_BOUND)])
