@@ -127,3 +127,123 @@ def fuzzy_self_pairs(
         "name_b",
         F.levenshtein("name_a", "name_b").alias("edit_distance"),
     ).where(F.col("edit_distance") <= max_dist)
+
+
+def _token_set(s: Column) -> Column:
+    """Normalized token SET of a name: lower, split on non-alphanumeric
+    runs, drop empties, distinct, sorted. Set semantics (duplicate tokens
+    collapse) keep the multiset-free ``array_except`` verification exact."""
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.trim(s)), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        )
+    )
+
+
+def token_fuzzy_self_pairs(
+    df: DataFrame,
+    string_col: str,
+    per_token_dist: int = 1,
+) -> DataFrame:
+    """Token-level fuzzy matching for MULTI-WORD names — the entity-
+    resolution relation word-order noise demands, where whole-string
+    ``fuzzy_self_pairs`` fails ("john smith" vs "smith john" is edit
+    distance 10): two names match iff their normalized token SETS have the
+    same size, differ in at most ONE token per side, and that differing
+    token pair is within ``per_token_dist`` edit distance. Permutations and
+    re-spacings match at distance 0. Output: (name_a, name_b,
+    token_distance), name_a < name_b.
+
+    Candidate generation is SymSpell lifted a level, applied per token:
+    for each name, for each token position, emit the key (the OTHER tokens
+    joined in sorted order, one ``<=d``-deletion variant of the chosen
+    token). Two names in the relation differ in at most the tokens x, y
+    with levenshtein(x, y) <= d, so choosing those positions leaves
+    identical other-token keys, and the symmetric-delete argument
+    (module docstring) guarantees x and y share a deletion variant —
+    the equi-join on (others-key, variant) is a COMPLETE blocking, and
+    the exact ``array_except`` + ``levenshtein`` verification removes
+    false candidates. Names normalizing to an empty token set cannot
+    block and are dropped (no-content names have no match semantics).
+
+    Scale shape: everything up to the verify is JVM expressions — variant
+    fan-out is sum over tokens of O(len^d) rows per name, the join
+    shuffles (key, name) pairs, candidate pairs dedup BEFORE the two
+    broadcast re-joins that fetch token arrays for verification. Meant
+    for vocabularies (distinct names), like ``fuzzy_self_pairs``.
+    """
+    toks = (
+        df.select(F.col(string_col).alias("name"))
+        .where(F.col(string_col).isNotNull())
+        .distinct()
+        .select("name", _token_set(F.col("name")).alias("ts"))
+        .where(F.size("ts") > 0)
+    )
+    keyed = (
+        toks.select(
+            "name",
+            F.size("ts").alias("n_tok"),
+            "ts",
+            F.posexplode("ts").alias("pos", "tok"),
+        )
+        .select(
+            "name",
+            "n_tok",
+            F.concat_ws(
+                "\x01",
+                F.concat(
+                    F.slice("ts", 1, F.col("pos")),
+                    F.slice(
+                        "ts", F.col("pos") + 2, F.size("ts")
+                    ),
+                ),
+            ).alias("others"),
+            F.explode(deletion_variants(F.col("tok"), per_token_dist)).alias("v"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.others") == F.col("b.others"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.n_tok") == F.col("b.n_tok"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("name").alias("name_a"), F.col("ts").alias("ta"))
+    tb = toks.select(F.col("name").alias("name_b"), F.col("ts").alias("tb"))
+    verified = (
+        cand.join(F.broadcast(ta), "name_a")
+        .join(F.broadcast(tb), "name_b")
+        .withColumn("__da", F.array_except("ta", "tb"))
+        .withColumn("__db", F.array_except("tb", "ta"))
+        .where(
+            (F.size("__da") == F.size("__db"))
+            & (F.size("__da") <= 1)
+            & (
+                (F.size("__da") == 0)
+                | (
+                    F.levenshtein(
+                        F.col("__da").getItem(0), F.col("__db").getItem(0)
+                    )
+                    <= per_token_dist
+                )
+            )
+        )
+    )
+    return verified.select(
+        "name_a",
+        "name_b",
+        F.when(F.size("__da") == 0, F.lit(0))
+        .otherwise(
+            F.levenshtein(F.col("__da").getItem(0), F.col("__db").getItem(0))
+        )
+        .cast("int")
+        .alias("token_distance"),
+    )

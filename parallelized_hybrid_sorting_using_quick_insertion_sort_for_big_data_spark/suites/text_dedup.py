@@ -752,6 +752,49 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part
+),
+toks AS (
+  SELECT name,
+         list_sort(list_distinct(list_filter(
+           string_split_regex(lower(trim(name)), '[^a-z0-9]+'), t -> t <> ''
+         ))) AS ts
+  FROM names
+  WHERE len(list_filter(
+           string_split_regex(lower(trim(name)), '[^a-z0-9]+'), t -> t <> ''
+        )) > 0
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.ts AS ta, b.ts AS tb,
+         list_filter(a.ts, t -> NOT list_contains(b.ts, t)) AS da,
+         list_filter(b.ts, t -> NOT list_contains(a.ts, t)) AS db
+  FROM toks a JOIN toks b ON a.name < b.name
+)
+SELECT name_a, name_b,
+       CAST(CASE WHEN len(da) = 0 THEN 0
+                 ELSE levenshtein(da[1], db[1]) END AS INT) AS token_distance
+FROM pairs
+WHERE len(ta) = len(tb) AND len(da) = len(db) AND len(da) <= 1
+  AND (len(da) = 0 OR levenshtein(da[1], db[1]) <= 1)
+"""
+
+
+@query("fuzzy_token_match", sql=_TOKEN_FUZZY_ORACLE)
+def fuzzy_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level fuzzy matching of the part-name vocabulary (VERDICT r04
+    next-round #7): pairs whose normalized token sets differ in at most one
+    token within edit distance 1, word order ignored — found via the
+    per-token symmetric-delete blocking in operators/fuzzy.py
+    (sorted-others key + token deletion variants, complete by the SymSpell
+    argument lifted to tokens). The oracle is the naive cross-join of the
+    same relation, so the hash match proves the blocking dropped no pair
+    ("cold bolt"/"old bolt" style single-token drifts at this data)."""
+    part = load_table(spark, sf_dir, "part")
+    return _FZ.token_fuzzy_self_pairs(part, "p_name", per_token_dist=1)
+
+
 # ---------------------------------------------------------------------------
 # 15. Heavy hitters: exact frequent tokens via bounded-state two-pass
 #     (per-partition local pruning -> broadcast candidates -> exact counts).

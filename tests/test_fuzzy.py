@@ -105,3 +105,88 @@ def test_fuzzy_query_no_cartesian(spark):
     qs = entrymod.queries()
     df = qs["fuzzy_name_match"](spark, SF_DIR)
     assert not PI.has_cartesian(df)
+
+
+def _token_relation_py(names: list[str], d: int) -> set[tuple[str, str, int]]:
+    """Brute-force reference for token_fuzzy_self_pairs: cross-join over
+    normalized token sets, at most one differing token per side within
+    edit distance d."""
+    import re
+
+    def tset(s: str) -> tuple[str, ...]:
+        return tuple(sorted({t for t in re.split(r"[^a-z0-9]+", s.lower().strip()) if t}))
+
+    out = set()
+    for a, b in itertools.combinations(sorted(set(names)), 2):
+        ta, tb = tset(a), tset(b)
+        if not ta or not tb or len(ta) != len(tb):
+            continue
+        da = [t for t in ta if t not in tb]
+        db = [t for t in tb if t not in ta]
+        if len(da) != len(db) or len(da) > 1:
+            continue
+        if da and _lev(da[0], db[0]) > d:
+            continue
+        out.add((a, b, _lev(da[0], db[0]) if da else 0))
+    return out
+
+
+@pytest.fixture(scope="module")
+def multiword_names():
+    rng = random.Random(7)
+    toks = ["alpha", "beta", "gamma", "delta", "omega", "zeta"]
+    names = [
+        "john smith", "smith  john", "jon smith", "john smyth",
+        "mary jones", "mary joness", "jones mary kate", "kate mary jones",
+        "solo", "slo", "so-lo", "###", "a b c", "c b a", "a b d",
+    ]
+    for _ in range(40):
+        names.append(" ".join(rng.sample(toks, rng.randint(1, 3))))
+    return names
+
+
+def test_token_fuzzy_matches_bruteforce_d1(spark, multiword_names):
+    df = spark.createDataFrame([(n,) for n in multiword_names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["token_distance"])
+        for r in FZ.token_fuzzy_self_pairs(df, "name", per_token_dist=1).collect()
+    }
+    assert got == _token_relation_py(multiword_names, 1)
+    # the fixture really exercises every class: permutation (distance 0),
+    # near-token (distance 1), and non-matches
+    assert any(dist == 0 for _, _, dist in got)
+    assert any(dist == 1 for _, _, dist in got)
+
+
+def test_token_fuzzy_d2_completeness_preserved(spark, multiword_names):
+    """per_token_dist=2 rides the same deletion_variants(d=2) machinery —
+    the blocking must stay complete at the wider radius too."""
+    df = spark.createDataFrame([(n,) for n in multiword_names], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["token_distance"])
+        for r in FZ.token_fuzzy_self_pairs(df, "name", per_token_dist=2).collect()
+    }
+    assert got == _token_relation_py(multiword_names, 2)
+    assert any(dist == 2 for _, _, dist in got)
+
+
+def test_token_fuzzy_edge_semantics(spark):
+    df = spark.createDataFrame(
+        [("john smith",), ("smith john",), ("###",), ("!!!",), (None,)],
+        "name string",
+    )
+    got = {
+        (r["name_a"], r["name_b"], r["token_distance"])
+        for r in FZ.token_fuzzy_self_pairs(df, "name").collect()
+    }
+    # permutations at distance 0; empty-token-set names and nulls drop out
+    assert got == {("john smith", "smith john", 0)}
+
+
+def test_token_fuzzy_query_matches_oracle(spark):
+    from tests.conftest import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["fuzzy_token_match"](spark, SF_DIR), oracles["fuzzy_token_match"], SF_DIR
+    )
