@@ -314,6 +314,31 @@ def main() -> None:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     print(json.dumps(detail, separators=(",", ":")))
 
+    # Per-run history: ONE appended line per bench invocation, so any round
+    # can diff per-query times against any earlier round without relying on
+    # the driver's truncated capture or a single overwritten detail file.
+    # Filter by "sf" when comparing (smoke runs at sf0.01 append too);
+    # always read the calib probes before believing a delta.
+    history_path = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
+    try:
+        from datetime import datetime, timezone
+
+        hist = {
+            "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+            "round": os.environ.get("SPARK_GRAFT_ROUND"),
+            "sf": sf,
+            "cpus": spark.sparkContext.defaultParallelism,
+            "total": total,
+            "r01_comparable_total": comparable,
+            "calib_ms_start": calib_start,
+            "calib_ms_end": calib_end,
+            "queries": {k: round(t, 4) for k, t in times.items()},
+        }
+        with history_path.open("a") as fh:
+            fh.write(json.dumps(hist, separators=(",", ":")) + "\n")
+    except OSError as exc:
+        print(f"bench: could not append {history_path}: {exc}", file=sys.stderr)
+
     slowest = dict(
         sorted(
             ((k, round(t, 2)) for k, t in times.items() if t > 0),
