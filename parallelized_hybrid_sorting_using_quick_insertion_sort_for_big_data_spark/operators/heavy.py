@@ -17,12 +17,14 @@ universe is far too large to groupBy:
 
 Versus a plain ``groupBy(col).count()``: the shuffle there carries one row
 per distinct value per partition (a token universe at 100 TB is billions);
-here the shuffle carries only candidate hits (< k per partition) and the
-candidate/total relations are kilobytes. Two column-pruned scans of the
-input; the bounded candidate summary stays cluster-side behind an eager
-``localCheckpoint`` (freed with the result's lineage — no session-lifetime
-persist leak, and no multi-million-row driver collect at the 100k-partition
-worst case).
+here the shuffle carries only candidate hits (< k per partition). The
+operator is STATELESS by design: the row total comes from a column-pruned
+JVM-only ``count()`` (no Python), and the candidate pass executes lazily
+inside the returned plan — no ``persist`` (which leaked session-lifetime
+blocks), no ``localCheckpoint`` (whose RDDs stay registered until session
+end under classic PySpark — py4j never detaches the JVM-side dataset), and
+no multi-million-row driver collect at the 100k-partition worst case. The
+price is one extra column-pruned scan next to the two the algorithm needs.
 
 Arrow-batched ``value_counts`` does the local pruning vectorized — the
 per-partition distinct set is bounded by the partition size
@@ -38,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CAND_SCHEMA = "value string, local_n bigint, part_rows bigint"
+_CAND_SCHEMA = "value string"
 
 
 def _local_prune(k: int):
@@ -49,14 +51,8 @@ def _local_prune(k: int):
             total += len(b)
             for v, c in b["value"].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
-        survivors = {v: c for v, c in counts.items() if c * k > total}
-        yield pd.DataFrame(
-            {
-                "value": list(survivors) + [None],
-                "local_n": list(survivors.values()) + [0],
-                "part_rows": [0] * len(survivors) + [total],
-            }
-        )
+        survivors = [v for v, c in counts.items() if c * k > total]
+        yield pd.DataFrame({"value": survivors})
 
     return gen
 
@@ -74,20 +70,15 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int) -> DataFrame:
     vals = df.select(F.col(value_col).cast("string").alias("value")).where(
         F.col("value").isNotNull()
     )
-    # The candidate summary is bounded-small BY CONSTRUCTION (< k survivor
-    # rows + 1 total row per partition), but at the worst case (k=100, 100k
-    # partitions) that is still ~10M rows — too many to round-trip through
-    # the driver. localCheckpoint(eager=True) materializes it once in
-    # executor storage with truncated lineage; both consumers (the scalar
-    # total and the candidate set) read the checkpoint, so the candidate
-    # pass runs exactly once and only ONE NUMBER ever reaches the driver.
-    # The checkpoint blocks are freed when the RDD is GC'd at function exit
-    # — no session-lifetime persist leak.
-    summary = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).localCheckpoint(
-        eager=True
-    )
-    total_n = summary.agg(F.sum("part_rows")).collect()[0][0] or 0
-    cand = summary.where(F.col("value").isNotNull()).select("value").distinct()
+    # The row total is the ONLY scalar the plan needs up front; taking it
+    # from a dedicated column-pruned count() (JVM-only, no Python) keeps
+    # the operator stateless — the bounded candidate relation (< k survivor
+    # rows per partition, ~10M rows at the k=100 / 100k-partition worst
+    # case) then flows lazily into the broadcast build inside the returned
+    # plan, never through the driver and never through persisted or
+    # checkpointed blocks that would outlive the query.
+    total_n = vals.count()
+    cand = vals.mapInPandas(_local_prune(k), _CAND_SCHEMA).distinct()
     exact = (
         vals.join(F.broadcast(cand), "value", "left_semi")
         .groupBy("value")

@@ -698,8 +698,11 @@ def kmeans_fit(
     same lineage cut ``connected_components`` applies to its edge set):
     without it the logical plan nests one full assign+update under the
     next, growing the plan — and Catalyst's analysis time — geometrically
-    with ``iters``. The checkpoint is k tiny rows per round; blocks free
-    with the result's lineage on GC. The returned codebook's plan is a
+    with ``iters``. The residue is ``iters`` checkpointed RDDs of k rows
+    each (kilobytes) that stay registered for the session under classic
+    PySpark (py4j never detaches the JVM dataset) — the right trade for a
+    codebook; long-running apps fitting many models should checkpoint to a
+    checkpoint dir instead. The returned codebook's plan is a
     constant-size RDD scan regardless of ``iters`` (plan-size gate in
     test_plans.py)."""
     cents = df.where(F.col(id_col) < k).select(
