@@ -424,6 +424,46 @@ def rel_sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 10b. TPC-H Q5 shape: the 6-table join chain — region/nation prune down
+#      through customer/orders into lineitem/supplier with the co-nation
+#      equi-constraint. The canonical Catalyst join-ordering showcase: every
+#      dimension broadcasts, both date filters push to the orders scan, and
+#      the fact table shuffles only for the final 5-row aggregation.
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("rel_sql_q5_local_supplier", sql=_Q5_SQL)
+def rel_sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) through spark.sql: revenue
+    per nation for one region-year slice where the line's supplier sits in
+    the customer's own nation — the 6-table join chain that exists to
+    exercise join ordering. The oracle is the IDENTICAL SQL text run by
+    DuckDB (decimal-exact revenue), so the hash match proves the whole
+    parse → Catalyst → execute lifecycle agrees with an independent
+    engine on a multi-join plan. Plan gates: every dimension side
+    broadcasts (no fact-table shuffle before the final agg), date + region
+    filters reach the scans."""
+    for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
 # 11. Statistical aggregates: exact interpolated percentiles + histogram
 # ---------------------------------------------------------------------------
 

@@ -205,3 +205,18 @@ def test_kmeans_lineage_flat_at_high_iters(spark):
     assert "Scan ExistingRDD" in plan
     # no join/aggregate machinery survives into the result plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_q5_join_chain_all_broadcast_single_shuffle(spark, qs):
+    """TPC-H Q5 shape: the 6-table chain must broadcast every dimension
+    side and shuffle only for the final 5-row aggregation; both date
+    bounds and the region literal reach their scans."""
+    df = qs["rel_sql_q5_local_supplier"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5, plan
+    PI.assert_max_exchanges(df, 1)
+    pushed = ";".join(PI.pushed_filters(df))
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "EqualTo(r_name,ASIA)" in pushed
