@@ -272,3 +272,34 @@ SELECT e.token, e.exact_n, s.cms_est,
        CAST(s.cms_est - e.exact_n AS BIGINT) AS overcount
 FROM exact e JOIN est s USING (token)
 """
+
+
+def windowed_cms_oracle_sql(
+    window_s: int = 21600,
+    depth: int = 4,
+    width: int = 256,
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+) -> str:
+    """DuckDB SQL reproducing the per-event-time-window CMS build
+    (``streaming/windows.stream_windowed_cms``) cell-for-cell: epoch-floor
+    tumbling windows, the same md5-prefix cells, one row per occupied
+    (window, j, cell)."""
+    cell_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT win_start, {j} AS j, {_cell_sql(value_col, j, width)} AS cell"
+        f" FROM ev"
+        for j in range(depth)
+    )
+    return f"""
+WITH ev AS (
+  SELECT make_timestamp(CAST(floor(epoch({ts_col}) / {window_s}) * {window_s} AS BIGINT) * 1000000) AS win_start,
+         {value_col}
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+cells AS (
+  {cell_rows}
+),
+cms AS (SELECT win_start, j, cell, count(*) AS n FROM cells GROUP BY 1, 2, 3)
+SELECT win_start, j, cell, n FROM cms
+"""

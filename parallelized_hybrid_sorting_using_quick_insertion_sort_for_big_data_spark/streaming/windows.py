@@ -334,3 +334,75 @@ def stream_dedup(
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     return read_sink(spark, out_dir, deduped.schema)
+
+
+def stream_windowed_cms(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    window: str = "6 hours",
+    window_s: int = 21600,
+    watermark: str = "2 hours",
+    value_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch per event-time window over a real Structured
+    Streaming job — the composition a continuous pipeline actually keeps
+    when even per-window exact counts would churn too much state: per
+    window the state is depth x width counters REGARDLESS of the value
+    universe, windows finalize and evict at the watermark, and finalized
+    sketches merge across shards/restarts by cell-wise addition
+    (``operators/sketch.cms_merge``).
+
+    Plan shape: the explode fans each event into ``depth`` (j, cell) rows
+    map-side; the streaming aggregation is an ordinary partial-agg
+    count on (window, j, cell) — bounded at depth·width rows per window
+    in the store. Output: (win_start, j, cell, n), one row per OCCUPIED
+    cell — identical to the batch ``cms_build`` per window, which is what
+    the generated DuckDB oracle recomputes cell-for-cell."""
+    from ..operators.sketch import _cell
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_scms_{uuid.uuid4().hex[:8]}"
+    staged = None
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        staged = os.path.join(tempfile.gettempdir(), name + "_src")
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    events = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
+    v = F.col(value_col)
+    fanned = events.where(v.isNotNull()).select(
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cell(v, j, width).alias("cell")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    )
+    agg = (
+        fanned.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("__c.j").alias("j"),
+            F.col("__c.cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "j", "cell", "n")
+    )
+    try:
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(
+                agg, name, output_mode="complete", overwrite_each_batch=True
+            )
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, agg.schema)

@@ -181,6 +181,39 @@ def events_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_user_profile_stream(spark, f"{sf_dir}/events.parquet", n_chunks=3)
 
 
+_SCMS_DEPTH, _SCMS_WIDTH, _SCMS_WINDOW_S = 4, 256, 21600
+
+
+def _stream_cms_oracle() -> str:
+    from ..operators import sketch as _SK
+
+    return _SK.windowed_cms_oracle_sql(
+        window_s=_SCMS_WINDOW_S, depth=_SCMS_DEPTH, width=_SCMS_WIDTH,
+        table="events", value_col="user_id",
+    )
+
+
+@query("events_stream_cms", sql=_stream_cms_oracle())
+def events_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch per 6-hour event-time window, built by a REAL
+    Structured Streaming job (readStream -> explode cells -> watermarked
+    window aggregation -> parquet sink): per-window state is depth*width
+    counters regardless of how many distinct users stream through, the
+    bounded-memory frequency structure a continuous pipeline keeps where
+    exact per-window counts would churn. The generated DuckDB oracle
+    rebuilds every (window, j, cell, n) cell from the same md5 family and
+    epoch-floor windows — streaming execution, batch-exact answer."""
+    from ..streaming import windows as W
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return W.stream_windowed_cms(
+        spark, f"{sf_dir}/events.parquet", schema,
+        window="6 hours", window_s=_SCMS_WINDOW_S, watermark="2 hours",
+        value_col="user_id", depth=_SCMS_DEPTH, width=_SCMS_WIDTH,
+    )
+
+
 @query("events_stream_tumbling", sql=_TUMBLING_ORACLE)
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation as events_tumbling_window but executed

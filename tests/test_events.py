@@ -16,6 +16,7 @@ ORACLE_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "events_stream_enrich",
+    "events_stream_cms",
 ]
 
 
@@ -167,3 +168,63 @@ def test_sessions_cover_all_events(spark):
         ends = grp["session_end_us"].tolist()
         for s, e_prev in zip(starts[1:], ends[:-1]):
             assert s >= e_prev
+
+
+def test_stream_cms_equals_batch_build(spark):
+    """The streaming windowed CMS, fully drained, must equal the batch
+    build: same explode-cells + window aggregation expressed as a plain
+    DataFrame over the static table. Also pins mergeability: summing the
+    per-window sketches cell-wise equals the whole-table cms_build."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        sketch as SK,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    qs = entrymod.queries()
+    stream = {tuple(r) for r in qs["events_stream_cms"](spark, SF_DIR).collect()}
+
+    ev = load_table(spark, SF_DIR, "events").where(F.col("user_id").isNotNull())
+    fanned = ev.select(
+        F.window("ts", "6 hours").alias("win"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), SK._cell(F.col("user_id"), j, 256).alias("cell")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("__c"),
+    )
+    batch = {
+        tuple(r)
+        for r in fanned.groupBy(
+            F.col("win.start").alias("win_start"),
+            F.col("__c.j").alias("j"),
+            F.col("__c.cell").alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stream == batch
+
+    # cell-wise merge of the per-window sketches == one whole-table sketch
+    merged = {
+        (r["j"], r["cell"], r["n"])
+        for r in qs["events_stream_cms"](spark, SF_DIR)
+        .groupBy("j", "cell")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    whole = {
+        tuple(r)
+        for r in SK.cms_build(
+            ev.select(F.col("user_id").alias("value")), "value", depth=4, width=256
+        ).collect()
+    }
+    assert merged == whole
