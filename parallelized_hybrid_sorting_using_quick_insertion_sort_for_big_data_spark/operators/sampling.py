@@ -291,3 +291,66 @@ def mixture_threshold_sql(
         f"* ({float(budget_frac)!r} * CAST(__T AS DOUBLE)) / CAST(__L AS DOUBLE)) "
         f"* {float(DENOM)!r}) AS BIGINT)"
     )
+
+
+def _coin(key: Column, salt: str) -> Column:
+    """Full 32-bit md5-prefix coin for ordering (not bucketed to DENOM —
+    fewer collisions; ties broken by the key itself downstream)."""
+    k = F.coalesce(key.cast("string"), F.lit("\\0null"))
+    return F.conv(F.substring(F.md5(F.concat(k, F.lit(salt))), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def coin_sql(key_expr: str, salt: str) -> str:
+    """DuckDB mirror of :func:`_coin`, generated from the same constants."""
+    return (
+        f"CAST('0x' || substr(md5(coalesce(CAST({key_expr} AS VARCHAR), '\\0null') "
+        f"|| '{salt}'), 1, 8) AS BIGINT)"
+    )
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "reservoir",
+    n_salts: int = 16,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Deterministic 'reservoir' of exactly min(k, group size) rows per
+    group: the k rows with the smallest md5 coin (ties to the smaller key)
+    — the training-data curation op "give me k docs per language/source,
+    stable across runs, engines, and corpus growth order". A true random
+    reservoir is irreproducible; the hash-coin form IS the uniform sample
+    (md5 prefix ~ U[0, 2^32)) with an audit trail any engine can replay.
+
+    Skew-proof two-phase form (same pattern as ``salted_distinct_count``):
+    a single ``row_number() OVER (PARTITION BY group)`` funnels a hot
+    group through one reducer, so phase 1 ranks within (group, coin mod
+    n_salts) shards — the hot group's sort spreads over n_salts reducers —
+    and keeps each shard's top k. Any row in the group's true top k ranks
+    ≤ k within its own shard, so phase 1 is a superset; phase 2 re-ranks
+    the ≤ n_salts·k survivors per group exactly. Output: input columns +
+    ``rank_col`` (1-based within group, ordered by coin then key).
+    """
+    if k < 1 or n_salts < 1:
+        raise ValueError(f"k and n_salts must be >= 1, got {k}, {n_salts}")
+    from pyspark.sql.window import Window
+
+    coin = _coin(F.col(key_col), salt)
+    shard = F.pmod(coin, F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, shard).orderBy(
+        coin.asc(), F.col(key_col).asc()
+    )
+    cand = (
+        df.withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .drop("__rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(coin.asc(), F.col(key_col).asc())
+    return (
+        cand.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+    )

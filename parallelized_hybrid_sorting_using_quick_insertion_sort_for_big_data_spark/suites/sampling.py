@@ -147,3 +147,38 @@ def sample_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_sample(
         docs, "doc_id", "lang", "n_chars", _MIX_SHARES, _MIX_BUDGET, salt="mix"
     )
+
+
+_RESERVOIR_K, _RESERVOIR_SALT = 50, "rsv5"
+
+_RESERVOIR_ORACLE = f"""
+WITH coined AS (
+  SELECT doc_id, lang, source,
+         {sampling.coin_sql("doc_id", _RESERVOIR_SALT)} AS __coin
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY __coin, doc_id) AS rnk
+  FROM coined
+)
+SELECT doc_id, lang, source, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_RESERVOIR_K}
+"""
+
+
+@query("sample_group_reservoir", sql=_RESERVOIR_ORACLE)
+def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language 'reservoir': exactly min(50, group size)
+    docs per lang, the ones with the smallest md5 coin — stable across
+    runs, engines, partitionings, and corpus growth order, unlike a true
+    random reservoir. Two-phase skew-proof ranking (shard by coin mod 16,
+    keep k per shard, exact re-rank of the bounded survivors); the oracle
+    is the single plain window the two-phase form must equal."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = sampling.group_reservoir(
+        docs, ["lang"], "doc_id", _RESERVOIR_K, salt=_RESERVOIR_SALT, n_salts=16
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("rnk").cast("bigint").alias("rnk")
+    )

@@ -180,3 +180,62 @@ def test_mixture_sample_unlisted_group_dropped(spark):
     df = spark.createDataFrame(rows, "id long, g string, w long")
     out = sampling.mixture_sample(df, "id", "g", "w", {"a": 1.0}, 1.0).collect()
     assert {r["g"] for r in out} == {"a"}
+
+
+def test_group_reservoir_two_phase_equals_plain_window(spark):
+    """The sharded two-phase ranking must equal the single-window form on a
+    deliberately skewed distribution (one group holds ~90% of rows), and
+    n_salts=1 degenerates to the plain form."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        sampling as S,
+    )
+
+    hot = spark.range(9000).select(F.lit("hot").alias("g"), F.col("id").alias("k"))
+    tail = spark.range(1000).select(
+        (F.col("id") % 20).cast("string").alias("g"), (F.col("id") + 100000).alias("k")
+    )
+    df = hot.unionAll(tail).repartition(13)
+
+    coin = S._coin(F.col("k"), "t")
+    w = Window.partitionBy("g").orderBy(coin.asc(), F.col("k").asc())
+    plain = {
+        (r["g"], r["k"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 7)
+        .collect()
+    }
+    for n_salts in (1, 16):
+        got = {
+            (r["g"], r["k"], r["rnk"])
+            for r in S.group_reservoir(
+                df, ["g"], "k", 7, salt="t", n_salts=n_salts
+            ).collect()
+        }
+        assert got == plain, n_salts
+    # exactly min(k, group size) rows per group
+    sizes = {r["g"]: r["n"] for r in
+             S.group_reservoir(df, ["g"], "k", 7, salt="t")
+             .groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes["hot"] == 7 and all(v <= 7 for v in sizes.values())
+
+
+def test_group_reservoir_stable_under_corpus_growth(spark):
+    """Adding rows never perturbs which EXISTING rows rank first unless a
+    new row genuinely wins a slot: ranks of surviving members only shift
+    by new winners, and the sample is a pure function of (key, salt)."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        sampling as S,
+    )
+
+    base = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    grown = spark.range(800).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    pick = lambda d: {r["k"] for r in S.group_reservoir(d, ["g"], "k", 10, salt="s").collect()}
+    a, b = pick(base), pick(grown)
+    # every dropped member was displaced by a new key, never reshuffled away
+    assert len(a) == len(b) == 10
+    assert all(x >= 500 for x in b - a)
