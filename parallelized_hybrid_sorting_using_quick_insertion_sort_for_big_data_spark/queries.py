@@ -74,11 +74,17 @@ _LOADED = False
 # valid across a testdata regeneration (r03 TIMESTAMP_NTZ incident;
 # compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 5: never driver-checked (forward refs until the
-    #    suites register them; harmless if a name lands later)
+    # -- new in round 5: never driver-checked. The last three double as
+    #    suite sentinels: rel_sql_q5 touches every TPC-H table,
+    #    events_stream_cms covers streaming+events, sample_group_reservoir
+    #    covers documents — so only multimodal still needs a dedicated
+    #    sentinel below.
     "skew_salted_outer",
     "events_outlier_robust_approx",
     "fuzzy_token_match",
+    "rel_sql_q5_local_supplier",
+    "events_stream_cms",
+    "sample_group_reservoir",
     # -- the 43 queries whose newest driver row is r03, oldest-checked first
     "events_funnel",
     "events_funnel_counts",
@@ -123,14 +129,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_label_centroids",
     "vec_topk_with_metadata",
     "vec_quantize_int8",
-    # -- sentinels: r04-green, one per suite/table family the 43 above
-    #    leave unwatched (relational+lineitem agg, join+orders, multimodal,
-    #    streaming) so a testdata or engine regression in a "settled" area
-    #    is still caught this round
-    "rel_q1_pricing_summary",
-    "rel_join_revenue_by_nation",
+    # -- sentinel: r04-green; multimodal is the one suite/table family
+    #    neither the 43 stale queries nor the round-5 additions touch
     "mm_byte_features",
-    "events_stream_tumbling",
 )
 
 
