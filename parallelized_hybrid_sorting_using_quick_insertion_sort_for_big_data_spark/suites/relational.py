@@ -1009,3 +1009,115 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old_s, new_s, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+
+# ---------------------------------------------------------------------------
+# 20. RANGE-frame window: event-time moving aggregate (90-day trailing sum
+#     per customer). Distinct from the ROWS frames elsewhere in the battery:
+#     the frame is bounded by the ORDER-BY VALUE, so ties (same order date)
+#     are peers and the result is deterministic without a tiebreaker.
+# ---------------------------------------------------------------------------
+
+_RANGE_FRAME_S = 90 * 86400
+
+_RANGE_FRAME_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(27,8))) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN {_RANGE_FRAME_S} PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+       count(*) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN {_RANGE_FRAME_S} PRECEDING AND CURRENT ROW) AS trailing_n
+FROM orders
+"""
+
+
+@query("rel_window_range_frame", sql=_RANGE_FRAME_ORACLE)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90-day trailing order-value sum per customer — a RANGE frame over
+    epoch seconds, the value-bounded frame the ROWS battery can't express
+    (same-day orders are peers: both see the pair's combined sum, so the
+    result is deterministic with NO tiebreaker key). One shuffle on the
+    partition key; decimal-exact sum cast back to double."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    epoch_s = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-_RANGE_FRAME_S, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,8)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. Second-moment statistics from DECIMAL-EXACT power sums. corr/covar are
+#     order-dependent when an engine folds doubles — the portable form
+#     aggregates exact decimal moments (n, Σx, Σy, Σxy, Σx², Σy²) and does
+#     the identical IEEE double combination on both engines.
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round((sxy - sx*sy/n) / (n-1), 6) AS covar_samp,
+       round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 9) AS corr,
+       round(sqrt((sxx - sx*sx/n) / (n-1)), 9) AS stddev_qty
+FROM m
+"""
+
+
+@query("rel_moment_stats", sql=_MOMENTS_ORACLE)
+def rel_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag covariance/correlation/stddev of (quantity, price) computed
+    from decimal-exact power sums — the engine-portable form of the
+    second-moment aggregates: native corr()/covar_samp() fold doubles in
+    partition order and differ across engines in the low bits, while exact
+    Σx/Σy/Σxy/Σx²/Σy² are order-independent and the final double
+    combination is the same IEEE expression on both sides. One partial-agg
+    shuffle, same as any grouped sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d194 = "decimal(19,4)"
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,8)")).cast("double").alias("sy"),
+        F.sum(F.col("l_quantity").cast(d194) * F.col("l_extendedprice").cast(d194))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("l_quantity").cast(d194) * F.col("l_quantity").cast(d194))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("l_extendedprice").cast(d194) * F.col("l_extendedprice").cast(d194))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / (n - F.lit(1)), 6).alias("covar_samp"),
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9
+        ).alias("corr"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 9).alias("stddev_qty"),
+    )

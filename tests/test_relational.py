@@ -21,6 +21,9 @@ REL_QUERIES = [
     "rel_percentiles",
     "rel_histogram",
     "rel_cube_orders",
+    "rel_sql_q5_local_supplier",
+    "rel_window_range_frame",
+    "rel_moment_stats",
 ]
 
 
@@ -159,3 +162,62 @@ def test_scd2_merge_semantics(spark):
     again = scd2_merge(out, upd, key="k", tracked=["bal"], change_ts_us=2000)
     assert again.count() == out.count()
     assert again.where("valid_from_us = 2000").count() == 0
+
+
+def test_range_frame_peers_share_result(spark):
+    """Same-date orders of one customer are RANGE-frame peers: both rows
+    must report the identical trailing aggregate (the property a ROWS
+    frame would violate)."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    out = qs["rel_window_range_frame"](spark, SF_DIR)
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = out.join(o, ["o_orderkey", "o_custkey"])
+    per_day = joined.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("trailing_sum").alias("d_sum"),
+        F.countDistinct("trailing_n").alias("d_n"),
+    )
+    bad = per_day.where((F.col("n") > 1) & ((F.col("d_sum") > 1) | (F.col("d_n") > 1)))
+    assert bad.count() == 0
+    # and peers genuinely exist in the fixture
+    assert per_day.where(F.col("n") > 1).count() > 0
+
+
+def test_moment_stats_match_native_aggregates(spark):
+    """The decimal-moment combination must agree with Spark's native
+    corr/covar_samp/stddev_samp to float tolerance (the natives fold
+    doubles in partition order, so exact equality is NOT expected — that
+    instability is the reason the query uses exact moments)."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    qs = entrymod.queries()
+    got = {r["l_returnflag"]: r for r in qs["rel_moment_stats"](spark, SF_DIR).collect()}
+    li = load_table(spark, SF_DIR, "lineitem")
+    native = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cov"),
+            F.stddev_samp("l_quantity").alias("sd"),
+        )
+        .collect()
+    }
+    assert set(got) == set(native)
+    for flag, r in got.items():
+        nv = native[flag]
+        assert r["corr"] == pytest.approx(nv["corr"], abs=1e-6)
+        assert r["covar_samp"] == pytest.approx(nv["cov"], rel=1e-6)
+        assert r["stddev_qty"] == pytest.approx(nv["sd"], rel=1e-9)
