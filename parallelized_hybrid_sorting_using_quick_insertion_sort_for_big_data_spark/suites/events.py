@@ -544,3 +544,71 @@ def events_outlier_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.robust_outliers(
         ev, ["event_type"], "value", k=_OUTLIER_K, approx=True
     ).select("event_id", "event_type", "value", "med", "mad", "robust_z")
+
+
+# ---------------------------------------------------------------------------
+# 10. Exponentially-weighted moving average (finite window). The one
+#     time-series smoother the suite lacked: recursive in textbook form,
+#     re-expressed as a FIXED 12-term lag combination so it is one window
+#     pass (no iteration, no UDF) and bit-reproducible across engines —
+#     alpha = 1/2 makes every weight a power of two, so each product
+#     value·2^-j is an exact IEEE exponent shift, and the identical
+#     left-associated sum chain evaluates bit-for-bit the same in Spark
+#     and DuckDB (per-row double math is engine-portable; only reduction
+#     ORDER varies, and a literal a+b+c chain fixes the order).
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 12  # 2^-11 tail weight ≈ 5e-4: finite-window truncation, documented
+
+
+def _ewma_weights() -> list[float]:
+    return [2.0 ** -j for j in range(_EWMA_K)]
+
+
+def _ewma_oracle() -> str:
+    over = "PARTITION BY user_id ORDER BY ts, event_id"
+    num = " + ".join(
+        f"coalesce(lag(value, {j}) OVER ({over}), 0.0) * {w!r}"
+        for j, w in enumerate(_ewma_weights())
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER ({over}) IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        for j, w in enumerate(_ewma_weights())
+    )
+    return f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+       ({num}) / ({den}) AS ewma
+FROM events
+"""
+
+
+@query("events_ewma", sql=_ewma_oracle())
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing EWMA (alpha=1/2, 12-term window) over the event
+    stream, ordered by (ts, event_id). One shuffle on user_id, then all 12
+    lags come from the SAME window sort — Spark collapses them into a
+    single Window exec. The truncated-horizon form is the scale-correct
+    one: the recursive definition needs a sequential scan per user, while
+    the K-term form is a bounded per-row expression whatever the history
+    length; with alpha=1/2 the dropped tail is < 2^-11 of the weight mass.
+    Weights are powers of two so every product is exact and the fixed
+    left-assoc sum chain matches DuckDB bit-for-bit (same doctrine as the
+    suite's decimal aggregates: eliminate reduction-order divergence)."""
+    from pyspark.sql import Window as _Win
+
+    ev = load_table(spark, sf_dir, "events")
+    w = _Win.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) if j else F.col("value") for j in range(_EWMA_K)]
+    weights = _ewma_weights()
+    num = F.coalesce(lags[0], F.lit(0.0)) * weights[0]
+    den = F.when(lags[0].isNotNull(), F.lit(weights[0])).otherwise(F.lit(0.0))
+    for j in range(1, _EWMA_K):
+        num = num + F.coalesce(lags[j], F.lit(0.0)) * weights[j]
+        den = den + F.when(lags[j].isNotNull(), F.lit(weights[j])).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        (num / den).alias("ewma"),
+    )

@@ -1121,3 +1121,110 @@ def rel_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr"),
         F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 9).alias("stddev_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. TPC-H Q10 shape: returned-item report — 4-table join, group on the
+#     customer, top-20 by lost revenue. The classic "who returned the most"
+#     slice: date window on orders, flag filter on lineitem, nation broadcast.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+       c.c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+_Q10_ORACLE = f"""
+SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk, *
+FROM ({_Q10_SQL})
+"""
+
+
+@query("rel_sql_q10_returned_items", sql=_Q10_ORACLE)
+def rel_sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item report) through spark.sql: revenue
+    lost to returns per customer over a half-year order window, top 20.
+    Identical SQL text runs on DuckDB (decimal-exact revenue; rank
+    materialized so the top-k order survives the order-insensitive hash).
+    Plan shape: both the date window and the R-flag filter push to the
+    scans, nation broadcasts at any scale, the customer-grain agg shuffles
+    only pre-aggregated rows, and the final ORDER+LIMIT plans as
+    TakeOrderedAndProject — no global sort of the grouped output."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = spark.sql(_Q10_SQL)
+    from ..operators.sorting import ranked_small
+
+    return ranked_small(out, ["revenue", "c_custkey"], ascending=[False, True]).select(
+        "rnk", "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 23. TPC-H Q18 shape: large-volume orders — IN-subquery over a HAVING
+#     aggregate (semi-join against an aggregated relation), then the detail
+#     join + re-aggregation. The one subquery pattern the battery lacked:
+#     filter BY an aggregate computed in a different grouping.
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       o.o_orderdate,
+       o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(27,8))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(27,8))) > 250
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+"""
+
+_Q18_ORACLE = f"""
+SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) AS rnk, *
+FROM ({_Q18_SQL})
+"""
+
+
+@query("rel_sql_q18_large_volume", sql=_Q18_ORACLE)
+def rel_sql_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers) through spark.sql: orders
+    whose total line quantity exceeds a threshold, with customer detail,
+    top-100 by order value. Exercises the IN-subquery-over-HAVING pattern:
+    Catalyst rewrites the IN to a left-semi join against the aggregated
+    lineitem relation — at scale that aggregate shuffles once on
+    l_orderkey and the semi-join reuses the same key, so no extra fact
+    shuffle; the HAVING compare is decimal-exact on both engines. Rank
+    materialized over (totalprice, orderdate, orderkey) so the top-k
+    order is hash-visible."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = spark.sql(_Q18_SQL)
+    from ..operators.sorting import ranked_small
+
+    return ranked_small(
+        out, ["o_totalprice", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).select(
+        "rnk", "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+    )

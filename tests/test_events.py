@@ -17,6 +17,7 @@ ORACLE_QUERIES = [
     "events_range_join",
     "events_stream_enrich",
     "events_stream_cms",
+    "events_ewma",
 ]
 
 

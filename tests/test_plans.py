@@ -220,3 +220,39 @@ def test_q5_join_chain_all_broadcast_single_shuffle(spark, qs):
     pushed = ";".join(PI.pushed_filters(df))
     assert "GreaterThanOrEqual(o_orderdate" in pushed
     assert "EqualTo(r_name,ASIA)" in pushed
+
+
+def test_q10_pushes_filters_broadcasts_and_takes_ordered(spark, qs):
+    """TPC-H Q10 shape: both scan filters reach parquet, nation broadcasts,
+    and the top-20 plans as TakeOrderedAndProject (never a global sort of
+    the customer-grain aggregate)."""
+    df = qs["rel_sql_q10_returned_items"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df)
+    pushed = ";".join(PI.pushed_filters(df))
+    assert "EqualTo(l_returnflag,R)" in pushed, pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, pushed
+
+
+def test_q18_in_subquery_plans_left_semi(spark, qs):
+    """TPC-H Q18 shape: Catalyst must rewrite the IN-over-HAVING subquery
+    to a left-semi join against the aggregated lineitem relation — no
+    cartesian, no subquery re-execution per row."""
+    df = qs["rel_sql_q18_large_volume"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert not PI.has_cartesian(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_single_window_single_shuffle(spark, qs):
+    """All 12 EWMA lag terms share one window sort: exactly one Window
+    exec, and the only exchange is the user_id hash partitioning."""
+    import re
+
+    df = qs["events_ewma"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    PI.assert_max_exchanges(df, 1)

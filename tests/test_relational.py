@@ -24,6 +24,8 @@ REL_QUERIES = [
     "rel_sql_q5_local_supplier",
     "rel_window_range_frame",
     "rel_moment_stats",
+    "rel_sql_q10_returned_items",
+    "rel_sql_q18_large_volume",
 ]
 
 
