@@ -13,6 +13,12 @@ exported to SQL in two tiers:
 2. **Python UDFs** only where imperative logic is genuinely required: the
    reference-faithful hybrid sort kernel over array columns (Arrow-batched;
    demo/parity tier, not the production sort path — that is ``orderBy``).
+3. **Python UDTF** (table function, Spark 4): ``phsqis_chunks`` — the
+   1→N document chunker as a ``LATERAL``-joinable table function. Same
+   semantics as :func:`..operators.text.chunk_sliding` (pytest-asserted
+   row-for-row); the expression form remains the production path (JVM,
+   codegen), the UDTF is the extension-point surface for logic Catalyst
+   expressions can't express.
 
 Call :func:`register_all` once per session; everything is session-scoped
 (temporary), nothing global.
@@ -100,6 +106,39 @@ def register_all(spark: SparkSession) -> None:
 
     spark.udf.register("phsqis_wavg", phsqis_wavg)
 
+    spark.udtf.register("phsqis_chunks", _chunks_udtf())
+
+
+def _chunks_udtf():
+    """Build the ``phsqis_chunks`` UDTF class (lazy so importing this module
+    never touches pyspark's udtf machinery unless registering).
+
+    Semantics mirror ``operators.text.chunk_sliding`` exactly: window k
+    covers tokens [k*stride, k*stride + chunk_tokens); a doc with n <=
+    chunk_tokens tokens (including empty) yields exactly one chunk.
+    Executes as an Arrow-batched Python table function — the slow path by
+    design; use ``chunk_sliding`` (explode/slice expressions) in pipelines.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    token_pat = re.compile(TOKEN_RE)
+
+    @udtf(returnType="chunk_idx: bigint, chunk_text: string, n_tokens: bigint")
+    class PhsqisChunks:
+        def eval(self, text: str, chunk_tokens: int = 32, stride: int = 24):
+            if chunk_tokens <= 0 or stride <= 0:
+                raise ValueError("chunk_tokens and stride must be positive")
+            toks = token_pat.findall(text.lower()) if text is not None else []
+            n = len(toks)
+            k_max = 0 if n <= chunk_tokens else -(-(n - chunk_tokens) // stride)
+            for k in range(k_max + 1):
+                sl = toks[k * stride : k * stride + chunk_tokens]
+                yield k, " ".join(sl), len(sl)
+
+    return PhsqisChunks
+
 
 def function_names() -> list[str]:
-    return [*_SQL_FUNCTIONS, "phsqis_hybrid_sort", "phsqis_wavg"]
+    return [*_SQL_FUNCTIONS, "phsqis_hybrid_sort", "phsqis_wavg", "phsqis_chunks"]

@@ -100,3 +100,42 @@ def test_wavg_udaf_matches_expression(spark):
 def test_registry_lists_everything(spark):
     for name in function_names():
         assert spark.sql(f"DESCRIBE FUNCTION {name}").count() > 0
+
+
+def test_chunks_udtf_standalone(spark):
+    """UDTF tier: callable as a table function in FROM position."""
+    rows = spark.sql(
+        "SELECT * FROM phsqis_chunks('alpha beta gamma delta epsilon', 3, 2)"
+    ).collect()
+    got = [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in rows]
+    assert got == [(0, "alpha beta gamma", 3), (1, "gamma delta epsilon", 3)]
+    # short + empty docs yield exactly one chunk
+    assert spark.sql("SELECT * FROM phsqis_chunks('one two', 3, 2)").count() == 1
+    assert spark.sql("SELECT * FROM phsqis_chunks('', 3, 2)").collect()[0][
+        "chunk_text"
+    ] == ""
+
+
+def test_chunks_udtf_lateral_matches_expression_chunker(spark):
+    """The UDTF must be row-for-row identical to the production
+    expression-based chunker (operators.text.chunk_sliding) when LATERAL
+    joined over the documents table."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as TX,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens "
+        "FROM udtf_docs d, LATERAL phsqis_chunks(d.text, 32, 24) c"
+    )
+    via_expr = TX.chunk_sliding(docs, chunk_tokens=32, stride=24).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_expr.collect()))
+    assert a == b and len(a) > 100
