@@ -612,3 +612,52 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (num / den).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. Hypertable-style multi-resolution rollup (continuous-aggregate build):
+#     one pass over the events produces the 15-minute, 1-hour, AND 1-day
+#     per-type aggregates via GROUPING SETS — the shape a time-series store
+#     materializes its downsampled tiers with. One Expand (3× the input
+#     rows, map-side) + ONE aggregation shuffle serves all three tiers;
+#     three separate groupBys would read the table three times.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_US = {"15m": 900_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+
+
+def _multires_sql(epoch_fn: str, div_op: str) -> str:
+    u15, u1h, u1d = _ROLLUP_US["15m"], _ROLLUP_US["1h"], _ROLLUP_US["1d"]
+    return f"""
+WITH b AS (
+  SELECT event_type, value,
+         {epoch_fn}(ts) {div_op} {u15} AS b15,
+         {epoch_fn}(ts) {div_op} {u1h} AS b1h,
+         {epoch_fn}(ts) {div_op} {u1d} AS b1d
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN grouping(b15) = 0 THEN '15m'
+            WHEN grouping(b1h) = 0 THEN '1h'
+            ELSE '1d' END AS resolution,
+       coalesce(b15 * {u15}, b1h * {u1h}, b1d * {u1d}) AS win_start_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+FROM b
+GROUP BY GROUPING SETS ((event_type, b15), (event_type, b1h), (event_type, b1d))
+"""
+
+
+@query("events_rollup_multires", sql=_multires_sql("epoch_us", "//"))
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    build): 15m/1h/1d per-type tiers from ONE table pass — GROUPING SETS
+    over three integer-micros bucket keys, so the plan is a single Expand
+    + a single aggregation shuffle of pre-aggregated rows. At 100 TB this
+    replaces three full scans with one; the Expand tripling happens
+    map-side BEFORE partial aggregation, so only (type, bucket) partials
+    shuffle. Bucket math is integer end-to-end (micros // width) and the
+    value sum decimal-exact, so the DuckDB mirror (same text modulo
+    epoch_us/unix_micros dialect) matches hash-exactly."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_multires_sql("unix_micros", "div"))

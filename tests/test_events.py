@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "events_stream_enrich",
     "events_stream_cms",
     "events_ewma",
+    "events_rollup_multires",
 ]
 
 
