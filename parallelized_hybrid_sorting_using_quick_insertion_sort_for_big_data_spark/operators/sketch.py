@@ -10,10 +10,10 @@ exact pass would churn too fast. Estimates only ever OVER-count
 (est ≥ true; est ≤ true + εN with probability 1−δ, ε = e/width,
 δ = e^−depth).
 
-Engine portability: cell indexes come from the md5-prefix hash family
-(same construction as the MinHash base hash), so DuckDB rebuilds the
-identical sketch cell-for-cell and the generated oracle value-checks both
-the build and the estimates.
+Engine portability: cell indexes are 32-bit slices of md5 digests
+(four hash rows per digest), so DuckDB rebuilds the identical sketch
+cell-for-cell and the generated oracle value-checks both the build and
+the estimates.
 """
 
 from __future__ import annotations
@@ -22,26 +22,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# _cell draws positions from a 32-bit md5 prefix, so any bit-array / counter
+# _cell draws positions from 32-bit md5 slices, so any bit-array / counter
 # width beyond 2^32 would leave high positions permanently unset — a silent
 # false-positive-rate degradation. Builders validate against this bound.
 _MAX_POSITIONS = 1 << 32
 
 
-def _cell(value, j: int, width: int):
-    """Row-``j`` cell index of ``value``: md5-prefix of "value|j" mod width
-    — bit-identical in any engine with md5."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(value.cast("string"), F.lit(f"|{j}"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+def _digest(value, block: int):
+    """Block-``block`` md5 digest of ``value`` — the hash material four
+    cell slices share. Builders materialize this as a column BEFORE the
+    cell fan-out so the plan provably computes ⌈k/4⌉ digests per value
+    (Spark's subexpression elimination does not reach into a Generate's
+    input array, so relying on CSE would silently keep k evaluations —
+    the plan gate in test_plans counts md5 calls)."""
+    return F.md5(F.concat(value.cast("string"), F.lit(f"|{block}")))
+
+
+def _cell_of(digest, j: int, width: int):
+    """Cell index from slice ``j % 4`` of the block-``j//4`` digest."""
+    off = j % 4
+    h = F.conv(F.substring(digest, 8 * off + 1, 8), 16, 10).cast("long")
     return F.pmod(h, F.lit(width))
 
 
+def _cell(value, j: int, width: int):
+    """Row-``j`` cell index of ``value``: 32-bit slice ``j % 4`` of
+    md5("value|{j//4}"), mod width. One 128-bit digest feeds FOUR hash
+    rows (4 × 32-bit slices — the standard way to stretch one strong hash
+    into a family, cf. Kirsch–Mitzenmacher), so a depth/k ≤ 4 sketch
+    needs ONE md5 per value; bit-identical in any engine with md5
+    (:func:`_cell_sql` is the same construction in DuckDB syntax).
+    Inline form for probe-side/one-off use; hot builders stage the digest
+    via :func:`_digest`/:func:`_cell_of` so it is computed once."""
+    return _cell_of(_digest(value, j // 4), j, width)
+
+
 def _cell_sql(value_expr: str, j: int, width: int) -> str:
+    block, off = divmod(j, 4)
     return (
-        f"(CAST('0x' || substr(md5({value_expr} || '|{j}'), 1, 8) AS BIGINT)"
+        f"(CAST('0x' || substr(md5({value_expr} || '|{block}'), {8 * off + 1}, 8) AS BIGINT)"
         f" % {width})"
     )
 
@@ -56,16 +75,21 @@ def cms_build(df: DataFrame, value_col: str, depth: int = 4, width: int = 1024) 
     if width > _MAX_POSITIONS:
         raise ValueError(
             f"width must be <= 2^32 ({_MAX_POSITIONS}): cell positions come "
-            f"from a 32-bit md5 prefix, so wider sketches would silently "
+            f"from 32-bit md5 slices, so wider sketches would silently "
             f"never occupy high cells; got {width}"
         )
     v = F.col(value_col)
-    cells = df.where(v.isNotNull()).select(
+    n_blocks = (depth + 3) // 4
+    staged = df.where(v.isNotNull()).select(
+        *[_digest(v, b).alias(f"__d{b}") for b in range(n_blocks)]
+    )
+    cells = staged.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("j"), _cell(v, j, width).alias("cell")
+                        F.lit(j).alias("j"),
+                        _cell_of(F.col(f"__d{j // 4}"), j, width).alias("cell"),
                     )
                     for j in range(depth)
                 ]
@@ -127,8 +151,9 @@ def cms_estimate(
 def bloom_build(df: DataFrame, value_col: str, m_bits: int = 65536, k_hashes: int = 4) -> DataFrame:
     """Build a Bloom filter as its OCCUPIED bit positions: one ``(pos)``
     row per set bit (≤ min(k·|values|, m) rows — kilobytes for an eval
-    set, broadcastable anywhere). md5-prefix position hashes, so any
-    engine reconstructs the identical bit array.
+    set, broadcastable anywhere). md5-slice position hashes (one digest
+    per value at the default k=4), so any engine reconstructs the
+    identical bit array.
 
     The compact-membership form of decontamination at scale: a 64Ki-bit
     filter summarizes an arbitrary-size benchmark set with NO false
@@ -139,15 +164,23 @@ def bloom_build(df: DataFrame, value_col: str, m_bits: int = 65536, k_hashes: in
     if m_bits > _MAX_POSITIONS:
         raise ValueError(
             f"m_bits must be <= 2^32 ({_MAX_POSITIONS}): bit positions come "
-            f"from a 32-bit md5 prefix, so larger filters would silently "
+            f"from 32-bit md5 slices, so larger filters would silently "
             f"never set high bits; got {m_bits}"
         )
     v = F.col(value_col)
+    n_blocks = (k_hashes + 3) // 4
+    staged = df.where(v.isNotNull()).select(
+        *[_digest(v, b).alias(f"__d{b}") for b in range(n_blocks)]
+    )
     return (
-        df.where(v.isNotNull())
-        .select(
+        staged.select(
             F.explode(
-                F.array(*[_cell(v, j, m_bits).alias(f"p{j}") for j in range(k_hashes)])
+                F.array(
+                    *[
+                        _cell_of(F.col(f"__d{j // 4}"), j, m_bits).alias(f"p{j}")
+                        for j in range(k_hashes)
+                    ]
+                )
             ).alias("pos")
         )
         .distinct()
@@ -165,10 +198,19 @@ def bloom_contains(
     positions of the value are set. Probe side fans out ×k and left-joins
     the broadcast position set; a value hits iff every position matched."""
     v = F.col(value_col)
-    fanned = probes.select(
-        "*",
+    n_blocks = (k_hashes + 3) // 4
+    staged = probes.select(
+        "*", *[_digest(v, b).alias(f"__d{b}") for b in range(n_blocks)]
+    )
+    fanned = staged.select(
+        *probes.columns,
         F.explode(
-            F.array(*[_cell(v, j, m_bits) for j in range(k_hashes)])
+            F.array(
+                *[
+                    _cell_of(F.col(f"__d{j // 4}"), j, m_bits)
+                    for j in range(k_hashes)
+                ]
+            )
         ).alias("pos"),
     )
     marked = fanned.join(

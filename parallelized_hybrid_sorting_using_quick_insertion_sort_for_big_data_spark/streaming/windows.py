@@ -361,7 +361,7 @@ def stream_windowed_cms(
     in the store. Output: (win_start, j, cell, n), one row per OCCUPIED
     cell — identical to the batch ``cms_build`` per window, which is what
     the generated DuckDB oracle recomputes cell-for-cell."""
-    from ..operators.sketch import _cell
+    from ..operators.sketch import _cell_of, _digest
     from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
 
     name = f"phsqis_scms_{uuid.uuid4().hex[:8]}"
@@ -374,13 +374,18 @@ def stream_windowed_cms(
         source_dir = staged
     events = normalize_event_ts(spark.readStream.schema(schema).parquet(source_dir))
     v = F.col(value_col)
-    fanned = events.where(v.isNotNull()).select(
+    n_blocks = (depth + 3) // 4
+    digests = events.where(v.isNotNull()).select(
+        "ts", *[_digest(v, b).alias(f"__d{b}") for b in range(n_blocks)]
+    )
+    fanned = digests.select(
         "ts",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(j).alias("j"), _cell(v, j, width).alias("cell")
+                        F.lit(j).alias("j"),
+                        _cell_of(F.col(f"__d{j // 4}"), j, width).alias("cell"),
                     )
                     for j in range(depth)
                 ]

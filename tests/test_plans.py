@@ -256,3 +256,22 @@ def test_ewma_single_window_single_shuffle(spark, qs):
     plan = PI.formatted_plan(df)
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
     PI.assert_max_exchanges(df, 1)
+
+
+def test_sketch_digest_computed_once_per_block(spark):
+    """Bloom/CMS cell fan-out must reuse ONE staged md5 digest per 4 hash
+    rows: the physical plan contains ⌈k/4⌉ md5 calls, not k (Spark's CSE
+    does not reach into a Generate's input array, so the builders stage
+    the digest explicitly)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        sketch as SK,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "value string")
+    for builder, kwargs, want in (
+        (SK.cms_build, {"depth": 4, "width": 64}, 1),
+        (SK.cms_build, {"depth": 8, "width": 64}, 2),
+        (SK.bloom_build, {"m_bits": 1024, "k_hashes": 4}, 1),
+    ):
+        plan = PI.formatted_plan(builder(df, "value", **kwargs))
+        assert plan.count("md5(") == want, (builder.__name__, kwargs, plan)
