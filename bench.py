@@ -40,9 +40,21 @@ def clear_caches(spark) -> None:
     near-dup/LSH operators persist their candidate relations for the
     duration of their own execution). Without this, cached blocks pile up
     across the ~90 timed queries and later queries — measured on the
-    streaming ones — run ~3× slower than in isolation."""
+    streaming ones — run ~3× slower than in isolation.
+
+    ``clearCache`` only covers catalog-cached DataFrames; the
+    ``localCheckpoint`` RDDs that connected-components and kmeans_fit pin
+    per round stay registered with the block manager for the session
+    (classic PySpark never detaches them), so they are unpersisted
+    explicitly via the JVM's persistent-RDD registry."""
     try:
         spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist()
     except Exception:
         pass
 
