@@ -230,3 +230,81 @@ def test_stream_cms_equals_batch_build(spark):
         ).collect()
     }
     assert merged == whole
+
+
+def test_rollup_tiers_reconcile(spark):
+    """Multi-resolution rollup invariants: every tier's total row count and
+    value sum equal the raw table's (each event lands in exactly one bucket
+    per tier), and each 1d bucket's count equals the sum of its 15m
+    buckets."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    out = qs["events_rollup_multires"](spark, SF_DIR).cache()
+    totals = {
+        r["resolution"]: (r["n"], r["s"])
+        for r in out.groupBy("resolution")
+        .agg(F.sum("n_events").alias("n"), F.sum("total_value").alias("s"))
+        .collect()
+    }
+    assert set(totals) == {"15m", "1h", "1d"}
+    ns = {k: v[0] for k, v in totals.items()}
+    assert len(set(ns.values())) == 1, ns
+    sums = [v[1] for v in totals.values()]
+    assert max(sums) - min(sums) < 1e-6, sums
+    # each (type, day) bucket contains its 15m buckets exactly
+    day_of_15m = (
+        out.where(F.col("resolution") == "15m")
+        .groupBy(
+            "event_type",
+            (F.col("win_start_us") - F.col("win_start_us") % 86_400_000_000).alias("d"),
+        )
+        .agg(F.sum("n_events").alias("n15"))
+    )
+    day = out.where(F.col("resolution") == "1d").select(
+        "event_type", F.col("win_start_us").alias("d"), F.col("n_events").alias("n1d")
+    )
+    bad = day.join(day_of_15m, ["event_type", "d"], "full").where(
+        F.coalesce(F.col("n15"), F.lit(-1)) != F.coalesce(F.col("n1d"), F.lit(-2))
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_ewma_matches_reference_computation(spark):
+    """events_ewma equals a driver-side recomputation of the truncated
+    EWMA for a sample of users (bitwise tolerance only: both sides sum the
+    same 12 exact products in the same order)."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    out = qs["events_ewma"](spark, SF_DIR)
+    sample_users = [r["user_id"] for r in out.select("user_id").distinct().limit(5).collect()]
+    got = {
+        (r["user_id"], r["ts_us"], r["event_id"]): r["ewma"]
+        for r in out.where(F.col("user_id").isin(sample_users)).collect()
+    }
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id").isin(sample_users))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        hist = by_user.setdefault(r["user_id"], [])
+        hist.append(r)
+        num = 0.0
+        den = 0.0
+        for j in range(12):
+            i = len(hist) - 1 - j
+            w = 2.0 ** -j
+            if i >= 0:
+                num = num + hist[i]["value"] * w
+                den = den + w
+        want = num / den
+        assert got[(r["user_id"], r["ts_us"], r["event_id"])] == want, r
