@@ -661,3 +661,63 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_us/unix_micros dialect) matches hash-exactly."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_multires_sql("unix_micros", "div"))
+
+
+# ---------------------------------------------------------------------------
+# 12. Ordered per-user timeline assembly: each user's event-type sequence in
+#     time order, truncated to a head — the sequence-export step a training
+#     pipeline runs to turn an event log into per-entity training examples.
+#     Physically distinct from the window battery: collect_list (unordered,
+#     map-side partial) + per-GROUP array sort, no Window exec at all — at
+#     scale this avoids the window's per-partition sort of the whole table;
+#     only each user's own events are sorted, after the hash shuffle.
+# ---------------------------------------------------------------------------
+
+_TIMELINE_HEAD = 20
+
+_TIMELINE_ORACLE = f"""
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       n_events,
+       string_agg(CASE WHEN rn <= {_TIMELINE_HEAD} THEN event_type END, '|' ORDER BY rn) AS head_types,
+       max(CASE WHEN rn = n_events THEN event_type END) AS last_type
+FROM r
+GROUP BY user_id, n_events
+"""
+
+
+@query("events_user_timeline", sql=_TIMELINE_ORACLE)
+def events_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type timeline (first {head} types joined with
+    '|', plus total count and final type), deterministically ordered by
+    (ts, event_id). The Spark form is collect_list of (ts, event_id, type)
+    structs → sort_array → slice/transform — one hash shuffle on user_id
+    and NO Window exec (plan-gated): the table is never range-sorted, only
+    each group's own rows are, which is the scale-correct shape when
+    groups are small and the table is not. The oracle reproduces it with
+    ranked string_agg."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(item)).alias("__seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    seq = F.col("__seq")
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.concat_ws(
+            "|",
+            F.transform(F.slice(seq, 1, _TIMELINE_HEAD), lambda x: x["et"]),
+        ).alias("head_types"),
+        F.element_at(seq, -1)["et"].alias("last_type"),
+    )

@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "events_stream_cms",
     "events_ewma",
     "events_rollup_multires",
+    "events_user_timeline",
 ]
 
 

@@ -275,3 +275,15 @@ def test_sketch_digest_computed_once_per_block(spark):
     ):
         plan = PI.formatted_plan(builder(df, "value", **kwargs))
         assert plan.count("md5(") == want, (builder.__name__, kwargs, plan)
+
+
+def test_timeline_assembly_no_window_single_shuffle(spark, qs):
+    """Timeline assembly must be collect_list + per-group array sort: NO
+    Window exec (the table is never range-sorted) and one hash exchange
+    on user_id."""
+    import re
+
+    df = qs["events_user_timeline"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not re.search(r"\(\d+\) Window\b", plan), plan
+    PI.assert_max_exchanges(df, 1)
