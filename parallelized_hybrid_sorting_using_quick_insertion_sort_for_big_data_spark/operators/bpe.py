@@ -1,0 +1,187 @@
+"""BPE merge-rule learning (Sennrich et al. 2016): the tokenizer-training
+step of an LLM data pipeline, on Spark (extension layer, SURVEY §2c "token
+counting (whitespace + a BPE-ish regex)" taken to its conclusion — not just
+counting tokens but LEARNING the subword merge table).
+
+Algorithm: start from the corpus token vocabulary with each token split
+into characters; for each of ``rounds`` iterations, count adjacent symbol
+pairs weighted by token frequency, pick the most frequent pair
+(ties → lexicographically smaller), and merge every non-overlapping
+occurrence greedily left-to-right.
+
+Scale shape: the corpus is read ONCE (token frequency aggregation); every
+subsequent round runs over the VOCABULARY relation (|vocab| rows, ~10^4-10^6
+regardless of corpus size — the whole point of operating on the frequency
+table instead of the corpus). Per round: one explode + partial-agg shuffle
+of (pair, freq) partials, a top-1 TakeOrderedAndProject, and a broadcast
+cross-join of the 1-row winner to rewrite representations — the corpus
+never participates again. Each round's vocabulary is pinned with an eager
+``localCheckpoint`` (same lineage cut as ``similarity.kmeans_fit``), so the
+plan stays flat at any ``rounds``.
+
+Merge application = two-pass literal ``replace`` on the space-delimited
+symbol string (pattern " A B " → " AB ", with leading/trailing spaces kept
+on every representation). This is EXACTLY the greedy left-to-right
+non-overlapping merge: a single replace pass misses an occurrence only when
+the immediately-preceding adjacent occurrence consumed the shared delimiter,
+and such missed occurrences are always isolated afterwards, so the second
+pass catches all of them (and can introduce no new ones — a merged symbol
+never re-matches, its text differs from both halves). Both engines share
+literal-replace semantics, which is what makes the whole iterative fit
+reproducible by the generated DuckDB oracle (``bpe_oracle_sql``), round for
+round, value for value — the same unrolled-CTE technique as the k-means
+codebook oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE
+
+
+def _vocab(df: DataFrame, text_col: str, token_re: str) -> DataFrame:
+    """(token, freq, repr) with repr = ' c1 c2 … cn ' (space-wrapped
+    character split)."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0)
+        ).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).withColumn(
+        "repr",
+        F.concat(F.lit(" "), F.regexp_replace(F.col("token"), "(.)", "$1 ")),
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merge rules from the corpus.
+
+    Returns one row per round: (round, pair, merged, pair_freq) — e.g.
+    (1, 'e r', 'er', 4650). Deterministic: pair counts are integer sums,
+    ties break lexicographically."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    cur = _vocab(df, text_col, token_re).localCheckpoint(eager=True)
+    winners = []
+    for r in range(1, rounds + 1):
+        syms = F.filter(F.split(F.col("repr"), " "), lambda x: x != "")
+        with_syms = cur.select("freq", syms.alias("syms"))
+        pairs = with_syms.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("syms") - 2),
+                    lambda i: F.concat(
+                        F.element_at(F.col("syms"), i + 1),
+                        F.lit(" "),
+                        F.element_at(F.col("syms"), i + 2),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        win = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "pair_freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(win)
+        pat = F.concat(F.lit(" "), F.col("__pair"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("__merged"), F.lit(" "))
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    win.select(
+                        F.col("pair").alias("__pair"), F.col("merged").alias("__merged")
+                    )
+                )
+            )
+            .withColumn("repr", F.replace(F.replace(F.col("repr"), pat, rep), pat, rep))
+            .drop("__pair", "__merged")
+            .localCheckpoint(eager=True)
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def bpe_segment(vocab: DataFrame) -> DataFrame:
+    """Expose the post-merge segmentation: (token, freq, pieces array) —
+    what the learned rules do to every vocabulary entry. ``vocab`` is the
+    (token, freq, repr) relation after the fit's rewrite rounds."""
+    return vocab.select(
+        "token",
+        "freq",
+        F.filter(F.split(F.col("repr"), " "), lambda x: x != "").alias("pieces"),
+    )
+
+
+def bpe_oracle_sql(
+    rounds: int = 6,
+    table: str = "documents",
+    text_col: str = "text",
+    token_re: str = TOKEN_RE,
+) -> str:
+    """DuckDB SQL reproducing :func:`bpe_merges` EXACTLY — the iterative
+    fit unrolled as one CTE chain per round (the k-means-oracle technique):
+    same token vocabulary, same pair counts, same (freq DESC, pair ASC)
+    winner, same two-pass literal replace. Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs per reference, which re-evaluates the whole
+    chain exponentially across rounds (measured: minutes at rounds=6 vs
+    sub-second materialized)."""
+
+    def one_round(r: int) -> str:
+        return f"""
+s{r} AS MATERIALIZED (
+  SELECT token, freq, list_filter(string_split(repr, ' '), x -> x <> '') AS syms, repr
+  FROM w{r - 1}
+),
+p{r} AS MATERIALIZED (
+  SELECT syms[i] || ' ' || syms[i+1] AS pair, CAST(sum(freq) AS BIGINT) AS pair_freq
+  FROM s{r}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+  GROUP BY 1
+),
+t{r} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS merged, pair_freq
+  FROM p{r} ORDER BY pair_freq DESC, pair LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT token, freq,
+         replace(replace(repr,
+            ' ' || (SELECT pair FROM t{r}) || ' ', ' ' || (SELECT merged FROM t{r}) || ' '),
+            ' ' || (SELECT pair FROM t{r}) || ' ', ' ' || (SELECT merged FROM t{r}) || ' ') AS repr
+  FROM s{r}
+)"""
+
+    body = ",".join(one_round(r) for r in range(1, rounds + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged, pair_freq FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower({text_col}), '{token_re}')) AS token
+  FROM {table}
+),
+w0 AS MATERIALIZED (
+  SELECT token, count(*) AS freq,
+         ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS repr
+  FROM toks GROUP BY token
+),{body}
+{union}
+"""

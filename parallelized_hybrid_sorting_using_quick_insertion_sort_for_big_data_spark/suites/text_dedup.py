@@ -829,3 +829,29 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
     return _HH.heavy_hitters(toks, "token", k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule learning: the tokenizer-training step, oracle-checked
+# round-for-round (unrolled-CTE oracle, the kmeans technique).
+# ---------------------------------------------------------------------------
+
+from ..operators import bpe as _BPE
+
+_BPE_ROUNDS = 6
+
+
+@query("text_bpe_merges", sql=_BPE.bpe_oracle_sql(rounds=_BPE_ROUNDS))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merge rules learned from the documents corpus:
+    (round, pair, merged, pair_freq). The corpus is scanned once for the
+    token-frequency vocabulary; every merge round runs over the vocabulary
+    relation only (one pair-count shuffle + a top-1 + a broadcast 1-row
+    rewrite, lineage cut per round) — the at-scale shape for tokenizer
+    training, where |vocab| is bounded regardless of corpus size. The
+    DuckDB oracle unrolls the whole iterative fit as CTEs and matches
+    every round's winner exactly (integer pair counts; lexicographic
+    tie-break; two-pass literal replace == greedy left-to-right merge,
+    see operators/bpe.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _BPE.bpe_merges(docs, rounds=_BPE_ROUNDS)
