@@ -55,17 +55,14 @@ def _vocab(df: DataFrame, text_col: str, token_re: str) -> DataFrame:
     )
 
 
-def bpe_merges(
+def bpe_fit(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 6,
     token_re: str = TOKEN_RE,
-) -> DataFrame:
-    """Learn the first ``rounds`` BPE merge rules from the corpus.
-
-    Returns one row per round: (round, pair, merged, pair_freq) — e.g.
-    (1, 'e r', 'er', 4650). Deterministic: pair counts are integer sums,
-    ties break lexicographically."""
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the fit; returns (per-round 1-row winner frames, the rewritten
+    (token, freq, repr) vocabulary after all rounds)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     cur = _vocab(df, text_col, token_re).localCheckpoint(eager=True)
@@ -114,10 +111,42 @@ def bpe_merges(
             .drop("__pair", "__merged")
             .localCheckpoint(eager=True)
         )
+    return winners, cur
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merge rules from the corpus.
+
+    Returns one row per round: (round, pair, merged, pair_freq) — e.g.
+    (1, 'e r', 'er', 4650). Deterministic: pair counts are integer sums,
+    ties break lexicographically."""
+    winners, _vocab_after = bpe_fit(df, text_col, rounds, token_re)
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
     return out
+
+
+def bpe_segmentation(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 6,
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """Every vocabulary token's segmentation under the learned merges:
+    (token, freq, pieces) with pieces space-joined — the full end-state of
+    the fit, one row per distinct token. Value-checking THIS relation is a
+    far stronger equivalence claim than the merge table alone: every
+    token's rewrite chain must agree across engines."""
+    _winners, vocab_after = bpe_fit(df, text_col, rounds, token_re)
+    return vocab_after.select(
+        "token", "freq", F.trim(F.col("repr")).alias("pieces")
+    )
 
 
 def bpe_segment(vocab: DataFrame) -> DataFrame:
@@ -144,9 +173,34 @@ def bpe_oracle_sql(
     DuckDB inlines plain CTEs per reference, which re-evaluates the whole
     chain exponentially across rounds (measured: minutes at rounds=6 vs
     sub-second materialized)."""
+    body = ",".join(_ORACLE_ROUND(r) for r in range(1, rounds + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged, pair_freq FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _bpe_sql_prefix(table, text_col, token_re) + body + f"\n{union}\n"
 
-    def one_round(r: int) -> str:
-        return f"""
+
+def bpe_segmentation_oracle_sql(
+    rounds: int = 6,
+    table: str = "documents",
+    text_col: str = "text",
+    token_re: str = TOKEN_RE,
+) -> str:
+    """DuckDB SQL reproducing :func:`bpe_segmentation`: the same unrolled
+    fit, projecting the FINAL rewritten vocabulary instead of the winners —
+    every token's (freq, pieces) is value-checked."""
+    body = ",".join(_ORACLE_ROUND(r) for r in range(1, rounds + 1))
+    return (
+        _bpe_sql_prefix(table, text_col, token_re)
+        + body
+        + f"\nSELECT token, freq, trim(repr) AS pieces FROM w{rounds}\n"
+    )
+
+
+def _ORACLE_ROUND(r: int) -> str:
+    """One round's CTE chain: symbols → pair counts → winner → rewrite."""
+    return f"""
 s{r} AS MATERIALIZED (
   SELECT token, freq, list_filter(string_split(repr, ' '), x -> x <> '') AS syms, repr
   FROM w{r - 1}
@@ -168,11 +222,8 @@ w{r} AS MATERIALIZED (
   FROM s{r}
 )"""
 
-    body = ",".join(one_round(r) for r in range(1, rounds + 1))
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged, pair_freq FROM t{r}"
-        for r in range(1, rounds + 1)
-    )
+
+def _bpe_sql_prefix(table: str, text_col: str, token_re: str) -> str:
     return f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower({text_col}), '{token_re}')) AS token
@@ -182,6 +233,4 @@ w0 AS MATERIALIZED (
   SELECT token, count(*) AS freq,
          ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS repr
   FROM toks GROUP BY token
-),{body}
-{union}
-"""
+),"""

@@ -855,3 +855,15 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/bpe.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return _BPE.bpe_merges(docs, rounds=_BPE_ROUNDS)
+
+
+@query("text_bpe_segmentation", sql=_BPE.bpe_segmentation_oracle_sql(rounds=_BPE_ROUNDS))
+def text_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merges' end-state over the WHOLE vocabulary: every
+    distinct corpus token with its frequency and its space-joined subword
+    pieces after the 6 merge rounds — one row per token, each value-checked
+    against the oracle's independently-unrolled rewrite chain. This is the
+    strong form of the BPE equivalence claim: not just the 6 winning pairs
+    but every token's segmentation must agree across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _BPE.bpe_segmentation(docs, rounds=_BPE_ROUNDS)
