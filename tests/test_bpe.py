@@ -99,6 +99,5 @@ def test_tie_breaks_lexicographically(spark):
 
 def test_oracle_parity(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    assert_matches_oracle(
-        qs["text_bpe_merges"](spark, SF_DIR), oracles["text_bpe_merges"], SF_DIR
-    )
+    for name in ("text_bpe_merges", "text_bpe_segmentation"):
+        assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
