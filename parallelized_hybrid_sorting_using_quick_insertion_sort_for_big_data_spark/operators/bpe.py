@@ -97,18 +97,33 @@ def bpe_fit(
             .localCheckpoint(eager=True)
         )
         winners.append(win)
+        # Exhaustion-safe rewrite: if every token is already a single
+        # symbol the winner relation is EMPTY — a crossJoin would wipe the
+        # vocabulary, so the winner attaches via a constant-key LEFT join
+        # and a null winner makes the round a no-op (the oracle mirrors
+        # this with a chr(0) never-matching pattern).
         pat = F.concat(F.lit(" "), F.col("__pair"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("__merged"), F.lit(" "))
         cur = (
-            cur.crossJoin(
+            cur.withColumn("__k", F.lit(1))
+            .join(
                 F.broadcast(
                     win.select(
-                        F.col("pair").alias("__pair"), F.col("merged").alias("__merged")
+                        F.lit(1).alias("__k"),
+                        F.col("pair").alias("__pair"),
+                        F.col("merged").alias("__merged"),
                     )
-                )
+                ),
+                "__k",
+                "left",
             )
-            .withColumn("repr", F.replace(F.replace(F.col("repr"), pat, rep), pat, rep))
-            .drop("__pair", "__merged")
+            .withColumn(
+                "repr",
+                F.when(F.col("__pair").isNull(), F.col("repr")).otherwise(
+                    F.replace(F.replace(F.col("repr"), pat, rep), pat, rep)
+                ),
+            )
+            .drop("__k", "__pair", "__merged")
             .localCheckpoint(eager=True)
         )
     return winners, cur
@@ -217,8 +232,10 @@ t{r} AS MATERIALIZED (
 w{r} AS MATERIALIZED (
   SELECT token, freq,
          replace(replace(repr,
-            ' ' || (SELECT pair FROM t{r}) || ' ', ' ' || (SELECT merged FROM t{r}) || ' '),
-            ' ' || (SELECT pair FROM t{r}) || ' ', ' ' || (SELECT merged FROM t{r}) || ' ') AS repr
+            ' ' || coalesce((SELECT pair FROM t{r}), chr(0)) || ' ',
+            ' ' || coalesce((SELECT merged FROM t{r}), chr(0)) || ' '),
+            ' ' || coalesce((SELECT pair FROM t{r}), chr(0)) || ' ',
+            ' ' || coalesce((SELECT merged FROM t{r}), chr(0)) || ' ') AS repr
   FROM s{r}
 )"""
 

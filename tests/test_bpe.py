@@ -101,3 +101,20 @@ def test_oracle_parity(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     for name in ("text_bpe_merges", "text_bpe_segmentation"):
         assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+def test_rounds_beyond_exhaustion_are_noops(spark):
+    """A vocabulary of 1-2 char tokens exhausts after at most a couple of
+    merges; further rounds must be no-ops (absent from the merge table)
+    and must NOT corrupt or empty the vocabulary."""
+    texts = ["ab a b"] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = bpe.bpe_merges(df, rounds=5).orderBy("round").collect()
+    # tokens: 'ab' (one pair a+b), 'a', 'b'. Round 1 merges 'a b' -> 'ab';
+    # afterwards every token is a single symbol: no further winners.
+    assert [(r["round"], r["pair"]) for r in out] == [(1, "a b")]
+    seg = {
+        r["token"]: r["pieces"]
+        for r in bpe.bpe_segmentation(df, rounds=5).collect()
+    }
+    assert seg == {"ab": "ab", "a": "a", "b": "b"}
