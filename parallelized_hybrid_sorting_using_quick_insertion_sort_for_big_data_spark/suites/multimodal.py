@@ -156,3 +156,87 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the byte-expansion CTE grouped into frames, keeping every
     STRIDE-th frame — exact per-frame byte counts and sums."""
     return M.sample_frames(M.attach_payload(load_table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# 5. Exact frame-level dedup: the multimodal form of exact dedup — identical
+#    payload FRAMES across assets collapse to one canonical copy (the
+#    storage-dedup / repeated-intro-frame case). Byte-exact in the hex
+#    domain because this DuckDB build has no BLOB substring/md5: both
+#    engines hash the same lower(hex(payload)) slices (2 hex chars = 1
+#    byte), so frame identity is bit-identical cross-engine. True dup
+#    groups are manufactured by unioning an id-shifted copy of the corpus
+#    (the dedup_exact convention), mirrored in the oracle.
+# ---------------------------------------------------------------------------
+
+_FD_SHIFT = 1_000_000
+_FD_HEX = 2 * M.FRAME_SIZE  # hex chars per frame
+
+_FRAME_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_FD_SHIFT} AS doc_id, text FROM documents
+),
+h AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         (octet_length(encode(text)) + {M.FRAME_SIZE - 1}) // {M.FRAME_SIZE} AS nf
+  FROM base WHERE octet_length(encode(text)) > 0
+),
+fr AS (
+  SELECT doc_id, k AS frame_no,
+         md5(substring(hx, k * {_FD_HEX} + 1, {_FD_HEX})) AS fhash
+  FROM h, unnest(generate_series(0, nf - 1)) AS t(k)
+)
+SELECT fhash,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id * 4294967296 + frame_no) // 4294967296 AS BIGINT) AS canon_doc_id,
+       CAST(min(doc_id * 4294967296 + frame_no) % 4294967296 AS BIGINT) AS canon_frame_no
+FROM fr
+GROUP BY fhash
+HAVING count(*) >= 2
+"""
+
+
+@query("mm_frame_dedup", sql=_FRAME_DEDUP_ORACLE)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate payload frames across the doubled corpus: every group of
+    byte-identical frames with its copy count and canonical (min doc,
+    frame) owner. Scale shape: frame hashes are built INSIDE a per-row
+    ``transform`` over the frame-index sequence — the payload is sliced in
+    place, never replicated per frame — then only (hash, doc, frame) rows
+    shuffle for the group-by; payload bytes stay map-side. The canonical
+    pick is an integer-packed min (doc·2^32 + frame), the same
+    order-independent argmin trick on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + _FD_SHIFT).alias("doc_id"), "text")
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    hx = F.lower(F.hex(payload))
+    nf = F.floor((F.length(payload) + F.lit(M.FRAME_SIZE - 1)) / F.lit(M.FRAME_SIZE)).cast(
+        "int"
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), nf - 1),
+        lambda k: F.md5(hx.substr(k * _FD_HEX + 1, F.lit(_FD_HEX))),
+    )
+    frames = (
+        corpus.where(F.length(payload) > 0)
+        .select("doc_id", F.posexplode(hashes).alias("frame_no", "fhash"))
+    )
+    packed = F.col("doc_id") * F.lit(4294967296) + F.col("frame_no")
+    return (
+        frames.groupBy("fhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(packed).alias("__m"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "fhash",
+            "n_copies",
+            F.expr("__m div 4294967296").cast("bigint").alias("canon_doc_id"),
+            F.pmod(F.col("__m"), F.lit(4294967296)).cast("bigint").alias("canon_frame_no"),
+        )
+    )

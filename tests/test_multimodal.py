@@ -13,7 +13,7 @@ from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.o
 )
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-ORACLE_QUERIES = ["mm_metadata_summary", "mm_frame_inventory"]
+ORACLE_QUERIES = ["mm_metadata_summary", "mm_frame_inventory", "mm_frame_dedup"]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -78,3 +78,31 @@ def test_frame_sample_consistent_with_inventory(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image_real(b"\x89PNG")
+
+
+def test_frame_dedup_doubled_corpus_properties(spark):
+    """Every frame appears at least twice (the corpus is doubled), the
+    canonical owner is always an un-shifted doc, and copy counts are even
+    unless a frame also repeats within the original corpus."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["mm_frame_dedup"](spark, SF_DIR).cache()
+    assert out.where(F.col("n_copies") < 2).count() == 0
+    assert out.where(F.col("canon_doc_id") >= 1_000_000).count() == 0
+    # total frame instances reconcile: sum of copies == 2 × original frames
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.multimodal import (
+        FRAME_SIZE,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    nb = F.length(F.encode(F.col("text"), "UTF-8"))
+    n_frames = docs.select(
+        F.sum(F.floor((nb + F.lit(FRAME_SIZE - 1)) / F.lit(FRAME_SIZE))).alias("n")
+    ).collect()[0]["n"]
+    total_copies = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total_copies == 2 * n_frames
+    out.unpersist()
