@@ -69,14 +69,15 @@ _LOADED = False
 # sentinels cover the suites the stale set doesn't touch (relational,
 # multimodal, streaming + a lineitem join). After CORRECTNESS_r05 lands,
 # every oracle query's newest green row is r04 or r05. Round-6 rotation:
-# FIRST the ten r05-late queries that have never had a driver row
+# FIRST the twelve r05-late queries that have never had a driver row
 # (rel_window_range_frame, rel_moment_stats, rel_sql_q10_returned_items,
 # rel_sql_q18_large_volume, events_ewma, events_rollup_multires,
 # events_user_timeline, text_bpe_merges, text_bpe_segmentation,
-# mm_frame_dedup — all locally verified vs DuckDB at sf0.01, hash-exact,
-# in round 5), then the r04-checked set (events_sessionize …
-# text_analysis block of CORRECTNESS_r04.json), same scheme. NEVER assume old rows stay valid across a testdata
-# regeneration (r03 TIMESTAMP_NTZ incident; compare
+# mm_frame_dedup, rel_sql_q14_promo_revenue, rel_sql_q19_brand_ranges —
+# all locally verified vs DuckDB at sf0.01, hash-exact, in round 5),
+# then the r04-checked set (events_sessionize … text_analysis block of
+# CORRECTNESS_r04.json), same scheme. NEVER assume old rows stay valid
+# across a testdata regeneration (r03 TIMESTAMP_NTZ incident; compare
 # testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 5: never driver-checked. The last three double as

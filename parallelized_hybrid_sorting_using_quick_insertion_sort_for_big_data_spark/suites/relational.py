@@ -1228,3 +1228,70 @@ def rel_sql_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "rnk", "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
     )
+
+
+# ---------------------------------------------------------------------------
+# 24. TPC-H Q14 shape: conditional-aggregation ratio (promo revenue share
+#     for one ship-month). The CASE-inside-SUM pattern the battery lacked:
+#     two decimal-exact sums in ONE pass, combined by a single double
+#     division (engine-portable: no reduction-order dependence anywhere).
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))
+                 ELSE CAST(0 AS DECIMAL(27,8)) END) AS DOUBLE)
+       / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("rel_sql_q14_promo_revenue", sql=_Q14_SQL)
+def rel_sql_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect) through spark.sql: the share of
+    one ship-month's revenue that came from PROMO parts. Identical SQL
+    text on both engines. Plan: the date window pushes to the lineitem
+    scan, part broadcasts (or shuffles at real scale — either way one
+    pass), and both conditional sums fold in the same partial aggregate;
+    the final percent is one IEEE double expression over two
+    order-independent decimal sums."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q14_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 25. TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of
+#     conjunctions across BOTH join sides) — the pattern that exercises
+#     Catalyst's CNF extraction: the part-only half of each disjunct is
+#     pushed to the part scan while the mixed half stays on the join.
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,8))) AS DOUBLE) AS revenue,
+       count(*) AS n_matches
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("rel_sql_q19_brand_ranges", sql=_Q19_SQL)
+def rel_sql_q19_brand_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR of brand/size/
+    quantity conjunctions) through spark.sql, identical text on both
+    engines. The disjunction spans both join sides: Catalyst extracts the
+    part-only residual (brand IN (...) and the size envelope) and pushes
+    it into the part scan so the join builds over a pre-filtered dim,
+    while the per-disjunct mixed conditions evaluate post-join — the
+    standard CNF-extraction behavior this query exists to pin."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q19_SQL)

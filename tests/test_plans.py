@@ -287,3 +287,13 @@ def test_timeline_assembly_no_window_single_shuffle(spark, qs):
     plan = PI.formatted_plan(df)
     assert not re.search(r"\(\d+\) Window\b", plan), plan
     PI.assert_max_exchanges(df, 1)
+
+
+def test_q19_disjunction_pushes_part_residual(spark, qs):
+    """TPC-H Q19 shape: the part-only residual of the cross-side OR
+    (brand/size envelope) must reach the part scan as a pushed filter —
+    the join must not build over the unfiltered dimension."""
+    df = qs["rel_sql_q19_brand_ranges"](spark, SF_DIR)
+    pushed = ";".join(PI.pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert not PI.has_cartesian(df)

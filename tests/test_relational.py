@@ -26,6 +26,8 @@ REL_QUERIES = [
     "rel_moment_stats",
     "rel_sql_q10_returned_items",
     "rel_sql_q18_large_volume",
+    "rel_sql_q14_promo_revenue",
+    "rel_sql_q19_brand_ranges",
 ]
 
 
