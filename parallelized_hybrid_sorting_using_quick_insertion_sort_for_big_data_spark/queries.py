@@ -91,6 +91,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_sql_q5_local_supplier",
     "events_stream_cms",
     "sample_group_reservoir",
+    # -- implementation changed late in round 5 (md5-slice hash family +
+    #    staged digests, operators/sketch.py): per the policy above they
+    #    re-enter the window; their r04 rows predate the new cell values.
+    #    (events_stream_cms above shares the change and was already in.)
+    #    Displaced to make room: vec_topk_with_metadata, vec_quantize_int8
+    #    (unchanged since r03, locally full-sweep verified this round).
+    "text_cms_counts",
+    "decontam_bloom_membership",
     # -- the 43 queries whose newest driver row is r03, oldest-checked first
     "events_funnel",
     "events_funnel_counts",
@@ -133,11 +141,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_lsh_portable",
     "vec_ivf_topk",
     "vec_label_centroids",
-    "vec_topk_with_metadata",
-    "vec_quantize_int8",
     # -- sentinel: r04-green; multimodal is the one suite/table family
     #    neither the 43 stale queries nor the round-5 additions touch
     "mm_byte_features",
+    # (vec_topk_with_metadata / vec_quantize_int8 fall past the 50-slot
+    # cap this round — displaced by the two changed sketch queries above;
+    # unchanged code, r03-green, locally verified this round, first in
+    # line with the round-6 rotation set.)
 )
 
 
