@@ -19,18 +19,23 @@ never participates again. Each round's vocabulary is pinned with an eager
 ``localCheckpoint`` (same lineage cut as ``similarity.kmeans_fit``), so the
 plan stays flat at any ``rounds``.
 
-Merge application = two-pass literal ``replace`` on the space-delimited
-symbol string (pattern " A B " → " AB ", with leading/trailing spaces kept
-on every representation). This is EXACTLY the greedy left-to-right
-non-overlapping merge: a single replace pass misses an occurrence only when
-the immediately-preceding adjacent occurrence consumed the shared delimiter,
-and such missed occurrences are always isolated afterwards, so the second
-pass catches all of them (and can introduce no new ones — a merged symbol
-never re-matches, its text differs from both halves). Both engines share
-literal-replace semantics, which is what makes the whole iterative fit
-reproducible by the generated DuckDB oracle (``bpe_oracle_sql``), round for
-round, value for value — the same unrolled-CTE technique as the k-means
-codebook oracle.
+Merge application = expand / single-pass literal ``replace`` / collapse on
+the space-delimited symbol string: double every delimiter space, replace
+" A  B " with " AB " in one pass, halve the delimiters back. With doubled
+delimiters each match consumes exactly ONE boundary space from each side,
+leaving the other for the adjacent candidate, so consecutive eligible
+occurrences are char-disjoint and a single left-to-right pass merges
+precisely the occurrences the textbook greedy scan merges — including runs
+of the same symbol (" a a a a a " → [aa, aa, a], where the previous
+two-pass single-space trick wrongly produced [aa, a, aa]; see
+tests/test_bpe.py adversarial runs ≥5). A pattern can only anchor on the
+space directly before a symbol (symbols contain no spaces), replacements
+are never rescanned, and after the pass every surviving delimiter is
+exactly two spaces, so the collapse restores canonical form exactly. Both
+engines share literal-replace semantics, which is what makes the whole
+iterative fit reproducible by the generated DuckDB oracle
+(``bpe_oracle_sql``), round for round, value for value — the same
+unrolled-CTE technique as the k-means codebook oracle.
 """
 
 from __future__ import annotations
@@ -53,6 +58,21 @@ def _vocab(df: DataFrame, text_col: str, token_re: str) -> DataFrame:
         "repr",
         F.concat(F.lit(" "), F.regexp_replace(F.col("token"), "(.)", "$1 ")),
     )
+
+
+def greedy_merge_expr(repr_col, pair_col, merged_col):
+    """Greedy left-to-right non-overlapping merge of ``pair_col`` ("A B")
+    into ``merged_col`` ("AB") over a space-wrapped symbol string, as pure
+    literal replaces: expand delimiters to two spaces, single-pass replace
+    " A  B " → " AB " (each match keeps one boundary space per side for its
+    neighbour, so adjacent eligible occurrences stay char-disjoint — exact
+    greedy semantics even on same-symbol runs), collapse delimiters back."""
+    pat = F.concat(
+        F.lit(" "), F.replace(pair_col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    rep = F.concat(F.lit(" "), merged_col, F.lit(" "))
+    expanded = F.replace(repr_col, F.lit(" "), F.lit("  "))
+    return F.replace(F.replace(expanded, pat, rep), F.lit("  "), F.lit(" "))
 
 
 def bpe_fit(
@@ -102,8 +122,6 @@ def bpe_fit(
         # vocabulary, so the winner attaches via a constant-key LEFT join
         # and a null winner makes the round a no-op (the oracle mirrors
         # this with a chr(0) never-matching pattern).
-        pat = F.concat(F.lit(" "), F.col("__pair"), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.col("__merged"), F.lit(" "))
         cur = (
             cur.withColumn("__k", F.lit(1))
             .join(
@@ -120,7 +138,9 @@ def bpe_fit(
             .withColumn(
                 "repr",
                 F.when(F.col("__pair").isNull(), F.col("repr")).otherwise(
-                    F.replace(F.replace(F.col("repr"), pat, rep), pat, rep)
+                    greedy_merge_expr(
+                        F.col("repr"), F.col("__pair"), F.col("__merged")
+                    )
                 ),
             )
             .drop("__k", "__pair", "__merged")
@@ -184,7 +204,8 @@ def bpe_oracle_sql(
     """DuckDB SQL reproducing :func:`bpe_merges` EXACTLY — the iterative
     fit unrolled as one CTE chain per round (the k-means-oracle technique):
     same token vocabulary, same pair counts, same (freq DESC, pair ASC)
-    winner, same two-pass literal replace. Every CTE is MATERIALIZED:
+    winner, same expand/replace/collapse greedy rewrite. Every CTE is
+    MATERIALIZED:
     DuckDB inlines plain CTEs per reference, which re-evaluates the whole
     chain exponentially across rounds (measured: minutes at rounds=6 vs
     sub-second materialized)."""
@@ -231,11 +252,10 @@ t{r} AS MATERIALIZED (
 ),
 w{r} AS MATERIALIZED (
   SELECT token, freq,
-         replace(replace(repr,
-            ' ' || coalesce((SELECT pair FROM t{r}), chr(0)) || ' ',
+         replace(replace(replace(repr, ' ', '  '),
+            ' ' || replace(coalesce((SELECT pair FROM t{r}), chr(0)), ' ', '  ') || ' ',
             ' ' || coalesce((SELECT merged FROM t{r}), chr(0)) || ' '),
-            ' ' || coalesce((SELECT pair FROM t{r}), chr(0)) || ' ',
-            ' ' || coalesce((SELECT merged FROM t{r}), chr(0)) || ' ') AS repr
+            '  ', ' ') AS repr
   FROM s{r}
 )"""
 

@@ -851,8 +851,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, where |vocab| is bounded regardless of corpus size. The
     DuckDB oracle unrolls the whole iterative fit as CTEs and matches
     every round's winner exactly (integer pair counts; lexicographic
-    tie-break; two-pass literal replace == greedy left-to-right merge,
-    see operators/bpe.py)."""
+    tie-break; expand/single-replace/collapse == greedy left-to-right
+    merge, see operators/bpe.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return _BPE.bpe_merges(docs, rounds=_BPE_ROUNDS)
 

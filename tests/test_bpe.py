@@ -2,10 +2,13 @@
 implementation (greedy left-to-right scan — the textbook formulation) on
 adversarial token shapes, plus the oracle-parity pin on the real corpus.
 
-The operator applies merges as a two-pass literal replace over
+The operator applies merges as an expand/single-replace/collapse over
 space-delimited symbol strings; these tests are what prove that trick
 equals the textbook merge on the shapes where it could plausibly differ:
-runs of one symbol ("aaaa"), alternations ("ababab"), and count ties."""
+runs of one symbol at and beyond length 5 ("aaaaa", "aaaaaa" — the shapes
+where the old two-pass single-space trick diverged), pair-repeats of 5
+("ababababab", which becomes a 5-run of 'ab' after round 1), alternations,
+and count ties."""
 
 from __future__ import annotations
 
@@ -67,6 +70,8 @@ def test_matches_reference_on_adversarial_shapes(spark):
         "banana bandana cabana",
         "aaaa ababab banana",
         "mississippi missive misses",
+        "aaaaa aaaaaa aaaaaaa",
+        "ababababab abababab",
     ] * 3
     got, want, want_reprs, df = _run_both(spark, texts, rounds=8)
     assert got == want, (got, want)
@@ -77,9 +82,10 @@ def test_matches_reference_on_adversarial_shapes(spark):
 
     cur = fitted
     for _, pair, merged, _f in want:
-        pat = F.lit(f" {pair} ")
-        rep = F.lit(f" {merged} ")
-        cur = cur.withColumn("repr", F.replace(F.replace(F.col("repr"), pat, rep), pat, rep))
+        cur = cur.withColumn(
+            "repr",
+            bpe.greedy_merge_expr(F.col("repr"), F.lit(pair), F.lit(merged)),
+        )
     pieces = {
         r["token"]: list(r["pieces"]) for r in bpe.bpe_segment(cur).collect()
     }
