@@ -1295,3 +1295,106 @@ def rel_sql_q19_brand_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 26. TPC-H Q17 shape: correlated scalar-aggregate subquery (small-quantity
+#     revenue for one brand, threshold = 20% of that part's own average
+#     quantity). The decorrelation pattern the battery lacked: Catalyst
+#     rewrites each correlated aggregate into a grouped relation joined
+#     back on the correlation key (and merges the two sibling subqueries
+#     into ONE aggregate pass — pinned by the plan gate).
+#     The textbook `l_quantity < 0.2 * avg(...)` predicate is restated as
+#     the multiplied-through `5 * qty * count < sum` so the comparison is
+#     decimal-exact on both engines: avg over DOUBLE would make the
+#     threshold an engine-dependent last-ulp coin flip at the boundary.
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly,
+       count(*) AS n_small_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND CAST(5 AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))
+        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT sum(CAST(l3.l_quantity AS DECIMAL(18,4))) FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)
+"""
+
+
+@query("rel_sql_q17_small_quantity", sql=_Q17_SQL)
+def rel_sql_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) through spark.sql,
+    identical text on both engines: lineitems of one brand whose quantity
+    is below 20% of that part's average, i.e. the correlated
+    scalar-aggregate pattern. Catalyst decorrelates each subquery into a
+    per-partkey aggregate joined back on l_partkey (the count leg as a
+    LeftOuter join, the sum leg folded into an equi-join whose condition
+    carries the threshold compare — plan-gated: exactly two per-partkey
+    aggregate exchanges, no cartesian). At scale: the per-part aggregate
+    shuffles once on partkey, the brand filter pushes to the part scan and
+    prunes the probe side before the join; the `5*qty*count < sum`
+    restatement keeps the threshold comparison exact (no double avg).
+    Reference parity: engine-side decorrelation the reference cannot
+    express at all (its pipeline is single-relation sorts, SURVEY §2b) —
+    pure extension-layer SQL surface."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 27. TPC-H Q21 shape: suppliers who kept the order waiting — EXISTS
+#     (another supplier in the order) + NOT EXISTS (another LATE supplier
+#     in the order) over the fact side, i.e. a left-semi + left-anti join
+#     stack on the same key with non-equi correlated residuals. "Late" is
+#     restated as shipdate > orderdate + 90 days (this corpus has no
+#     commit/receipt dates — SURVEY §3 data model).
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s.s_name, n.n_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+_Q21_ORACLE = f"""
+SELECT row_number() OVER (ORDER BY numwait DESC, s_name) AS rnk, *
+FROM ({_Q21_SQL})
+"""
+
+
+@query("rel_sql_q21_waiting_supplier", sql=_Q21_ORACLE)
+def rel_sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) through
+    spark.sql, identical text on both engines: for finished orders, count
+    per supplier the lineitems that shipped late where ANOTHER supplier
+    participated (EXISTS → left-semi join on l_orderkey) but NO OTHER
+    supplier was also late (NOT EXISTS → left-anti join on l_orderkey with
+    the non-equi lateness residual correlated through o_orderdate). This
+    pins Catalyst's EXISTS/NOT-EXISTS rewrite where it bites at scale: all
+    three lineitem legs shuffle on the SAME key (l_orderkey), so the
+    semi/anti stack reuses one exchange instead of re-partitioning per
+    subquery; nation/supplier broadcast. Rank over (numwait DESC, s_name)
+    makes the top-25 order hash-visible. Ties in numwait are broken by the
+    unique s_name, so the cutoff is deterministic."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = spark.sql(_Q21_SQL)
+    from ..operators.sorting import ranked_small
+
+    return ranked_small(out, ["numwait", "s_name"], ascending=[False, True]).select(
+        "rnk", "s_name", "n_name", "numwait"
+    )

@@ -297,3 +297,29 @@ def test_q19_disjunction_pushes_part_residual(spark, qs):
     pushed = ";".join(PI.pushed_filters(df))
     assert "p_brand" in pushed, pushed
     assert not PI.has_cartesian(df)
+
+
+def test_q17_decorrelates_to_two_partkey_aggregates(spark, qs):
+    """TPC-H Q17 shape: both correlated scalar subqueries must decorrelate
+    into per-partkey aggregates joined back on the correlation key (one
+    LeftOuter leg for the count, the sum leg's threshold compare riding an
+    equi-join) — never a per-row re-scan and never a cartesian."""
+    df = qs["rel_sql_q17_small_quantity"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") == 2, plan
+    assert "LeftOuter" in plan, plan
+    assert not PI.has_cartesian(df)
+
+
+def test_q21_semi_anti_stack_on_one_key(spark, qs):
+    """TPC-H Q21 shape: EXISTS plans as LeftSemi, NOT EXISTS as LeftAnti
+    (with the non-equi lateness residual as join condition), the top-25 as
+    TakeOrderedAndProject; the only shuffle exchange is the final group-by
+    (the three lineitem legs share the l_orderkey key, dims broadcast)."""
+    df = qs["rel_sql_q21_waiting_supplier"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_max_exchanges(df, 1)
