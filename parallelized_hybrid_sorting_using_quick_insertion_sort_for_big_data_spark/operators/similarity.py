@@ -891,3 +891,118 @@ SELECT vec_id,
        unnest(ql) AS q
 FROM qs
 """
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shape (Abbas et al. 2023): k-means
+    cluster the embeddings, compare pairs ONLY within a cluster, and drop
+    every vector that has a higher-keep-priority semantic duplicate
+    (rounded cosine > ``tau``) in its cluster. Returns the full corpus
+    relation flagged: (id, cell, cos_c, kept).
+
+    Keep rule (deterministic, single pass): priority = LOWER similarity to
+    the cluster centroid first (SemDeDup keeps the most diverse member),
+    ties to the LOWER id. A vector is dropped iff SOME strictly
+    higher-priority cluster-mate is a duplicate of it — dominance pruning,
+    the non-iterative form of the paper's per-cluster sweep. All compares
+    are on ``round_digits``-rounded doubles, so the decision is
+    engine-portable at the boundary and the whole operator (k-means fit
+    included) is reproduced exactly by the generated DuckDB oracle.
+
+    Scale shape: the cluster IS the LSH bucket — candidate generation is a
+    cell equi-join, never an all-pairs cross join (plan-gated). Per-cell
+    pairwork is O(Σ|cell|²·dim); k is the knob that bounds it (SemDeDup
+    runs k ≈ n/1000 at web scale so cells stay ~10³ — here k=8 matches the
+    oracle-checkable fit). The codebook broadcasts (k·dim doubles), the
+    corpus shuffles once on cell; with production k the cell key is
+    high-cardinality, so the join skew story is the generic salted-join
+    one (operators/skew.py), not a new mechanism."""
+    cents = kmeans_fit(corpus, k, iters, id_col, vec_col, round_digits)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cell"),
+        F.round(
+            cosine(_as_double(F.col(vec_col)), F.col("centroid")), round_digits
+        ).alias("cos_c"),
+    )
+    mate = scored.select(
+        F.col("cell"),
+        F.col(id_col).alias("__m_id"),
+        F.col(vec_col).alias("__m_vec"),
+        F.col("cos_c").alias("__m_cos"),
+    )
+    sim = F.round(
+        cosine(_as_double(F.col(vec_col)), _as_double(F.col("__m_vec"))),
+        round_digits,
+    )
+    dominated = (
+        scored.join(mate, "cell")
+        .where(
+            (F.col("__m_id") != F.col(id_col))
+            & (sim > F.lit(tau))
+            & (
+                (F.col("__m_cos") < F.col("cos_c"))
+                | ((F.col("__m_cos") == F.col("cos_c")) & (F.col("__m_id") < F.col(id_col)))
+            )
+        )
+        .select(F.col(id_col).alias("__d_id"))
+        .distinct()
+    )
+    return (
+        scored.join(dominated, scored[id_col] == dominated["__d_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("cos_c"),
+            F.col("__d_id").isNull().alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.9,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL reproducing :func:`semantic_dedup` exactly: the unrolled
+    k-means CTE chain, the same argmax assignment, and the dominance sweep
+    as a NOT EXISTS over cluster-mates. ``assign`` is MATERIALIZED — it is
+    referenced from both sides of the self-join and DuckDB would otherwise
+    inline (re-run) the whole Lloyd chain per reference."""
+    return f"""
+WITH {kmeans_ctes_sql(k, iters, table, id_col, vec_col)},
+cent AS (SELECT cell, cv FROM c{iters}),
+assign AS MATERIALIZED (
+  SELECT {id_col}, v, cell, cos_c FROM (
+    SELECT e.{id_col}, e.v, c.cell,
+           round(list_cosine_similarity(e.v, c.cv), 9) AS cos_c,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cell
+           ) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+)
+SELECT a.{id_col}, a.cell, a.cos_c,
+       NOT EXISTS (
+         SELECT 1 FROM assign b
+         WHERE b.cell = a.cell AND b.{id_col} <> a.{id_col}
+           AND round(list_cosine_similarity(a.v, b.v), 9) > {tau}
+           AND (b.cos_c < a.cos_c
+                OR (b.cos_c = a.cos_c AND b.{id_col} < a.{id_col}))
+       ) AS kept
+FROM assign a
+"""

@@ -415,3 +415,42 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB mirror."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(emb)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shape): the one LLM-pipeline dedup family the
+# exact/MinHash/SimHash/ANN battery didn't yet name — embeddings → k-means
+# clusters → within-cluster cosine dominance prune. Runs over the corpus ∪
+# id-shifted copy (same planting trick as vec_exact_near_dup: natural max
+# pairwise cosine is ≈0.5-0.6, planted copies are exactly 1.0), so with
+# tau=0.9 the expected decision is: every base vector kept, every shifted
+# copy dropped (identical vector → same cell and same cos_c → tie broken
+# to the LOWER id).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.9
+_SEMDEDUP_UNION = (
+    f"(SELECT vec_id, embedding FROM embeddings "
+    f"UNION ALL SELECT vec_id + {_VEC_SHIFT} AS vec_id, embedding FROM embeddings)"
+)
+
+
+@query(
+    "vec_semantic_dedup",
+    sql=similarity.semantic_dedup_oracle_sql(
+        k=8, iters=3, tau=_SEMDEDUP_TAU, table=_SEMDEDUP_UNION
+    ),
+)
+def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-duplicate corpus: fit the k=8 / 3-round
+    deterministic k-means codebook, assign every vector to its cell, and
+    within each cell drop any vector with a higher-priority duplicate
+    (rounded cosine > 0.9; priority = farther from centroid, then lower
+    id). Output is the FULL flagged relation (vec_id, cell, cos_c, kept) —
+    value-checking it pins the fit, the assignment, and every per-cell
+    dominance decision in one hash. The generated oracle recomputes all of
+    it, Lloyd rounds included."""
+    corpus, _n = _dup_corpus(spark, sf_dir)
+    return similarity.semantic_dedup(
+        corpus, k=8, iters=3, tau=_SEMDEDUP_TAU
+    )

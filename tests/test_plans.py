@@ -323,3 +323,24 @@ def test_q21_semi_anti_stack_on_one_key(spark, qs):
     assert "TakeOrderedAndProject" in plan, plan
     assert not PI.has_cartesian(df)
     PI.assert_max_exchanges(df, 1)
+
+
+def test_semantic_dedup_never_all_pairs(spark, qs):
+    """SemDeDup candidate generation must be a cell equi-join (the cluster
+    IS the bucket) — never a cartesian of the corpus against itself. The
+    only nested-loop joins allowed are the ivf_assign codebook scorings
+    (corpus x k-row broadcast codebook — bounded by construction, one per
+    branch that re-derives the assignment)."""
+    df = qs["vec_semantic_dedup"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the corpus-vs-corpus mate join is keyed on cell (equi), not a loop
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # 3 codebook scorings (scored, mate, final flag join re-derivations),
+    # each building the broadcast 8-row codebook side — nothing else may
+    # nested-loop (node headers counted once; EXPLAIN FORMATTED repeats
+    # each node in the detail section)
+    import re
+
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= 3, plan

@@ -271,3 +271,62 @@ def test_quantize_int8_properties(spark):
         maxabs = max(abs(v) for v in xs)
         if maxabs:
             assert abs(xs[dim] - q * maxabs / 127) <= maxabs / 127 / 2 + 1e-9
+
+
+def test_semantic_dedup_oracle_parity(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(
+        qs["vec_semantic_dedup"](spark, SF_DIR), oracles["vec_semantic_dedup"], SF_DIR
+    )
+
+
+def test_semantic_dedup_drops_exactly_the_planted_copies(spark):
+    """Planted completeness: over corpus ∪ id-shifted copy every base
+    vector must survive and every shifted copy must be dropped (identical
+    vector → same cell, same cos_c, tie to the lower id) — the end-to-end
+    guarantee the operator exists for."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        vectors as V,
+    )
+    from tests.conftest import SF_DIR
+
+    corpus, n = V._dup_corpus(spark, SF_DIR)
+    out = similarity.semantic_dedup(corpus, k=8, iters=3, tau=V._SEMDEDUP_TAU)
+    rows = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(rows) == n
+    base = {i for i, kept in rows.items() if i < V._VEC_SHIFT}
+    assert all(rows[i] for i in base), "a base vector was dropped"
+    assert not any(rows[i + V._VEC_SHIFT] for i in base), "a planted copy survived"
+
+
+def test_semantic_dedup_greedy_small_case(spark):
+    """Hand-checkable 1-cluster case with a duplicate CHAIN (a~b, b~c but
+    not a~c): dominance semantics keep the highest-priority member and
+    drop everything dominated by a kept-or-dropped higher-priority mate —
+    pinned so the documented single-pass semantics can't silently drift
+    toward the iterative variant."""
+    import math
+
+    # unit vectors in 2D at angles 0, 10, 20, 80 degrees; tau=0.98 ->
+    # duplicates are pairs 10 degrees apart (cos 10deg = .9848 > .98,
+    # cos 20deg = .9397 < .98): (0,1) and (1,2) only.
+    vecs = {
+        0: 0.0,
+        1: math.radians(10),
+        2: math.radians(20),
+        3: math.radians(80),
+    }
+    rows = [(i, [math.cos(t), math.sin(t)]) for i, t in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, k=1, iters=1, tau=0.98)
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    # centroid is the mean direction (~25.8 deg): priorities (farther
+    # from centroid first): 3 (54.2 off), 0 (25.8), 1 (15.8), 2 (5.8).
+    # 3 has no duplicate -> kept. 0~1: 0 outranks 1 -> 1 dropped.
+    # 1~2: 1 outranks 2 -> 2 dropped by its dominated-by-1 edge even
+    # though 1 itself is dropped — the documented single-pass dominance
+    # rule (an iterative sweep would re-admit 2).
+    assert kept == {0: True, 1: False, 2: False, 3: True}
