@@ -178,3 +178,175 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[f.name for f in _FRAMES_SCHEMA.fields])
 
     return with_payload.select("doc_id", "payload").mapInPandas(_sample, _FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual frame hashing (aHash) + Hamming-bucket near-dup
+# ---------------------------------------------------------------------------
+
+#: Hamming radius of the near-dup decision; the band split below is the
+#: matching d+1 pigeonhole, so candidate generation is COMPLETE for ham<=d.
+AHASH_MAX_HAM = 2
+_PACK = 4294967296  # doc_id * 2^32 + frame_no
+
+
+def ahash_frame_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perturb_mod: int = 0,
+) -> DataFrame:
+    """Per-frame 64-bit average-hash: frame ``k`` = payload bytes
+    [64k, 64k+64); bit ``i`` is set iff ``n * byte_i > sum(frame bytes)``
+    (the integer-exact form of ``byte_i > mean`` — no division, identical
+    on both engines; short last frames compare against their own n/sum).
+    Returned as two 32-bit halves (``sig_hi`` bits 0-31, ``sig_lo`` bits
+    32-63) so XOR/bit_count stay inside signed BIGINT everywhere.
+
+    This is the aHash every image-dedup pipeline runs after resize-to-8x8:
+    here the "pixels" are payload bytes (this container decodes no real
+    codecs — operators/multimodal.py header), so the signature is exact
+    and oracle-checkable while the production swap-in is just a different
+    byte source.
+
+    ``perturb_mod`` > 0 re-encodes each byte as ``(byte + k % m) % 256``
+    (k = global byte offset) — the deterministic stand-in for a lossy
+    re-encode, used to PLANT near-identical frames: the mean shifts with
+    the bytes, so most bits survive and twin frames land within a few
+    bits of Hamming distance.
+
+    Scale shape: one narrow pass — the payload is hex-sliced per row, the
+    byte array lives only inside the projection, and ONLY (id, frame_no,
+    two BIGINTs) leave the map side. No shuffle, no payload replication."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    hx = F.lower(F.hex(payload))
+    nb = F.length(payload)
+    nf = F.floor((nb + F.lit(FRAME_SIZE - 1)) / F.lit(FRAME_SIZE)).cast("int")
+
+    def byte_at(pos: Column) -> Column:
+        b = F.conv(hx.substr(pos * 2 + 1, F.lit(2)), 16, 10).cast("long")
+        if perturb_mod:
+            b = F.pmod(b + F.pmod(pos.cast("long"), F.lit(perturb_mod)), F.lit(256))
+        return b
+
+    def frame_bytes(k: Column) -> Column:
+        seg = F.least(F.lit(FRAME_SIZE), nb - k * FRAME_SIZE)
+        return F.transform(
+            F.sequence(F.lit(0), seg - 1), lambda i: byte_at(k * FRAME_SIZE + i)
+        )
+
+    frames = df.where(nb > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), nf - 1), frame_bytes)
+        ).alias("frame_no", "__bytes"),
+    )
+    bts = F.col("__bytes")
+    fsum = F.aggregate(bts, F.lit(0).cast("long"), lambda s, v: s + v)
+    n = F.size(bts).cast("long")
+
+    def half(lo_bit: int, hi_bit: int) -> Column:
+        # Horner form (acc*2 + bit, MSB first): Σ bit_i · 2^(hi_bit - i)
+        # without needing a per-element shift amount (shiftleft takes only
+        # literal counts)
+        return F.aggregate(
+            F.sequence(F.lit(lo_bit), F.lit(hi_bit)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * F.lit(2).cast("long")
+            + F.when(
+                (i < F.size(bts)) & (n * F.element_at(bts, i + 1) > F.col("__fsum")),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return (
+        frames.withColumn("__fsum", fsum)
+        .select(
+            F.col(id_col),
+            F.col("frame_no").cast("bigint").alias("frame_no"),
+            half(0, 31).alias("sig_hi"),
+            half(32, 63).alias("sig_lo"),
+        )
+    )
+
+
+def ahash_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_ham: int = AHASH_MAX_HAM,
+) -> DataFrame:
+    """All frame pairs within Hamming distance ``max_ham`` of each other,
+    via the (max_ham+1)-band pigeonhole: the 64 signature bits split into
+    3 bands (22/21/21 bits); two signatures at ham<=2 MUST agree on at
+    least one whole band, so the band equi-join is a COMPLETE candidate
+    generator (same argument as the SimHash pigeonhole,
+    operators/dedup.py) — never an all-pairs cross join. Candidates are
+    then verified with the exact popcount and de-duplicated (a pair can
+    collide on several bands).
+
+    Output: (doc_a, frame_a, doc_b, frame_b, ham), pair ordered by the
+    packed (doc, frame) key so each pair appears exactly once.
+
+    Scale: band rows are 3 fixed-width rows per frame; the equi-join
+    shuffles on (band, value) — 2^21-value keyspace per band. Frames with
+    degenerate all-equal signatures (blank/constant payload regions) are
+    the skew risk: production corpora cap per-bucket membership the same
+    way the shingle join caps document frequency (operators/dedup.py) —
+    at this corpus's scale the hottest bucket holds a few hundred rows and
+    needs no cap."""
+    key = (F.col(id_col) * F.lit(_PACK) + F.col("frame_no")).alias("__key")
+    bands = sigs.select(
+        key,
+        F.col("sig_hi"),
+        F.col("sig_lo"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.expr("sig_hi div 1024").cast("long").alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (
+                        F.pmod(F.col("sig_hi"), F.lit(1024)) * F.lit(2097152)
+                        + F.expr("sig_lo div 2097152").cast("long")
+                    ).alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.pmod(F.col("sig_lo"), F.lit(2097152)).alias("val"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__key", "sig_hi", "sig_lo", F.col("__b.band").alias("band"), F.col("__b.val").alias("val"))
+    a = bands.select(
+        F.col("band"),
+        F.col("val"),
+        F.col("__key").alias("__ka"),
+        F.col("sig_hi").alias("__ha"),
+        F.col("sig_lo").alias("__la"),
+    )
+    b = bands.select(
+        F.col("band"),
+        F.col("val"),
+        F.col("__key").alias("__kb"),
+        F.col("sig_hi").alias("__hb"),
+        F.col("sig_lo").alias("__lb"),
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))) + F.bit_count(
+        F.col("__la").bitwiseXOR(F.col("__lb"))
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .where(F.col("__ka") < F.col("__kb"))
+        .where(ham <= max_ham)
+        .select("__ka", "__kb", ham.cast("bigint").alias("ham"))
+        .distinct()
+    )
+    return pairs.select(
+        F.expr(f"__ka div {_PACK}").cast("bigint").alias("doc_a"),
+        F.pmod(F.col("__ka"), F.lit(_PACK)).cast("bigint").alias("frame_a"),
+        F.expr(f"__kb div {_PACK}").cast("bigint").alias("doc_b"),
+        F.pmod(F.col("__kb"), F.lit(_PACK)).cast("bigint").alias("frame_b"),
+        F.col("ham"),
+    )

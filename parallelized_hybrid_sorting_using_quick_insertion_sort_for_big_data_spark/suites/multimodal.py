@@ -240,3 +240,75 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("__m"), F.lit(4294967296)).cast("bigint").alias("canon_frame_no"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Perceptual frame near-dup: aHash (average hash) per frame + Hamming
+#    pigeonhole candidates — the realistic image-corpus need mm_frame_dedup's
+#    byte-exact form can't serve (a re-encoded frame hashes differently but
+#    LOOKS the same). Near-identical frames are planted by unioning a
+#    deterministically perturbed copy (byte + k%3 — a fake lossy re-encode:
+#    same frames land 0-5 bits apart, most within the ham<=2 decision).
+#    The ORACLE is the brute-force all-pairs sweep, so the hash check IS
+#    the completeness proof of the banded join: any pair the pigeonhole
+#    missed would break the match.
+# ---------------------------------------------------------------------------
+
+_AHASH_PERTURB = 3
+
+_FRAME_NEARDUP_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+u0 AS (
+  SELECT doc_id, k, CAST('0x' || substr(hx, CAST(k * 2 + 1 AS INT), 2) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, nb - 1)) AS t(k)
+),
+u AS (
+  SELECT doc_id, k, byte FROM u0
+  UNION ALL
+  SELECT doc_id + {_FD_SHIFT} AS doc_id, k, (byte + k % {_AHASH_PERTURB}) % 256 AS byte
+  FROM u0
+),
+fb AS (
+  SELECT doc_id, k // {M.FRAME_SIZE} AS frame_no, k % {M.FRAME_SIZE} AS i, byte FROM u
+),
+fs AS (
+  SELECT doc_id, frame_no, CAST(sum(byte) AS BIGINT) AS fsum, count(*) AS n
+  FROM fb GROUP BY doc_id, frame_no
+),
+sig AS MATERIALIZED (
+  SELECT fb.doc_id, fb.frame_no,
+         CAST(sum(CASE WHEN i < 32  AND n * byte > fsum THEN (2::BIGINT) ^ (31 - i) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN i >= 32 AND n * byte > fsum THEN (2::BIGINT) ^ (63 - i) ELSE 0 END) AS BIGINT) AS lo
+  FROM fb JOIN fs USING (doc_id, frame_no)
+  GROUP BY fb.doc_id, fb.frame_no
+)
+SELECT a.doc_id AS doc_a, a.frame_no AS frame_a,
+       c.doc_id AS doc_b, c.frame_no AS frame_b,
+       CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) AS BIGINT) AS ham
+FROM sig a JOIN sig c
+  ON (a.doc_id * 4294967296 + a.frame_no) < (c.doc_id * 4294967296 + c.frame_no)
+ AND bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= {M.AHASH_MAX_HAM}
+"""
+
+
+@query("mm_frame_near_dup", sql=_FRAME_NEARDUP_ORACLE)
+def mm_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate frames over the corpus ∪ perturbed copy:
+    per-frame 64-bit aHash (bit i = byte i above the frame mean, integer-
+    exact), then every frame pair within Hamming distance 2, found by the
+    3-band pigeonhole equi-join and popcount-verified. The DuckDB oracle
+    recomputes the signatures AND sweeps ALL pairs brute-force, so the
+    value hash doubles as the banded join's completeness proof. Scale
+    shape: signatures leave the map side as 2 BIGINTs/frame (payload
+    never shuffles), candidates are a (band, value) equi-join — see
+    operators/multimodal.py ahash_* for the 100 TB notes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = M.ahash_frame_signatures(docs)
+    twin = M.ahash_frame_signatures(
+        docs.select((F.col("doc_id") + _FD_SHIFT).alias("doc_id"), "text"),
+        perturb_mod=_AHASH_PERTURB,
+    )
+    return M.ahash_near_dup_pairs(base.unionAll(twin))

@@ -344,3 +344,16 @@ def test_semantic_dedup_never_all_pairs(spark, qs):
 
     bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
     assert len(bnlj) <= 3, plan
+
+
+def test_frame_near_dup_banded_never_all_pairs(spark, qs):
+    """Perceptual frame near-dup must candidate-pair via the (band, value)
+    equi-join — never a cross join of the frame relation against itself —
+    and only fixed-width signature rows may reach the join (the payload
+    column must not appear in any exchange)."""
+    df = qs["mm_frame_near_dup"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join keys are the band split
+    assert "band" in plan and "val" in plan
