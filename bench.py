@@ -104,24 +104,54 @@ def main() -> None:
     tables.load_table(spark, sf_dir, "lineitem").count()
 
     times: dict[str, float] = {}
+    # Every headline cell is the MEDIAN of q_reps runs (r05 lesson: on this
+    # ±20%-steal microVM, single-rep cells made two ordinary queries look
+    # like 1.5× regressions and cost an hour of forensics — the medians
+    # across BENCH_HISTORY showed both were noise). Full rep lists are kept
+    # in BENCH_DETAIL.json under "query_reps". A cell whose first rep
+    # exceeds _REP_CAP_SEC stays single-rep (cost control; none today).
+    q_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QREPS", "3")))
+    _REP_CAP_SEC = 20.0
+    query_reps: dict[str, list[float]] = {}
+
+    def timed_median(name: str, fn, cleanup=None) -> float:
+        reps: list[float] = []
+        for i in range(q_reps):
+            if cleanup is not None:
+                cleanup()
+            try:
+                reps.append(timed(fn))
+            except Exception as exc:
+                reps.append(-1.0)
+                print(f"bench query {name} failed: {exc}", file=sys.stderr)
+                break  # a failing cell is not retried
+            if reps[0] > _REP_CAP_SEC:
+                break
+        query_reps[name] = reps
+        ok = sorted(r for r in reps if r > 0)
+        return ok[len(ok) // 2] if ok else -1.0
 
     # --- reference grid point: 4M seeded ints (BASELINE.md bench 1) ---------
     n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "4000000"))
     gen = lambda: datagen.seeded_ints(spark, n, modulus=datagen.DIST_B_MOD, seed=42)  # noqa: E731
-    times["synthetic_partition_sort_4m"] = timed(
-        lambda: materialize(sorting.partition_sort(gen(), ["value"]))
+    times["synthetic_partition_sort_4m"] = timed_median(
+        "synthetic_partition_sort_4m",
+        lambda: materialize(sorting.partition_sort(gen(), ["value"])),
     )
-    times["synthetic_total_sort_4m"] = timed(
-        lambda: materialize(sorting.total_sort(gen(), ["value", "id"]))
+    times["synthetic_total_sort_4m"] = timed_median(
+        "synthetic_total_sort_4m",
+        lambda: materialize(sorting.total_sort(gen(), ["value", "id"])),
     )
     sink_dir = "/tmp/phsqis_bench_sorted"
-    times["synthetic_sort_write_4m"] = timed(
+    times["synthetic_sort_write_4m"] = timed_median(
+        "synthetic_sort_write_4m",
         lambda: sorting.total_sort(gen(), ["value", "id"])
         .write.mode("overwrite")
-        .parquet(sink_dir)
+        .parquet(sink_dir),
     )
-    times["synthetic_topk_4m"] = timed(
-        lambda: sorting.top_k(gen(), ["value", "id"], 100).collect()
+    times["synthetic_topk_4m"] = timed_median(
+        "synthetic_topk_4m",
+        lambda: sorting.top_k(gen(), ["value", "id"], 100).collect(),
     )
 
     # --- the reference's FULL experiment grid (README.md:17-19): dataset
@@ -189,19 +219,16 @@ def main() -> None:
     )
 
     for t_switch in (1, 25, 1000):
-        try:
-            times[f"hybrid_threshold_t{t_switch}"] = timed(
-                lambda t_switch=t_switch: materialize(
-                    hybrid.hybrid_ranked(
-                        datagen.seeded_ints(spark, 200_000, modulus=datagen.DIST_B_MOD, seed=42),
-                        threshold=t_switch,
-                        num_partitions=8,
-                    )
+        times[f"hybrid_threshold_t{t_switch}"] = timed_median(
+            f"hybrid_threshold_t{t_switch}",
+            lambda t_switch=t_switch: materialize(
+                hybrid.hybrid_ranked(
+                    datagen.seeded_ints(spark, 200_000, modulus=datagen.DIST_B_MOD, seed=42),
+                    threshold=t_switch,
+                    num_partitions=8,
                 )
-            )
-        except Exception as exc:
-            times[f"hybrid_threshold_t{t_switch}"] = -1.0
-            print(f"bench threshold t{t_switch} failed: {exc}", file=sys.stderr)
+            ),
+        )
 
     # --- skew-mitigation bench pair: the salted forms are timed with the
     # registry queries below; these unsalted counterparts quantify the win
@@ -213,11 +240,7 @@ def main() -> None:
         ("skew_plain_agg", skewq.skew_plain_agg),
         ("skew_plain_join", skewq.skew_plain_join),
     ):
-        try:
-            times[key] = timed(lambda fn=fn: materialize(fn(spark, sf_dir)))
-        except Exception as exc:
-            times[key] = -1.0
-            print(f"bench {key} failed: {exc}", file=sys.stderr)
+        times[key] = timed_median(key, lambda fn=fn: materialize(fn(spark, sf_dir)))
 
     # --- registry headline queries at sf_dir (BASELINE.md bench 2 + breadth)
     # Fresh JVM for this section: the synthetic grid + sweeps above run ~40
@@ -248,12 +271,11 @@ def main() -> None:
     for name, fn in registry.queries().items():
         if name in skip:
             continue
-        clear_caches(spark)
-        try:
-            times[name] = timed(lambda fn=fn: materialize(fn(spark, sf_dir)))
-        except Exception as exc:  # keep the bench line parseable on failure
-            times[name] = -1.0
-            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+        times[name] = timed_median(
+            name,
+            lambda fn=fn: materialize(fn(spark, sf_dir)),
+            cleanup=lambda: clear_caches(spark),
+        )
 
     total = round(sum(t for t in times.values() if t > 0), 4)
     # Round-over-round comparability: the headline total grows every round
@@ -292,6 +314,42 @@ def main() -> None:
         sum(t for k, t in times.items() if k in r01_keys and t > 0), 4
     )
     calib_end = calibrate_ms()
+
+    # Regression gate vs the BENCH_HISTORY **median** (not the single
+    # previous run — r05's false alarms came from comparing one noisy run
+    # to one other run). For every query with >=3 recorded same-sf samples,
+    # flag a >=1.3x median-vs-median deviation; purely a visibility report,
+    # the driver JSON stays parseable either way.
+    history_path = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        hist_samples: dict[str, list[float]] = {}
+        if history_path.exists():
+            for line_txt in history_path.read_text().splitlines():
+                try:
+                    rec = json.loads(line_txt)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("sf") != sf:
+                    continue
+                for k, v in rec.get("queries", {}).items():
+                    if isinstance(v, (int, float)) and v > 0:
+                        hist_samples.setdefault(k, []).append(float(v))
+        for k, t in times.items():
+            samples = sorted(hist_samples.get(k, []))
+            if t <= 0 or len(samples) < 3:
+                continue
+            med = samples[len(samples) // 2]
+            if med > 0 and t / med >= 1.3:
+                regressions[k] = {
+                    "sec": round(t, 3),
+                    "hist_median": round(med, 3),
+                    "ratio": round(t / med, 2),
+                    "n_hist": len(samples),
+                }
+    except OSError as exc:
+        print(f"bench: history read failed: {exc}", file=sys.stderr)
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -306,6 +364,11 @@ def main() -> None:
         # hypervisor, not the engine
         "calib_ms_start": calib_start,
         "calib_ms_end": calib_end,
+        # per-cell rep lists backing each median (q_reps per cell)
+        "query_reps": query_reps,
+        "q_reps": q_reps,
+        # >=1.3x vs the BENCH_HISTORY same-sf median (empty = no regression)
+        "regressions_vs_history": regressions,
     }
     if run_grid:
         detail["grid"] = grid  # per-size speedup/efficiency over the P axis
@@ -365,6 +428,8 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
         "n_queries": sum(1 for t in times.values() if t > 0),
         "n_failed": sum(1 for t in times.values() if t < 0),
+        "q_reps": q_reps,
+        "n_regressions_vs_history": len(regressions),
         "queries": slowest,  # the 15 slowest; full map in BENCH_DETAIL.json
         "synthetic_total_sort_4m": times.get("synthetic_total_sort_4m"),
         "r01_comparable_total": comparable,

@@ -55,6 +55,13 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+#: The correctness driver oracle-checks exactly this many leading
+#: ``queries()`` entries per round. ``_DRIVER_PRIORITY`` must hold exactly
+#: this many valid names — ``_ensure_loaded`` warns (and a pytest fails)
+#: otherwise, so a typo'd name or a silent driver-cap change can't quietly
+#: shrink the checked window.
+_DRIVER_WINDOW = 50
+
 # Driver-facing registration order. The correctness driver oracle-checks only
 # the FIRST 50 entries of ``queries()``, so ordering is part of the public
 # contract: queries that have never had a driver correctness row (or whose
@@ -63,91 +70,75 @@ _LOADED = False
 # tail. Names not present in the registry are ignored (forward references to
 # planned queries are harmless).
 #
-# ROUND 5 ROTATION (executed; VERDICT r04 "Next round" #1): the 43 queries
-# whose newest driver rows were r03 are floated back through the 50-slot
-# window; new round-5 queries go first (never checked); 4 r04-green
-# sentinels cover the suites the stale set doesn't touch (relational,
-# multimodal, streaming + a lineitem join). After CORRECTNESS_r05 lands,
-# every oracle query's newest green row is r04 or r05. Round-6 rotation:
-# FIRST the twelve r05-late queries that have never had a driver row
-# (rel_window_range_frame, rel_moment_stats, rel_sql_q10_returned_items,
-# rel_sql_q18_large_volume, events_ewma, events_rollup_multires,
-# events_user_timeline, text_bpe_merges, text_bpe_segmentation,
-# mm_frame_dedup, rel_sql_q14_promo_revenue, rel_sql_q19_brand_ranges —
-# all locally verified vs DuckDB at sf0.01, hash-exact, in round 5),
-# then the r04-checked set (events_sessionize … text_analysis block of
-# CORRECTNESS_r04.json), same scheme. NEVER assume old rows stay valid
-# across a testdata regeneration (r03 TIMESTAMP_NTZ incident; compare
-# testdata_checksums_r05.txt first).
+# ROUND 6 ROTATION (VERDICT r05 "Next round" #1, executed): the 16 queries
+# with no driver row ever (12 r05-late + 4 new this round) go first, then
+# the 2 displaced r03-green vec queries, then 32 of the 47 r04-checked
+# queries oldest-checked first (CORRECTNESS_r04.json record order). After
+# CORRECTNESS_r06 lands, every oracle query's newest green row is r04, r05
+# or r06; round 7 rotates the remaining 15 r04 names + the r05 block.
+# NEVER assume old rows stay valid across a testdata regeneration (r03
+# TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 5: never driver-checked. The last three double as
-    #    suite sentinels: rel_sql_q5 touches every TPC-H table,
-    #    events_stream_cms covers streaming+events, sample_group_reservoir
-    #    covers documents — so only multimodal still needs a dedicated
-    #    sentinel below.
-    "skew_salted_outer",
-    "events_outlier_robust_approx",
-    "fuzzy_token_match",
-    "rel_sql_q5_local_supplier",
-    "events_stream_cms",
-    "sample_group_reservoir",
-    # -- implementation changed late in round 5 (md5-slice hash family +
-    #    staged digests, operators/sketch.py): per the policy above they
-    #    re-enter the window; their r04 rows predate the new cell values.
-    #    (events_stream_cms above shares the change and was already in.)
-    #    Displaced to make room: vec_topk_with_metadata, vec_quantize_int8
-    #    (unchanged since r03, locally full-sweep verified this round).
-    "text_cms_counts",
-    "decontam_bloom_membership",
-    # -- the 43 queries whose newest driver row is r03, oldest-checked first
-    "events_funnel",
-    "events_funnel_counts",
-    "events_cohort_retention",
-    "events_transition_matrix",
-    "sort_topk_lineitem",
-    "sort_seeded_ints",
-    "sort_hybrid_quickinsertion",
-    "sort_multikey_orders",
-    "sort_within_partitions",
-    "decontam_ngram_overlap",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_json_props",
-    "pipeline_snapshot_diff",
-    "sample_train_split",
-    "sample_stratified_langs",
-    "pipeline_pack_sequences",
-    "sample_mixture_tokens",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_token_frequency",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_portable",
-    "dedup_simhash",
-    "dedup_simhash_portable",
-    "pipeline_clean_corpus",
-    "dedup_components",
-    "text_pii_scrub",
-    "text_chunk_sliding",
-    "text_repetition",
-    "text_bm25_topk",
-    "pipeline_dedup_keep_best",
-    "fuzzy_name_match",
-    "text_heavy_hitters",
-    "vec_cosine_topk",
-    "vec_exact_near_dup",
-    "vec_lsh_near_dup",
-    "vec_lsh_portable",
-    "vec_ivf_topk",
-    "vec_label_centroids",
-    # -- sentinel: r04-green; multimodal is the one suite/table family
-    #    neither the 43 stale queries nor the round-5 additions touch
-    "mm_byte_features",
-    # (vec_topk_with_metadata / vec_quantize_int8 fall past the 50-slot
-    # cap this round — displaced by the two changed sketch queries above;
-    # unchanged code, r03-green, locally verified this round, first in
-    # line with the round-6 rotation set.)
+    # ROUND 6 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # -- 12 round-5 queries that never got a driver row (judge-verified
+    #    locally in r05; text_bpe_* additionally REWRITTEN this round —
+    #    greedy-merge fix — so their window slot is doubly required)
+    "rel_window_range_frame",
+    "rel_moment_stats",
+    "rel_sql_q10_returned_items",
+    "rel_sql_q18_large_volume",
+    "rel_sql_q14_promo_revenue",
+    "rel_sql_q19_brand_ranges",
+    "events_ewma",
+    "events_rollup_multires",
+    "events_user_timeline",
+    "text_bpe_merges",
+    "text_bpe_segmentation",
+    "mm_frame_dedup",
+    # -- new in round 6: never driver-checked
+    "rel_sql_q17_small_quantity",
+    "rel_sql_q21_waiting_supplier",
+    "vec_semantic_dedup",
+    "mm_frame_near_dup",
+    # -- displaced past the cap in round 5 (newest row r03; unchanged code,
+    #    locally full-sweep verified in r05)
+    "vec_topk_with_metadata",
+    "vec_quantize_int8",
+    # -- the r04-checked block, oldest-checked first (CORRECTNESS_r04.json
+    #    record order); the 15 remaining r04 names + the 50 r05-green
+    #    queries keep import order in the tail and rotate in round 7
+    "events_sessionize",
+    "events_stream_user_profile",
+    "events_stream_tumbling",
+    "events_stream_dedup",
+    "events_stream_enrich",
+    "events_asof_join",
+    "events_range_join",
+    "events_zorder_code",
+    "events_resample_gapfill",
+    "events_outlier_robust",
+    "mm_metadata_summary",
+    "mm_frame_inventory",
+    "mm_frame_sample",
+    "rel_q1_pricing_summary",
+    "rel_join_revenue_by_nation",
+    "rel_window_top_orders_per_segment",
+    "rel_semi_anti_join",
+    "rel_set_operations",
+    "rel_scalar_functions",
+    "rel_rollup_customers",
+    "rel_distinct_aggregates",
+    "rel_outer_join",
+    "rel_sql_q3_shipping_priority",
+    "rel_percentiles",
+    "rel_histogram",
+    "rel_cube_orders",
+    "rel_pivot_priority_by_year",
+    "rel_window_running_totals",
+    "rel_approx_distinct",
+    "rel_unpivot_part_metrics",
+    "rel_correlated_subquery",
+    "rel_window_rank_functions",
 )
 
 
@@ -171,6 +162,17 @@ def _ensure_loaded() -> None:
     )
 
     prioritized = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    if len(prioritized) != _DRIVER_WINDOW or len(_DRIVER_PRIORITY) != _DRIVER_WINDOW:
+        import warnings
+
+        missing = sorted(set(_DRIVER_PRIORITY) - set(prioritized))
+        warnings.warn(
+            f"driver priority window is {len(prioritized)}/{_DRIVER_WINDOW} "
+            f"resolved names (listed: {len(_DRIVER_PRIORITY)}; unresolved: "
+            f"{missing}) — a typo or a driver-cap change is silently "
+            "shrinking the checked window",
+            stacklevel=2,
+        )
     prioritized_set = set(prioritized)
     tail = [n for n in REGISTRY if n not in prioritized_set]
     ordered = {n: REGISTRY[n] for n in (*prioritized, *tail)}

@@ -26,3 +26,22 @@ def test_shipped_zip_contains_the_operators(spark, tmp_path):
     pkg = "parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark"
     for mod in ("operators/hybrid.py", "streaming/stateful.py", "operators/similarity.py"):
         assert f"{pkg}/{mod}" in names
+
+
+def test_driver_window_is_exactly_the_priority_prefix():
+    """The correctness driver checks the FIRST 50 queries() entries, so
+    ordering is a public contract: the priority list must hold exactly 50
+    names, every one must resolve in the registry (a typo would silently
+    drop a slot), and the registry must lead with precisely that prefix."""
+    import warnings
+
+    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.queries as Q
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the guard warning must NOT fire
+        Q._ensure_loaded()
+    assert len(Q._DRIVER_PRIORITY) == Q._DRIVER_WINDOW
+    assert len(set(Q._DRIVER_PRIORITY)) == Q._DRIVER_WINDOW
+    unresolved = [n for n in Q._DRIVER_PRIORITY if n not in Q.REGISTRY]
+    assert not unresolved, unresolved
+    assert list(Q.REGISTRY)[: Q._DRIVER_WINDOW] == list(Q._DRIVER_PRIORITY)
