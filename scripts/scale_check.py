@@ -1,0 +1,123 @@
+"""sf0.1 → sf1 scaling spot-check (VERDICT r05 next-round #6).
+
+The driver ships no sf1 testdata, so a 10× `documents` table is
+synthesized ONCE from sf0.1: ten copies, copy i's text passed through an
+i-rotated lowercase-alphabet substitution (translate — cheap, JVM-side,
+deterministic). Rotation makes every copy's shingles/tokens DISTINCT from
+every other copy's, so dedup-family queries see the equivalent of fresh
+data (10× corpus ⇒ ~10× work for a linear operator) instead of 10-clique
+planted duplicates that would super-linearize components/clustering by
+construction. doc_ids shift by i·10M; all other tables are reused from
+sf0.1 (the five measured queries read only `documents`).
+
+Run:  python scripts/scale_check.py
+Writes SCALE_CHECK_r06.json at the repo root: per query, median-of-3
+times at sf0.1 and sf1 and the slope vs the 10× row ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import string
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+SF01 = Path("/root/testdata/sf0.1")
+SF1 = REPO / ".sfdata" / "sf1"
+COPIES = 10
+SHIFT = 10_000_000
+QUERIES = (
+    "decontam_bloom_membership",
+    "pipeline_dedup_keep_best",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "text_winnow_fingerprints",
+)
+
+
+def build_sf1(spark) -> None:
+    if (SF1 / "documents.parquet").exists():
+        return
+    SF1.mkdir(parents=True, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(str(SF01 / "documents.parquet"))
+    alpha = string.ascii_lowercase
+    parts = []
+    for i in range(COPIES):
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            base.select(
+                (F.col("doc_id") + i * SHIFT).alias("doc_id"),
+                F.translate(
+                    F.col("text"), alpha + alpha.upper(), rot + rot.upper()
+                ).alias("text"),
+                *[c for c in base.columns if c not in ("doc_id", "text")],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        str(SF1 / "documents.parquet")
+    )
+    for f in SF01.glob("*.parquet"):
+        if f.stem != "documents":
+            dst = SF1 / f.name
+            if not dst.exists():
+                if f.is_dir():
+                    shutil.copytree(f, dst)
+                else:
+                    shutil.copy(f, dst)
+
+
+def median_time(fn, reps=3) -> tuple[float, list[float]]:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(round(time.perf_counter() - t0, 3))
+    return sorted(ts)[len(ts) // 2], ts
+
+
+def main() -> None:
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark import (
+        queries as registry,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.session import (
+        get_spark,
+    )
+
+    import bench
+
+    spark = get_spark("phsqis-scale-check")
+    build_sf1(spark)
+    qs = registry.queries()
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = qs[name]
+        row = {}
+        for label, sf_dir in (("sf0.1", str(SF01)), ("sf1", str(SF1))):
+            bench.clear_caches(spark)
+            med, reps = median_time(
+                lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            )
+            row[label] = {"median_sec": med, "reps": reps}
+        ratio = round(row["sf1"]["median_sec"] / row["sf0.1"]["median_sec"], 2)
+        row["slope_vs_10x_rows"] = ratio
+        row["superlinear"] = ratio > 15.0  # 1.5× headroom over the 10× row ratio
+        out[name] = row
+        print(f"MARKER {name} sf0.1={row['sf0.1']['median_sec']}s "
+              f"sf1={row['sf1']['median_sec']}s slope={ratio}x", flush=True)
+    (REPO / "SCALE_CHECK_r06.json").write_text(json.dumps(out, indent=1) + "\n")
+    print("MARKER wrote SCALE_CHECK_r06.json")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
