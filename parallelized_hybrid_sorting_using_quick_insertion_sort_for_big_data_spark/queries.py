@@ -98,6 +98,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6: never driver-checked
     "rel_sql_q17_small_quantity",
     "rel_sql_q21_waiting_supplier",
+    "rel_sql_q22_dormant_balance",
     "vec_semantic_dedup",
     "mm_frame_near_dup",
     # -- displaced past the cap in round 5 (newest row r03; unchanged code,
@@ -138,7 +139,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_approx_distinct",
     "rel_unpivot_part_metrics",
     "rel_correlated_subquery",
-    "rel_window_rank_functions",
+    # (rel_window_rank_functions displaced to the tail by Q22 — r04-green,
+    # unchanged code, first of the r04 leftovers in the round-7 rotation)
 )
 
 

@@ -1398,3 +1398,47 @@ def rel_sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_small(out, ["numwait", "s_name"], ascending=[False, True]).select(
         "rnk", "s_name", "n_name", "numwait"
     )
+
+
+# ---------------------------------------------------------------------------
+# 28. TPC-H Q22 shape: global-threshold anti-join report ("dormant
+#     big-balance customers") — an UNCORRELATED scalar-aggregate threshold
+#     (average positive balance, multiplied through for decimal exactness)
+#     plus a NOT EXISTS anti-join against the fact side. Complements
+#     Q17/Q21: Q17 pins CORRELATED scalar decorrelation, this pins the
+#     uncorrelated form (one-row subquery results injected as scalars,
+#     computed once — never per-row) over the same anti-join machinery.
+#     ("never ordered" is vacuous in this corpus — every customer has ~10
+#     orders — so the dormancy predicate is "no FINISHED order".)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT n.n_name,
+       count(*) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(27,8))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4))
+        * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,4))) FROM customer c3 WHERE c3.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY n.n_name
+"""
+
+
+@query("rel_sql_q22_dormant_balance", sql=_Q22_SQL)
+def rel_sql_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape through spark.sql, identical text on both engines:
+    per-nation count and balance of above-average-balance customers with
+    no finished order. The two uncorrelated subqueries execute ONCE each
+    (Spark plans them as scalar-subquery literals — a one-row broadcast,
+    not a per-row probe; plan-gated), the threshold compare is the
+    multiplied-through decimal form (`bal * n > sum` — no double-avg
+    boundary coin flip), and the NOT EXISTS plans as a LeftAnti join on
+    o_custkey with the status filter pushed into the orders scan. At
+    scale: orders shuffles once on custkey for the anti join; nation
+    broadcasts; the scalar thresholds are O(1) rows shipped."""
+    for t in ("customer", "nation", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)

@@ -357,3 +357,16 @@ def test_frame_near_dup_banded_never_all_pairs(spark, qs):
     assert "BroadcastNestedLoopJoin" not in plan
     # the join keys are the band split
     assert "band" in plan and "val" in plan
+
+
+def test_q22_anti_join_with_scalar_thresholds(spark, qs):
+    """TPC-H Q22 shape: the NOT EXISTS plans as LeftAnti with the status
+    filter pushed to the orders scan; the two uncorrelated threshold
+    subqueries run as one-time scalar subqueries (no cartesian, no
+    per-row re-aggregation)."""
+    df = qs["rel_sql_q22_dormant_balance"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_filter_pushed(df, "o_orderstatus")
+    assert "Subquery" in plan, plan
