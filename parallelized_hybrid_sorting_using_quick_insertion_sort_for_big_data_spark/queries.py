@@ -138,9 +138,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_window_running_totals",
     "rel_approx_distinct",
     "rel_unpivot_part_metrics",
-    "rel_correlated_subquery",
-    # (rel_window_rank_functions displaced to the tail by Q22 — r04-green,
-    # unchanged code, first of the r04 leftovers in the round-7 rotation)
+    "mm_frame_dedup_collapse",
+    # (rel_correlated_subquery / rel_window_rank_functions displaced to the
+    # tail by Q22 and the collapse query — r04-green, unchanged code, first
+    # of the r04 leftovers in the round-7 rotation)
 )
 
 

@@ -256,8 +256,9 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AHASH_PERTURB = 3
 
-_FRAME_NEARDUP_ORACLE = f"""
-WITH b AS (
+# Shared CTE chain (byte expansion → frame stats → signatures) for the
+# near-dup and collapse oracles.
+_AHASH_CTES = f"""b AS (
   SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
   FROM documents WHERE octet_length(encode(text)) > 0
 ),
@@ -284,13 +285,22 @@ sig AS MATERIALIZED (
          CAST(sum(CASE WHEN i >= 32 AND n * byte > fsum THEN (2::BIGINT) ^ (63 - i) ELSE 0 END) AS BIGINT) AS lo
   FROM fb JOIN fs USING (doc_id, frame_no)
   GROUP BY fb.doc_id, fb.frame_no
-)
-SELECT a.doc_id AS doc_a, a.frame_no AS frame_a,
-       c.doc_id AS doc_b, c.frame_no AS frame_b,
-       CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) AS BIGINT) AS ham
-FROM sig a JOIN sig c
-  ON (a.doc_id * 4294967296 + a.frame_no) < (c.doc_id * 4294967296 + c.frame_no)
- AND bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= {M.AHASH_MAX_HAM}
+),
+fpairs AS (
+  SELECT a.doc_id * 4294967296 + a.frame_no AS id_a,
+         c.doc_id * 4294967296 + c.frame_no AS id_b,
+         CAST(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) AS BIGINT) AS ham
+  FROM sig a JOIN sig c
+    ON (a.doc_id * 4294967296 + a.frame_no) < (c.doc_id * 4294967296 + c.frame_no)
+   AND bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo)) <= {M.AHASH_MAX_HAM}
+)"""
+
+_FRAME_NEARDUP_ORACLE = f"""
+WITH {_AHASH_CTES}
+SELECT id_a // 4294967296 AS doc_a, id_a % 4294967296 AS frame_a,
+       id_b // 4294967296 AS doc_b, id_b % 4294967296 AS frame_b,
+       ham
+FROM fpairs
 """
 
 
@@ -305,10 +315,75 @@ def mm_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: signatures leave the map side as 2 BIGINTs/frame (payload
     never shuffles), candidates are a (band, value) equi-join — see
     operators/multimodal.py ahash_* for the 100 TB notes."""
+    return M.ahash_near_dup_pairs(_ahash_planted_sigs(spark, sf_dir))
+
+
+def _ahash_planted_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash signatures of the corpus ∪ perturbed ('re-encoded') copy."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = M.ahash_frame_signatures(docs)
     twin = M.ahash_frame_signatures(
         docs.select((F.col("doc_id") + _FD_SHIFT).alias("doc_id"), "text"),
         perturb_mod=_AHASH_PERTURB,
     )
-    return M.ahash_near_dup_pairs(base.unionAll(twin))
+    return base.unionAll(twin)
+
+
+# ---------------------------------------------------------------------------
+# 7. Perceptual dedup COLLAPSE: near-dup pairs are transitive in practice
+#    (re-encodes of re-encodes), so the dedup decision needs connected
+#    components over the pair graph and one canonical survivor per
+#    perceptual cluster — the frame analog of pipeline_dedup_keep_best.
+# ---------------------------------------------------------------------------
+
+_FRAME_COLLAPSE_ORACLE = f"""
+WITH RECURSIVE {_AHASH_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM fpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM fpairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT comp.node // 4294967296 AS doc_id,
+       comp.node % 4294967296 AS frame_no,
+       comp.component // 4294967296 AS canon_doc_id,
+       comp.component % 4294967296 AS canon_frame_no,
+       csize.cluster_size,
+       comp.node = comp.component AS is_canonical
+FROM comp JOIN csize USING (component)
+"""
+
+
+@query("mm_frame_dedup_collapse", sql=_FRAME_COLLAPSE_ORACLE)
+def mm_frame_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-cluster collapse over the planted corpus: aHash ham<=2
+    pairs → alternating large-star/small-star connected components
+    (operators/dedup.py — O(log n) rounds of fixed-width shuffles) → the
+    min packed (doc, frame) key as each cluster's canonical survivor.
+    One row per clustered frame with its canonical owner and cluster
+    size; the oracle recomputes pairs brute-force and closes them with a
+    recursive transitive closure, so cluster membership AND canonical
+    choice are value-checked end to end."""
+    from ..operators import dedup
+
+    pairs = M.ahash_near_dup_pairs(_ahash_planted_sigs(spark, sf_dir))
+    packed = pairs.select(
+        (F.col("doc_a") * F.lit(M._PACK) + F.col("frame_a")).alias("id_a"),
+        (F.col("doc_b") * F.lit(M._PACK) + F.col("frame_b")).alias("id_b"),
+    )
+    cc = dedup.connected_components(packed)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.expr(f"node div {M._PACK}").cast("bigint").alias("doc_id"),
+        F.pmod(F.col("node"), F.lit(M._PACK)).cast("bigint").alias("frame_no"),
+        F.expr(f"component div {M._PACK}").cast("bigint").alias("canon_doc_id"),
+        F.pmod(F.col("component"), F.lit(M._PACK)).cast("bigint").alias("canon_frame_no"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -180,3 +180,29 @@ def test_ahash_signature_semantics(spark):
     rows = {r["doc_id"]: (r["sig_hi"], r["sig_lo"]) for r in M.ahash_frame_signatures(df).collect()}
     assert rows[0] == (0, 4294967295)  # lo = all 32 bits set
     assert rows[1] == (0, 0)
+
+
+def test_frame_dedup_collapse_properties(spark):
+    """Cluster invariants at sf0.001: every cluster has >=2 members and
+    exactly one canonical (the min packed key); every perturbed twin
+    within ham<=2 of its base frame lands in the SAME cluster as the
+    base (transitivity may merge further — never split)."""
+    import __spark_entry__ as entrymod
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        multimodal as MM,
+    )
+    from tests.conftest import SF_DIR
+
+    out = entrymod.queries()["mm_frame_dedup_collapse"](spark, SF_DIR).toPandas()
+    grp = out.groupby(["canon_doc_id", "canon_frame_no"])
+    assert (grp.size() >= 2).all()
+    assert (grp["is_canonical"].sum() == 1).all()
+    comp = {
+        (r.doc_id, r.frame_no): (r.canon_doc_id, r.canon_frame_no)
+        for r in out.itertuples()
+    }
+    pairs = entrymod.queries()["mm_frame_near_dup"](spark, SF_DIR).toPandas()
+    twins = pairs[(pairs.doc_b == pairs.doc_a + MM._FD_SHIFT) & (pairs.frame_a == pairs.frame_b)]
+    assert len(twins) > 0
+    for r in twins.itertuples():
+        assert comp[(r.doc_a, r.frame_a)] == comp[(r.doc_b, r.frame_b)]
