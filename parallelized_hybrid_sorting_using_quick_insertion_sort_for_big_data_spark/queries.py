@@ -161,6 +161,7 @@ def _ensure_loaded() -> None:
         sampling,
         skewq,
         text_dedup,
+        tpch,
         vectors,
     )
 

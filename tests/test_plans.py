@@ -370,3 +370,107 @@ def test_q22_anti_join_with_scalar_thresholds(spark, qs):
     assert not PI.has_cartesian(df)
     PI.assert_filter_pushed(df, "o_orderstatus")
     assert "Subquery" in plan, plan
+
+
+def test_q2_decorrelated_min_two_partkey_aggregates(spark, qs):
+    """TPC-H Q2 shape: the correlated MIN subquery decorrelates into a
+    per-partkey aggregate joined back on p_partkey — together with the
+    explicit (partkey, suppkey) price-list aggregate that is exactly two
+    l_partkey shuffles, never a per-row re-scan, never a cartesian; the
+    part sieve pushes to its scan."""
+    df = qs["rel_sql_q2_min_cost_supplier"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") == 2, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_filter_pushed(df, "p_size")
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_q4_exists_plans_left_semi_single_exchange(spark, qs):
+    """TPC-H Q4 shape: EXISTS with the correlated lateness residual plans
+    as ONE LeftSemi probe per order (the date compare rides the join),
+    the quarter window pushes to the orders scan, and the 5-group
+    priority rollup is the only extra work — one shuffle exchange total."""
+    df = qs["rel_sql_q4_priority_check"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_filter_pushed(df, "o_orderdate")
+    PI.assert_max_exchanges(df, 1)
+
+
+def test_q6_scan_bound_single_row_aggregate(spark, qs):
+    """TPC-H Q6 shape: the canonical scan-bound query — all three range
+    predicates push to the parquet scan, exactly the 4 referenced columns
+    are read, and the only exchange ships one partial-aggregate row per
+    partition."""
+    df = qs["rel_sql_q6_forecast_revenue"](spark, SF_DIR)
+    PI.assert_filter_pushed(df, "l_shipdate")
+    PI.assert_filter_pushed(df, "l_discount")
+    PI.assert_filter_pushed(df, "l_quantity")
+    (schema,) = PI.scan_read_schemas(df)
+    assert schema.count(":") == 4, schema
+    PI.assert_max_exchanges(df, 1)
+    assert PI.codegen_stage_count(df) >= 1
+
+
+def test_q13_on_clause_filter_stays_on_left_join(spark, qs):
+    """TPC-H Q13 shape: the priority filter lives in the LEFT JOIN's ON
+    clause and must NOT be pushed below the join as a WHERE on orders'
+    probe result (zero-order customers must survive with c_count=0) —
+    pinned by both engines agreeing on values (oracle) and, here, by the
+    filter landing in the orders scan (safe: it only shrinks the right
+    side) while the join stays a LEFT outer/broadcast form, and the two
+    stacked aggregations add at most two exchanges."""
+    df = qs["rel_sql_q13_customer_distribution"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df)
+    # the ON-clause filter may prune the RIGHT side's scan only; the join
+    # itself must remain outer (LeftOuter here, either build side)
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_q16_not_in_plans_anti_join(spark, qs):
+    """TPC-H Q16 shape: NOT IN over the excluded-supplier subquery plans
+    as an anti join of the tiny blacklist (broadcast — null-aware since
+    NOT IN voids on NULL keys), the brand/type/size sieve pushes to the
+    part scan, and the exact count(DISTINCT) runs as a two-level
+    aggregate — no Expand explosion, no cartesian."""
+    df = qs["rel_sql_q16_supplier_relationship"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_filter_pushed(df, "p_brand")
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_q20_in_over_aggregate_plans_semi_join(spark, qs):
+    """TPC-H Q20 shape: IN over the grouped-HAVING subquery plans as a
+    LEFT SEMI join against the per-suppkey aggregate (one suppkey
+    shuffle), with the name LIKE and ship-date filters pushed to their
+    scans — never a per-row re-aggregation, never a cartesian."""
+    df = qs["rel_sql_q20_part_promotion"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert not PI.has_cartesian(df)
+    PI.assert_filter_pushed(df, "l_shipdate")
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_q11_and_q15_scalar_subqueries_run_once(spark, qs):
+    """TPC-H Q11/Q15 shapes: the uncorrelated threshold (Q11 fraction of
+    national total; Q15 max CTE revenue) plans as a one-time scalar
+    Subquery feeding a literal into the filter — never a cartesian, never
+    a per-group re-aggregation (exchange counts stay at the two or three
+    aggregate passes the query itself needs)."""
+    q11 = qs["rel_sql_q11_important_stock"](spark, SF_DIR)
+    p11 = PI.formatted_plan(q11)
+    assert "Subquery" in p11, p11
+    assert not PI.has_cartesian(q11)
+    PI.assert_max_exchanges(q11, 2)
+    q15 = qs["rel_sql_q15_top_supplier"](spark, SF_DIR)
+    p15 = PI.formatted_plan(q15)
+    assert "Subquery" in p15, p15
+    assert not PI.has_cartesian(q15)
+    PI.assert_max_exchanges(q15, 3)
