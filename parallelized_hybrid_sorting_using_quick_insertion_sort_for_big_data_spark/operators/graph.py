@@ -1,0 +1,194 @@
+"""Graph analytics: PageRank power iteration and degree statistics.
+
+Complements ``operators/dedup.py``'s connected components (the other
+iterative graph primitive in this engine) with the canonical importance
+ranking. The reference has no graph surface at all (SURVEY.md §2b — it is
+809 lines of C/CUDA sort code); this is extension-layer breadth for the
+training-data use case: link-graph importance is a standard quality signal
+when curating web-scale corpora.
+
+Exactness design — INTEGER-SCALED arithmetic end to end
+-------------------------------------------------------
+Float PageRank is not reproducible across engines: the per-node sum of
+``rank/outdeg`` contributions depends on reduction order in IEEE doubles.
+Instead every rank is a BIGINT in units of 1/SCALE (SCALE = 1e12):
+
+- initial rank        = SCALE // n_nodes
+- per-edge contribution = rank(src) // outdeg(src)          (integer div)
+- damped update       = BASE + (d_num * sum(contribs)) // d_den
+  with BASE = ((d_den - d_num) * SCALE) // (d_den * n_nodes)
+
+Every operation is exact bigint arithmetic (sums are order-independent,
+integer division is identical truncation in Spark's ``div`` and DuckDB's
+``//`` for the non-negative values used here), so the DuckDB oracle —
+generated from the SAME constants by :func:`pagerank_oracle_sql` — matches
+hash-for-hash, iteration for iteration. Truncation loses at most
+``outdeg`` rank-units per node per round (bounded, deterministic), which
+is why total mass drifts a few units below SCALE — a documented property,
+pinned by tests, not an error.
+
+Semantics: simplified PageRank without dangling-mass redistribution — a
+node with no out-edges absorbs its rank. Callers who need mass
+conservation pass a symmetric (undirected) edge list, as the trade-graph
+query does.
+
+At 100 TB: the Pregel shape. ``edges ⋈ outdeg`` materializes ONCE
+(checkpointed, partitioned by src); each round is one join of the
+node-sized rank relation against it plus one groupBy(dst) shuffle —
+O(iters) shuffles of fixed-width bigint rows, never the payload.
+``localCheckpoint`` per round cuts lineage so plan depth stays constant
+in the iteration count (same device as kmeans_fit / dedup components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> DataFrame:
+    """Integer-scaled PageRank over ``edges(src, dst)`` (both BIGINT).
+
+    Returns ``(node, rank)`` with rank in units of 1/scale. Nodes are the
+    union of src and dst endpoints. ``iters`` full power-iteration rounds
+    with damping ``damp_num/damp_den``.
+
+    The two scalars the driver computes (node count → BASE and the uniform
+    initial rank) are O(1)-row aggregations, same budget class as the
+    components convergence checksum (operators/dedup.py) — everything else
+    stays distributed.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0 < damp_num < damp_den):
+        raise ValueError(f"need 0 < damp_num < damp_den, got {damp_num}/{damp_den}")
+
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # one O(1)-row driver scalar: the node count (feeds the two literals)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("bigint"))
+    init_rank = scale // n_nodes
+    base = ((damp_den - damp_num) * scale) // (damp_den * n_nodes)
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialize the (src, dst, outdeg) probe relation once; every round
+    # reuses this checkpointed, already-shuffled frame
+    edges_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(init_rank).cast("bigint"))
+    for _ in range(iters):
+        contribs = (
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 4,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+    select: str = "SELECT node, rank FROM {last}",
+) -> str:
+    """Generate the DuckDB oracle for :func:`pagerank` — the same integer
+    recurrence unrolled into one CTE per iteration, from the same
+    constants. ``edges_cte`` must define a relation ``edges(src, dst)``;
+    ``select`` formats the final statement with ``{last}`` = the last
+    rank CTE's name."""
+    parts = [
+        edges_cte,
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst AS node FROM edges)",
+        "outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST((SELECT {scale} // n FROM nn) AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST((SELECT ({damp_den - damp_num} * {scale}) // ({damp_den} * n) FROM nn)
+              + ({damp_num} * COALESCE(c.s, 0)) // {damp_den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON r.node = e.src
+    JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + select.format(last=f"r{iters}")
+
+
+def pagerank_reference(
+    edges: list[tuple[int, int]],
+    iters: int = 4,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> dict[int, int]:
+    """Single-process reference of the exact same integer recurrence (test
+    twin for :func:`pagerank`, same role as _ref_bpe in operators/bpe.py)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    if not nodes:
+        return {}
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    ranks = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        sums = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            sums[d] += ranks[s] // outdeg[s]
+        ranks = {v: base + (damp_num * sums[v]) // damp_den for v in nodes}
+    return ranks
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Degree distribution of ``edges(src, dst)``: for each out-degree
+    value, how many nodes have it — the Q13-style count-of-counts over the
+    graph. One shuffle per aggregation level; fixed-width rows only."""
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

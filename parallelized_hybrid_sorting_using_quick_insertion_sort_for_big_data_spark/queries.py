@@ -156,6 +156,7 @@ def _ensure_loaded() -> None:
         core_sort,
         decontam,
         events,
+        graphq,
         multimodal,
         relational,
         sampling,
