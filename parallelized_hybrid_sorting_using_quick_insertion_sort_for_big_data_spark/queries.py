@@ -70,14 +70,17 @@ _DRIVER_WINDOW = 50
 # tail. Names not present in the registry are ignored (forward references to
 # planned queries are harmless).
 #
-# ROUND 6 ROTATION (VERDICT r05 "Next round" #1, executed): the 16 queries
-# with no driver row ever (12 r05-late + 4 new this round) go first, then
-# the 2 displaced r03-green vec queries, then 32 of the 47 r04-checked
-# queries oldest-checked first (CORRECTNESS_r04.json record order). After
-# CORRECTNESS_r06 lands, every oracle query's newest green row is r04, r05
-# or r06; round 7 rotates the remaining 15 r04 names + the r05 block.
-# NEVER assume old rows stay valid across a testdata regeneration (r03
-# TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
+# ROUND 6 ROTATION (VERDICT r05 "Next round" #1, executed; extended): every
+# query with no driver row EVER goes first — the 12 r05-late, the 5 early
+# round-6 adds (Q17/Q21/Q22, semantic dedup, frame near-dup), the 2
+# displaced r03-green vec queries, then the 14 late round-6 adds (the
+# 12-query TPC-H completion suite + 2 graph queries, all locally
+# hash-verified in LOCAL_VERIFY_r06.txt) — and the remaining 17 slots go to
+# the r04-checked block oldest-checked first (CORRECTNESS_r04.json record
+# order). After CORRECTNESS_r06 lands, every never-checked query has its
+# first driver row; round 7 rotates the remaining 29 r04 names + the r05
+# block. NEVER assume old rows stay valid across a testdata regeneration
+# (r03 TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 6 WINDOW (50 exactly; pytest-guarded in test_session.py).
     # -- 12 round-5 queries that never got a driver row (judge-verified
@@ -105,9 +108,28 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    locally full-sweep verified in r05)
     "vec_topk_with_metadata",
     "vec_quantize_int8",
+    # -- late round-6 adds, never driver-checked: the TPC-H completion
+    #    suite (suites/tpch.py) + graph analytics (suites/graphq.py)
+    "rel_sql_q2_min_cost_supplier",
+    "rel_sql_q4_priority_check",
+    "rel_sql_q6_forecast_revenue",
+    "rel_sql_q7_volume_shipping",
+    "rel_sql_q8_market_share",
+    "rel_sql_q9_product_profit",
+    "rel_sql_q11_important_stock",
+    "rel_sql_q12_ship_classes",
+    "rel_sql_q13_customer_distribution",
+    "rel_sql_q15_top_supplier",
+    "rel_sql_q16_supplier_relationship",
+    "rel_sql_q20_part_promotion",
+    "graph_pagerank_trade",
+    "graph_degree_distribution",
     # -- the r04-checked block, oldest-checked first (CORRECTNESS_r04.json
-    #    record order); the 15 remaining r04 names + the 50 r05-green
-    #    queries keep import order in the tail and rotate in round 7
+    #    record order); the remaining 29 r04 names (from mm_frame_sample
+    #    on, incl. mm_frame_dedup_collapse, rel_correlated_subquery,
+    #    rel_window_rank_functions) + the 50 r05-green queries keep import
+    #    order in the tail and rotate in round 7 — all r04-green, unchanged
+    #    code, locally full-sweep verified this round
     "events_sessionize",
     "events_stream_user_profile",
     "events_stream_tumbling",
@@ -120,28 +142,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_outlier_robust",
     "mm_metadata_summary",
     "mm_frame_inventory",
-    "mm_frame_sample",
     "rel_q1_pricing_summary",
     "rel_join_revenue_by_nation",
     "rel_window_top_orders_per_segment",
     "rel_semi_anti_join",
     "rel_set_operations",
-    "rel_scalar_functions",
-    "rel_rollup_customers",
-    "rel_distinct_aggregates",
-    "rel_outer_join",
-    "rel_sql_q3_shipping_priority",
-    "rel_percentiles",
-    "rel_histogram",
-    "rel_cube_orders",
-    "rel_pivot_priority_by_year",
-    "rel_window_running_totals",
-    "rel_approx_distinct",
-    "rel_unpivot_part_metrics",
-    "mm_frame_dedup_collapse",
-    # (rel_correlated_subquery / rel_window_rank_functions displaced to the
-    # tail by Q22 and the collapse query — r04-green, unchanged code, first
-    # of the r04 leftovers in the round-7 rotation)
 )
 
 
