@@ -968,3 +968,135 @@ def connected_components(
         .unionAll(roots.select("node", F.col("node").alias("component")))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span coverage (exact-substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def crossdup_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of tokens covered by word ``n``-grams that
+    also occur in at least ``min_df`` DISTINCT documents — the
+    exact-substring-duplication signal (the Lee et al. "Deduplicating
+    Training Data" suffix-array criterion, re-expressed as a bounded
+    n-gram relation instead of an unbounded suffix array, which is the
+    Spark-friendly form).
+
+    Pipeline: positioned n-grams (posexplode of the same tokenizer as
+    every text operator) → md5 gram key so only FIXED-WIDTH rows shuffle
+    (the gram text never leaves the map side; md5 collisions would merge
+    grams identically in both engines — deterministic, ~2^-128) → global
+    distinct-doc frequency per gram → spans of qualifying grams →
+    classic interval-union per document (running max(end) window) →
+    covered-token count and fraction.
+
+    Exactness: everything is integer until the single final division
+    (covered/n_tokens, one IEEE op). The DuckDB oracle is GENERATED from
+    the same constants by :func:`crossdup_coverage_oracle_sql`.
+
+    At 100 TB: two gram-keyed exchanges (doc-frequency aggregate +
+    qualifying-span join — the same budget class as the shared-shingle
+    jaccard join) and one doc-keyed exchange that BOTH the interval
+    window and the final per-doc sum reuse. min_df prunes the span join's
+    build side; hot grams (boilerplate) fan out bounded spans per doc,
+    not candidate pairs, so there is no quadratic blowup anywhere.
+    """
+    if n < 1 or min_df < 2:
+        raise ValueError(f"need n >= 1 and min_df >= 2, got n={n}, min_df={min_df}")
+    base = df.select(
+        F.col(id_col), T.token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    hits = df.select(
+        F.col(id_col),
+        F.posexplode(T.word_ngrams(F.col(text_col), n)).alias("pos", "gram"),
+    ).select(F.col(id_col), (F.col("pos") + 1).alias("s"), F.md5("gram").alias("gk"))
+    dup = (
+        hits.groupBy("gk")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gk")
+    )
+    spans = hits.join(dup, "gk").select(
+        F.col(id_col), F.col("s"), (F.col("s") + n).alias("e")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        spans.withColumn("pm", F.max("e").over(w))
+        .select(
+            F.col(id_col),
+            F.greatest(
+                F.col("e") - F.greatest(F.col("s"), F.coalesce(F.col("pm"), F.lit(0))),
+                F.lit(0),
+            ).alias("contrib"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").cast("bigint").alias("covered_tokens"))
+    )
+    return base.join(covered, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_frac"),
+    )
+
+
+def crossdup_coverage_oracle_sql(
+    n: int = 5, min_df: int = 2, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`crossdup_coverage`, generated from the
+    same tokenizer regex, gram length, and md5 keying (parallel unnests
+    zip positionally in DuckDB, giving the same 1-based positions as
+    Spark's posexplode + 1)."""
+    toks = f"regexp_extract_all(lower(text), '{T.TOKEN_RE}')"
+    grams = T.word_ngrams_sql("text", n)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens, {grams} AS grams
+  FROM {table}
+),
+hits0 AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(grams))) AS s,
+         unnest(grams) AS gram
+  FROM toks
+),
+hits AS (SELECT doc_id, s, md5(gram) AS gk FROM hits0),
+dup AS (
+  SELECT gk FROM (SELECT gk, count(DISTINCT doc_id) AS df FROM hits GROUP BY gk)
+  WHERE df >= {min_df}
+),
+spans AS (SELECT h.doc_id, h.s, h.s + {n} AS e FROM hits h JOIN dup USING (gk)),
+cov AS (
+  SELECT doc_id,
+         CAST(sum(greatest(e - greatest(s, coalesce(pm, 0)), 0)) AS BIGINT) AS covered
+  FROM (SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM spans) t
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CAST(CASE WHEN t.n_tokens > 0
+                 THEN CAST(coalesce(c.covered, 0) AS DOUBLE) / t.n_tokens
+                 ELSE 0.0 END AS DOUBLE) AS dup_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""

@@ -124,12 +124,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_sql_q20_part_promotion",
     "graph_pagerank_trade",
     "graph_degree_distribution",
+    "text_crossdup_coverage",
     # -- the r04-checked block, oldest-checked first (CORRECTNESS_r04.json
-    #    record order); the remaining 29 r04 names (from mm_frame_sample
-    #    on, incl. mm_frame_dedup_collapse, rel_correlated_subquery,
-    #    rel_window_rank_functions) + the 50 r05-green queries keep import
-    #    order in the tail and rotate in round 7 — all r04-green, unchanged
-    #    code, locally full-sweep verified this round
+    #    record order); the remaining 30 r04 names (from rel_set_operations
+    #    on, incl. mm_frame_sample, mm_frame_dedup_collapse,
+    #    rel_correlated_subquery, rel_window_rank_functions) + the 50
+    #    r05-green queries keep import order in the tail and rotate in
+    #    round 7 — all r04-green, unchanged code, locally full-sweep
+    #    verified this round
     "events_sessionize",
     "events_stream_user_profile",
     "events_stream_tumbling",
@@ -146,7 +148,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_join_revenue_by_nation",
     "rel_window_top_orders_per_segment",
     "rel_semi_anti_join",
-    "rel_set_operations",
 )
 
 

@@ -867,3 +867,17 @@ def text_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     but every token's segmentation must agree across engines."""
     docs = load_table(spark, sf_dir, "documents")
     return _BPE.bpe_segmentation(docs, rounds=_BPE_ROUNDS)
+
+
+@query("text_crossdup_coverage", sql=dedup.crossdup_coverage_oracle_sql(n=5, min_df=2))
+def text_crossdup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-duplication signal (Lee et al. shape): per document,
+    the fraction of tokens covered by 5-grams that also occur in >= 2
+    distinct documents — positioned n-grams, md5 gram keys (only
+    fixed-width rows shuffle), global doc-frequency, interval-union
+    coverage. The per-doc scrub/keep decision a dedup pipeline makes on
+    "how much of this doc is boilerplate copied elsewhere". Oracle:
+    generated SQL running the identical tokenizer, gram keys, and window
+    union in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.crossdup_coverage(docs, n=5, min_df=2)
