@@ -474,3 +474,14 @@ def test_q11_and_q15_scalar_subqueries_run_once(spark, qs):
     assert "Subquery" in p15, p15
     assert not PI.has_cartesian(q15)
     PI.assert_max_exchanges(q15, 3)
+
+
+def test_crossdup_coverage_bounded_exchanges_no_cartesian(spark, qs):
+    """Cross-doc duplicated-span coverage: candidate spans come from the
+    gram-key equi-join (never all-pairs), the doc-keyed window and the
+    per-doc sum share one exchange, and only fixed-width md5-key rows
+    shuffle — bounded exchange count, no cartesian, text column pruned
+    from every post-scan exchange."""
+    df = qs["text_crossdup_coverage"](spark, SF_DIR)
+    assert not PI.has_cartesian(df)
+    PI.assert_max_exchanges(df, 4)
