@@ -1442,3 +1442,84 @@ def rel_sql_q22_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "nation", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 29. Data-quality audit: the validation pass over the whole lake —
+#     PK uniqueness, FK referential integrity, null rates, domain checks,
+#     one (check_name, bad) row each. At 100 TB each check keeps its own
+#     optimal plan (broadcast anti joins for dim FKs, keyed exchange for
+#     the fact-fact orderkey check, partial-agg counts for the rest).
+# ---------------------------------------------------------------------------
+
+_AUDIT_ORACLE = """
+SELECT 'pk_unique_orders' AS check_name, CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t) AS BIGINT) AS bad
+UNION ALL
+SELECT 'pk_unique_customer', CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1) t) AS BIGINT)
+UNION ALL
+SELECT 'pk_unique_lineitem', CAST((SELECT count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) t) AS BIGINT)
+UNION ALL
+SELECT 'fk_lineitem_orders', CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_lineitem_part', CAST((SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_lineitem_supplier', CAST((SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_orders_customer', CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_customer_nation', CAST((SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+UNION ALL
+SELECT 'fk_nation_region', CAST((SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+UNION ALL
+SELECT 'null_documents_text', CAST((SELECT count(*) FROM documents WHERE text IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'domain_lineitem_discount', CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'domain_lineitem_quantity', CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'domain_supplier_negative_acctbal', CAST((SELECT count(*) FROM supplier WHERE s_acctbal < 0) AS BIGINT)
+UNION ALL
+SELECT 'domain_customer_negative_acctbal', CAST((SELECT count(*) FROM customer WHERE c_acctbal < 0) AS BIGINT)
+"""
+
+
+@query("pipeline_data_quality_audit", sql=_AUDIT_ORACLE)
+def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-wide data-quality audit (operators/quality.py): PK uniqueness
+    (grouped HAVING counts), FK referential integrity (left-anti joins —
+    dims broadcast, the lineitem→orders fact check shuffles on orderkey),
+    null rates and domain-violation counts (scan-evaluable predicates).
+    Emits one exact (check_name, bad) row per check; the two
+    negative-balance domain checks are nonzero on this corpus, pinning
+    that the audit actually counts rather than short-circuiting. The
+    oracle runs the identical checks as plain SQL."""
+    from ..operators import quality as Q
+    from ..sources.tables import load_table as lt
+
+    li = lt(spark, sf_dir, "lineitem")
+    orders = lt(spark, sf_dir, "orders")
+    customer = lt(spark, sf_dir, "customer")
+    part = lt(spark, sf_dir, "part")
+    supplier = lt(spark, sf_dir, "supplier")
+    nation = lt(spark, sf_dir, "nation")
+    region = lt(spark, sf_dir, "region")
+    documents = lt(spark, sf_dir, "documents")
+    checks = [
+        Q.uniqueness_check(orders, "o_orderkey", "pk_unique_orders"),
+        Q.uniqueness_check(customer, "c_custkey", "pk_unique_customer"),
+        Q.uniqueness_check(li, ["l_orderkey", "l_linenumber"], "pk_unique_lineitem"),
+        Q.fk_orphan_check(li, "l_orderkey", orders, "o_orderkey", "fk_lineitem_orders"),
+        Q.fk_orphan_check(li, "l_partkey", part, "p_partkey", "fk_lineitem_part"),
+        Q.fk_orphan_check(li, "l_suppkey", supplier, "s_suppkey", "fk_lineitem_supplier"),
+        Q.fk_orphan_check(orders, "o_custkey", customer, "c_custkey", "fk_orders_customer"),
+        Q.fk_orphan_check(customer, "c_nationkey", nation, "n_nationkey", "fk_customer_nation"),
+        Q.fk_orphan_check(nation, "n_regionkey", region, "r_regionkey", "fk_nation_region"),
+        Q.null_check(documents, "text", "null_documents_text"),
+        Q.domain_check(
+            li, (F.col("l_discount") < 0) | (F.col("l_discount") > 1), "domain_lineitem_discount"
+        ),
+        Q.domain_check(li, F.col("l_quantity") <= 0, "domain_lineitem_quantity"),
+        Q.domain_check(supplier, F.col("s_acctbal") < 0, "domain_supplier_negative_acctbal"),
+        Q.domain_check(customer, F.col("c_acctbal") < 0, "domain_customer_negative_acctbal"),
+    ]
+    return Q.audit(checks).select(F.col("check_name"), F.col("bad"))

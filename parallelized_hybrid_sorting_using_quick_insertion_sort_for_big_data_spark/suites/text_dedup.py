@@ -881,3 +881,53 @@ def text_crossdup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     union in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.crossdup_coverage(docs, n=5, min_df=2)
+
+
+_VOCAB_BUCKET = 50
+_VOCAB_N = 3  # trigram vocabulary: the unigram vocab of this synthetic
+# corpus saturates within the first bucket (31 words by doc 8); trigrams
+# keep growing corpus-wide, which is what the curve exists to show
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.word_ngrams_sql("text", _VOCAB_N)}) AS tok
+  FROM documents
+),
+first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+by_bucket AS (
+  SELECT first_doc // {_VOCAB_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS new_tokens
+  FROM first_seen GROUP BY first_doc // {_VOCAB_BUCKET}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM by_bucket
+"""
+
+
+@query("text_vocab_growth", sql=_VOCAB_ORACLE)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law observable, the statistic that
+    sizes a tokenizer's vocab before training one): per 50-document corpus
+    prefix bucket, how many NEVER-SEEN-BEFORE trigrams appear, plus the
+    running cumulative vocabulary size. First-seen = min(doc_id) per gram
+    (one fact-sized gram exchange — the same budget as any token
+    aggregate), then a bucket rollup and a running-sum window over the
+    tiny bucket relation. All counts integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select(
+            "doc_id", F.explode(T.word_ngrams(F.col("text"), _VOCAB_N)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    by_bucket = first_seen.groupBy(
+        F.floor(F.col("first_doc") / _VOCAB_BUCKET).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return by_bucket.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )

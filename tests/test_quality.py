@@ -1,0 +1,72 @@
+"""Data-quality audit pins: every check type counts planted violations
+exactly, clean data audits to zero, and the registered query matches its
+oracle at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+    quality as Q,
+)
+
+CHILD = StructType([StructField("fk", LongType()), StructField("v", LongType())])
+PARENT = StructType([StructField("pk", LongType())])
+
+
+def _audit_map(checks):
+    out = Q.audit(checks).collect()
+    return {r["check_name"]: r["bad"] for r in out}
+
+
+def test_planted_violations_counted_exactly(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (99, 30), (None, 40), (98, 50)], CHILD
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], PARENT)
+    got = _audit_map(
+        [
+            # fk=99 and fk=98 have no parent; NULL fk is excluded by contract
+            Q.fk_orphan_check(child, "fk", parent, "pk", "orphans"),
+            # fk=1 occurs twice
+            Q.uniqueness_check(child, "fk", "dup_fk"),
+            Q.null_check(child, "fk", "null_fk"),
+            Q.domain_check(child, F.col("v") >= 40, "v_too_big"),
+        ]
+    )
+    assert got == {"orphans": 2, "dup_fk": 1, "null_fk": 1, "v_too_big": 2}
+
+
+def test_clean_data_audits_to_zero(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20)], CHILD)
+    parent = spark.createDataFrame([(1,), (2,)], PARENT)
+    got = _audit_map(
+        [
+            Q.fk_orphan_check(child, "fk", parent, "pk", "orphans"),
+            Q.uniqueness_check(child, "fk", "dup_fk"),
+            Q.null_check(child, "fk", "null_fk"),
+        ]
+    )
+    assert got == {"orphans": 0, "dup_fk": 0, "null_fk": 0}
+
+
+def test_composite_key_uniqueness(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, 1)],
+        StructType([StructField("a", LongType()), StructField("b", LongType())]),
+    )
+    got = _audit_map([Q.uniqueness_check(df, ["a", "b"], "dup_ab")])
+    assert got == {"dup_ab": 1}
+
+
+def test_registered_audit_matches_oracle(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    got = E.queries()["pipeline_data_quality_audit"](spark, SF_DIR)
+    assert_matches_oracle(got, E.oracle_sql()["pipeline_data_quality_audit"], SF_DIR)
+    # the audit must actually count: this corpus has negative balances
+    rows = {r["check_name"]: r["bad"] for r in got.collect()}
+    assert rows["domain_customer_negative_acctbal"] > 0
+    assert rows["fk_lineitem_orders"] == 0
