@@ -84,3 +84,51 @@ def test_oracle_parity_small_sf(spark):
 
     got = E.queries()["text_crossdup_coverage"](spark, SF_DIR)
     assert_matches_oracle(got, E.oracle_sql()["text_crossdup_coverage"], SF_DIR)
+
+
+def _brute_coverage(docs, n=3, min_df=2):
+    """Brute-force single-process reference: same tokenizer, same interval
+    union, computed naively."""
+    import re
+
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+    grams = {
+        d: [tuple(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+        for d, ts in toks.items()
+    }
+    df_count = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            df_count[g] = df_count.get(g, 0) + 1
+    dup = {g for g, c in df_count.items() if c >= min_df}
+    out = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i, g in enumerate(grams[d]):
+            if g in dup:
+                covered.update(range(i, i + n))
+        nt = len(ts)
+        out[d] = (nt, len(covered), (len(covered) / nt) if nt else 0.0)
+    return out
+
+
+def test_matches_brute_force_on_random_corpora(spark):
+    """Randomized equivalence: 5 corpora of 12 docs over a 4-word alphabet
+    (maximizing shared grams, overlaps, and within-doc repeats) must match
+    the naive reference exactly."""
+    import random
+
+    rng = random.Random(4242)
+    words = ["aa", "bb", "cc", "dd"]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 15))))
+            for i in range(12)
+        ]
+        got = _cov(spark, docs, n=3, min_df=2)
+        want = _brute_coverage(docs, n=3, min_df=2)
+        for d in want:
+            nt, cov, frac = want[d]
+            g_nt, g_cov, g_frac = got[d]
+            assert (g_nt, g_cov) == (nt, cov), f"trial={trial} doc={d}"
+            assert g_frac == pytest.approx(frac), f"trial={trial} doc={d}"
