@@ -1523,3 +1523,43 @@ def pipeline_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.domain_check(customer, F.col("c_acctbal") < 0, "domain_customer_negative_acctbal"),
     ]
     return Q.audit(checks).select(F.col("check_name"), F.col("bad"))
+
+
+# ---------------------------------------------------------------------------
+# 30. Window VALUE functions (lag/lead/first/last/nth) — the navigation
+#     family; the rank family is rel_window_rank_functions, frames are
+#     rel_window_range_frame / rel_window_running_totals. last/nth use an
+#     explicit full frame (the default frame stops at CURRENT ROW, which
+#     would make last_value a self-copy). (o_orderdate, o_orderkey) is a
+#     unique order so every navigated value is deterministic.
+# ---------------------------------------------------------------------------
+
+_WINVAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       nth_value(o_orderkey, 2)
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("rel_window_value_functions", sql=_WINVAL_SQL)
+def rel_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions through spark.sql, identical text on
+    both engines: per-customer order timeline with previous/next price
+    (lag/lead — frame-exempt), first/last/second order id (explicit
+    unbounded frame where the default CURRENT-ROW bound would lie).
+    Values are copied, never recomputed, so doubles stay bit-exact. At
+    scale: ONE shuffle on o_custkey serves all five functions (same
+    window spec → one Window node), and the o_custkey filter pushes to
+    the scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_WINVAL_SQL)

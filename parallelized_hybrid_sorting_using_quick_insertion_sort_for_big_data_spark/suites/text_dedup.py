@@ -931,3 +931,58 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("bigint").alias("cum_tokens"),
     )
+
+
+_FLUENCY_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, unnest({T.word_ngrams_sql("text", 2)}) AS gram FROM documents
+),
+counts AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c.cnt) AS BIGINT) AS freq_mass
+  FROM g JOIN counts c USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.freq_mass, 0) AS BIGINT) AS freq_mass,
+       CAST(CASE WHEN p.n_bigrams > 0
+                 THEN CAST(p.freq_mass AS DOUBLE) / p.n_bigrams
+                 ELSE 0.0 END AS DOUBLE) AS mean_bigram_freq
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("text_bigram_fluency", sql=_FLUENCY_ORACLE)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency proxy: per document, the mean corpus
+    frequency of its word bigrams (a doc whose bigrams are common across
+    the corpus reads "fluent"; rare-bigram docs are outliers/noise — the
+    unigram-free core of an n-gram LM score, kept integer-exact: corpus
+    counts and per-doc mass are BIGINTs, one final division). At scale:
+    one gram-keyed exchange builds the count table, the doc⋈counts
+    equi-join reuses the gram partitioning (counts are corpus-sized —
+    never broadcast), and the per-doc rollup is one doc-keyed exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.explode(T.word_ngrams(F.col("text"), 2)).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    per_doc = (
+        g.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("cnt").cast("bigint").alias("freq_mass"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("freq_mass", F.lit(0)).cast("bigint").alias("freq_mass"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("freq_mass").cast("double") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("mean_bigram_freq"),
+    )

@@ -485,3 +485,13 @@ def test_crossdup_coverage_bounded_exchanges_no_cartesian(spark, qs):
     df = qs["text_crossdup_coverage"](spark, SF_DIR)
     assert not PI.has_cartesian(df)
     PI.assert_max_exchanges(df, 4)
+
+
+def test_window_value_functions_single_exchange(spark, qs):
+    """All five navigation functions share the o_custkey window spec, so
+    the plan carries ONE shuffle on the partition key (plus Window sorts),
+    and the o_custkey filter pushes to the scan."""
+    df = qs["rel_window_value_functions"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    PI.assert_filter_pushed(df, "o_custkey")
+    assert not PI.has_cartesian(df)
