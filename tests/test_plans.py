@@ -495,3 +495,34 @@ def test_window_value_functions_single_exchange(spark, qs):
     PI.assert_max_exchanges(df, 1)
     PI.assert_filter_pushed(df, "o_custkey")
     assert not PI.has_cartesian(df)
+
+
+def test_q7_q8_q9_q12_single_fact_exchange_dims_broadcast(spark, qs):
+    """The four snowflake TPC-H completions all reduce to ONE shuffle (the
+    final aggregate of broadcast-joined fact rows) with their selective
+    predicates pushed to the scans — the at-scale shape: dims broadcast,
+    the fact is touched once."""
+    for name, pushed_col in [
+        ("rel_sql_q7_volume_shipping", "l_shipdate"),
+        ("rel_sql_q8_market_share", "p_type"),
+        ("rel_sql_q9_product_profit", "p_name"),
+        ("rel_sql_q12_ship_classes", "l_shipdate"),
+    ]:
+        df = qs[name](spark, SF_DIR)
+        assert not PI.has_cartesian(df), name
+        assert PI.has_broadcast_join(df), name
+        PI.assert_max_exchanges(df, 1)
+        PI.assert_filter_pushed(df, pushed_col)
+
+
+def test_audit_fk_checks_plan_anti_joins_no_cartesian(spark, qs):
+    """Every FK check in the data-quality audit must plan as a LEFT ANTI
+    join (6 checks), never a cartesian; each check keeps its own subplan
+    so one slow check can't serialize the others."""
+    df = qs["pipeline_data_quality_audit"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    import re
+
+    anti_heads = re.findall(r"\+- [A-Za-z]*Join LeftAnti", plan)
+    assert len(anti_heads) == 6, plan.count("LeftAnti")
+    assert not PI.has_cartesian(df)
