@@ -37,6 +37,12 @@ QUERIES = (
     "dedup_components",
     "dedup_ngram_jaccard",
     "text_winnow_fingerprints",
+    # round-6 late adds that read `documents` (the table the sf1 synth
+    # scales); the rotation keeps their grams distinct per copy so a
+    # linear operator sees ~10x work
+    "text_crossdup_coverage",
+    "text_bigram_fluency",
+    "text_vocab_growth",
 )
 
 
