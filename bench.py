@@ -340,7 +340,12 @@ def main() -> None:
             if t <= 0 or len(samples) < 3:
                 continue
             med = samples[len(samples) // 2]
-            if med > 0 and t / med >= 1.3:
+            # absolute-delta floor: sub-second grid microcells sit at this
+            # machine's timing noise floor, where a 1.3x ratio is a few
+            # hundred milliseconds of scheduler jitter — the r06 close run
+            # flagged 11 such cells with deltas under 0.25s. A regression
+            # must clear BOTH the ratio and half a second of real time.
+            if med > 0 and t / med >= 1.3 and t - med >= 0.5:
                 regressions[k] = {
                     "sec": round(t, 3),
                     "hist_median": round(med, 3),

@@ -354,3 +354,98 @@ def group_reservoir(
         cand.withColumn(rank_col, F.row_number().over(w2))
         .where(F.col(rank_col) <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column,
+    k: int,
+    salt: str = "wsample",
+    max_weight: int = 64,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res, integer-exact form): select k rows with probability
+    proportional to an integer weight, reproducible across runs and
+    engines.
+
+    E-S draws key_i = u_i^(1/w_i) and keeps the k largest. For INTEGER
+    weights that distribution is exactly the max of w_i iid uniforms
+    (P(max <= x) = x^w), so the selection key is computed without any
+    float math: explode ``sequence(1, w)``, draw one md5 coin per
+    replica (:func:`_coin` on ``key || '|' || j``), take the per-row MAX.
+    Everything is bigint — the DuckDB oracle replays it digit-for-digit,
+    which a u^(1/w) float key could never guarantee at selection
+    boundaries.
+
+    ``weight_col`` is clamped to [1, max_weight]; the replica explosion
+    is therefore bounded at max_weight rows per input row — at 100 TB
+    this is a map-side expand feeding a per-key MAX partial aggregate
+    (one keyed exchange), then the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps, k*P rows to the driver —
+    the engine's sort capability reused, never a full sort). Output:
+    input columns + the selection key + a 1-based rank.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    from .sorting import ranked_small
+
+    w = F.greatest(F.lit(1), F.least(weight_col.cast("long"), F.lit(max_weight)))
+    reps = df.select(F.col(key_col), w.alias("__w")).select(
+        F.col(key_col), F.explode(F.sequence(F.lit(1), F.col("__w"))).alias("__j")
+    )
+    coin = _coin(
+        F.concat(F.col(key_col).cast("string"), F.lit("|"), F.col("__j").cast("string")),
+        salt,
+    )
+    keyed = (
+        reps.select(F.col(key_col), coin.alias("__c"))
+        .groupBy(key_col)
+        .agg(F.max("__c").alias("sel_key"))
+    )
+    top = keyed.orderBy(F.col("sel_key").desc(), F.col(key_col)).limit(k)
+    ranked = ranked_small(
+        top, ["sel_key", key_col], ascending=[False, True], rank_col=rank_col
+    )
+    return df.join(F.broadcast(ranked), key_col).select(
+        *df.columns, "sel_key", rank_col
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "wsample",
+    max_weight: int = 64,
+    rank_col: str = "rnk",
+    payload_cols: str = "",
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample`, generated from the same
+    constants (clamp, replica coins, max, top-k, rank)."""
+    coin = coin_sql("CAST(k_ AS VARCHAR) || '|' || CAST(j AS VARCHAR)", salt)
+    pay = f", {payload_cols}" if payload_cols else ""
+    return f"""
+WITH w AS (
+  SELECT {key_expr} AS k_, greatest(1, least(CAST({weight_expr} AS BIGINT), {max_weight})) AS wt
+  FROM {table}
+),
+reps AS (SELECT k_, unnest(generate_series(1, wt)) AS j FROM w),
+keyed AS (
+  SELECT k_ AS {key_expr}, CAST(max({coin}) AS BIGINT) AS sel_key
+  FROM reps
+  GROUP BY k_
+),
+top AS (SELECT * FROM keyed ORDER BY sel_key DESC, {key_expr} LIMIT {k}),
+ranked AS (
+  SELECT {key_expr}, sel_key,
+         CAST(row_number() OVER (ORDER BY sel_key DESC, {key_expr}) AS BIGINT) AS {rank_col}
+  FROM top
+)
+SELECT t.{key_expr}{pay}, r.sel_key, r.{rank_col}
+FROM {table} t JOIN ranked r USING ({key_expr})
+"""

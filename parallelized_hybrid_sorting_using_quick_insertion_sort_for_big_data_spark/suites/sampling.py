@@ -182,3 +182,27 @@ def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+_WS_K = 50
+_WS_ORACLE = sampling.weighted_sample_sql(
+    table="documents",
+    key_expr="doc_id",
+    weight_expr="n_chars // 100",
+    k=_WS_K,
+    payload_cols="n_chars, lang",
+)
+
+
+@query("sample_weighted_topk", sql=_WS_ORACLE)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis, integer-
+    exact): 50 documents drawn with probability proportional to their
+    length class (n_chars div 100, clamped to >= 1) — the curation op
+    "sample favoring long documents, reproducibly". Selection keys are
+    max-of-w md5 coins (bigint end to end), the top-k plans as
+    TakeOrderedAndProject, and the oracle replays the identical draw."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    return sampling.weighted_sample(
+        docs, key_col="doc_id", weight_col=F.expr("n_chars div 100"), k=_WS_K
+    )
