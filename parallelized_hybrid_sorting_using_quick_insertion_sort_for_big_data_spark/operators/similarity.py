@@ -927,13 +927,21 @@ def semantic_dedup(
     one (operators/skew.py), not a new mechanism."""
     cents = kmeans_fit(corpus, k, iters, id_col, vec_col, round_digits)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
-    scored = assigned.join(F.broadcast(cents), "cell").select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("cell"),
-        F.round(
-            cosine(_as_double(F.col(vec_col)), F.col("centroid")), round_digits
-        ).alias("cos_c"),
+    # Pin the scored assignment with an eager localCheckpoint: it feeds
+    # BOTH sides of the cell self-join plus the final flag join, and each
+    # reference would otherwise re-run the codebook scoring (a k-way
+    # nested-loop per corpus row) — measured ~2x end-to-end at sf0.1.
+    scored = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell"),
+            F.round(
+                cosine(_as_double(F.col(vec_col)), F.col("centroid")), round_digits
+            ).alias("cos_c"),
+        )
+        .localCheckpoint(eager=True)
     )
     mate = scored.select(
         F.col("cell"),
