@@ -176,3 +176,21 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*out_keys, "change_type", *val_cols)
     )
+
+
+def scd2_asof(dim: DataFrame, ts_us: int) -> DataFrame:
+    """Point-in-time (AS OF) read of an SCD2 dimension: the rows whose
+    validity interval covers ``ts_us`` under the half-open [from, to)
+    convention ``scd2_merge`` writes — ``valid_from_us <= ts`` and
+    (open or ``valid_to_us > ts``). Exactly one row per key that existed
+    at ``ts``; a key inserted at ``ts`` is visible, a key whose version
+    closed at ``ts`` shows its successor.
+
+    At scale this is a pure scan-side filter — both bounds are
+    min/max-prunable parquet predicates, so time travel over a
+    partitioned SCD2 dimension reads only the row groups whose validity
+    range can cover ``ts``. No shuffle, no join."""
+    return dim.where(
+        (F.col("valid_from_us") <= F.lit(ts_us))
+        & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(ts_us)))
+    )

@@ -1563,3 +1563,37 @@ def rel_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_WINVAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 31. SCD2 point-in-time (AS OF) read — the consumer of pipeline_scd2_merge:
+#     reconstruct the dimension exactly as it stood at the merge instant,
+#     pinning the half-open [from, to) boundary semantics (a version closed
+#     AT ts is invisible; its successor and same-instant inserts are
+#     visible).
+# ---------------------------------------------------------------------------
+
+_SCD2_ASOF_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, valid_from_us
+FROM ({_SCD2_ORACLE}) m
+WHERE valid_from_us <= {_SCD_TS}
+  AND (valid_to_us IS NULL OR valid_to_us > {_SCD_TS})
+"""
+
+
+@query("pipeline_scd2_asof", sql=_SCD2_ASOF_ORACLE)
+def pipeline_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF read of the merged SCD2 customer dimension at exactly the
+    change-batch timestamp: versions closed at that instant are gone,
+    their successors and the same-instant inserts are present — one row
+    per live key. Runs the full merge then the pure filter
+    (operators/scd.py scd2_asof); at scale the filter is two prunable
+    scan predicates over the dimension's validity columns, no shuffle.
+    The oracle applies the identical filter over the identical merged
+    relation."""
+    from ..operators.scd import scd2_asof
+
+    merged = pipeline_scd2_merge(spark, sf_dir)
+    return scd2_asof(merged, _SCD_TS).select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from_us"
+    )
