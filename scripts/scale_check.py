@@ -43,6 +43,9 @@ QUERIES = (
     "text_crossdup_coverage",
     "text_bigram_fluency",
     "text_vocab_growth",
+    # the two checkpoint-optimized frame queries (read documents too)
+    "mm_frame_near_dup",
+    "mm_frame_dedup_collapse",
 )
 
 
