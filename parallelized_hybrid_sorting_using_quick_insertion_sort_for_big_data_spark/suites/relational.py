@@ -1597,3 +1597,76 @@ def pipeline_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_asof(merged, _SCD_TS).select(
         "c_custkey", "c_name", "c_acctbal", "valid_from_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. Equal-frequency binning (decile buckets) — the SCALE-SAFE form:
+#     a global ntile(10) would funnel the whole table through ONE reducer
+#     (single-partition window); instead the nine decile thresholds are
+#     one aggregate row, broadcast, and binning is a per-row CASE chain —
+#     one agg pass + one map pass, no global sort anywhere. Thresholds
+#     use the rel_percentiles device (interpolated percentile rounded to
+#     6dp — identical in both engines), and per-bin stats are decimal-
+#     staged.
+# ---------------------------------------------------------------------------
+
+_BIN_PS = tuple(i / 10 for i in range(1, 10))
+
+
+def _bin_case_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN v > t[{i + 1}] THEN 1 ELSE 0 END)" for i in range(len(_BIN_PS))
+    )
+
+
+_EQUIFREQ_ORACLE = f"""
+WITH th AS (
+  SELECT [{", ".join(f"round(quantile_cont(o_totalprice, {p}), 6)" for p in _BIN_PS)}] AS t
+  FROM orders
+),
+b AS (
+  SELECT o.o_totalprice AS v, 1 + {_bin_case_sql()} AS bin
+  FROM orders o, th
+)
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+       min(v) AS lo, max(v) AS hi,
+       CAST(sum(CAST(v AS DECIMAL(27,8))) AS DOUBLE) AS total
+FROM b GROUP BY bin
+"""
+
+
+@query("rel_equifreq_binning", sql=_EQUIFREQ_ORACLE)
+def rel_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equal-frequency) binning of order totals with per-bin
+    count/min/max/total. The thresholds are ONE aggregate row (exact
+    interpolated percentiles, rounded to 6dp so both engines agree to the
+    bit), broadcast-cross-joined back; each row's bin is a 9-comparison
+    CASE chain against the threshold array. At 100 TB: one percentile
+    aggregate pass + one map-side binning pass + a 10-group rollup — the
+    global-sort-free form of ntile(10), which would otherwise serialize
+    the table through a single window reducer."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    th = orders.agg(
+        F.array(
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {p})"), 6)
+                for p in _BIN_PS
+            ]
+        ).alias("t")
+    )
+    b = orders.crossJoin(F.broadcast(th)).select(
+        F.col("o_totalprice").alias("v"),
+        (
+            F.lit(1)
+            + sum(
+                F.when(F.col("o_totalprice") > F.col("t")[i], 1).otherwise(0)
+                for i in range(len(_BIN_PS))
+            )
+        ).alias("bin"),
+    )
+    return b.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        _dsum(F.col("v")).alias("total"),
+    )

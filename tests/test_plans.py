@@ -5,6 +5,8 @@ These run on plan TEXT only (no query execution), so they're fast."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -526,3 +528,20 @@ def test_audit_fk_checks_plan_anti_joins_no_cartesian(spark, qs):
     anti_heads = re.findall(r"\+- [A-Za-z]*Join LeftAnti", plan)
     assert len(anti_heads) == 6, plan.count("LeftAnti")
     assert not PI.has_cartesian(df)
+
+
+def test_equifreq_binning_no_global_window(spark, qs):
+    """Equal-frequency binning must NOT plan a single-partition global
+    window (the ntile trap): thresholds are one broadcast aggregate row,
+    binning is map-side, and the plan carries no Window node at all —
+    two aggregate exchanges total."""
+    df = qs["rel_equifreq_binning"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "Window" not in plan, "global window = single-reducer sort"
+    # the threshold attach is the ONE allowed nested-loop: a broadcast of a
+    # one-row aggregate (bounded by construction); a shuffled cartesian of
+    # two real relations would be the failure mode
+    assert "CartesianProduct" not in plan
+    bnlj = re.findall(r"\+- BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) == 1, plan
+    PI.assert_max_exchanges(df, 2)
