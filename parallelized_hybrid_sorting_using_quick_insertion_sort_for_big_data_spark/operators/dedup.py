@@ -1117,3 +1117,58 @@ SELECT t.doc_id, t.n_tokens,
                  ELSE 0.0 END AS DOUBLE) AS dup_frac
 FROM toks t LEFT JOIN cov c USING (doc_id)
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-duplicate pairs: shared /
+    min(|A|, |B|) >= threshold, id_a < id_b. The asymmetric complement of
+    :func:`jaccard_pairs` — a short document fully embedded in a long one
+    scores containment ~1 while its Jaccard is only |short|/|long| (the
+    quote/excerpt/truncation case every dedup pipeline also needs, per
+    the Broder resemblance-vs-containment distinction).
+
+    Same machinery and scale shape as jaccard_pairs (shared-shingle
+    equi-join, optional stop-shingle prune, one persist of the shingle
+    relation, ratio = one double division of exact ints); only the
+    denominator differs."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -132,11 +132,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    r05-green queries keep import order in the tail and rotate in
     #    round 7 — all r04-green, unchanged code, locally full-sweep
     #    verified this round.
-    # ROUND 7 FRONT (pre-planned): the 5 late-round-6 queries that missed
+    # ROUND 7 FRONT (pre-planned): the late-round-6 queries that missed
     #    this window (pipeline_data_quality_audit, text_vocab_growth,
     #    rel_window_value_functions, text_bigram_fluency,
-    #    sample_weighted_topk — all locally hash-verified,
-    #    LOCAL_VERIFY_r06.txt addenda 4-6), then the r04 leftovers
+    #    sample_weighted_topk, pipeline_scd2_asof, rel_equifreq_binning,
+    #    dedup_containment — all locally hash-verified,
+    #    LOCAL_VERIFY_r06.txt addenda 4+), then the r04 leftovers
     #    oldest-first, then the r05 block.
     "events_sessionize",
     "events_stream_user_profile",

@@ -986,3 +986,60 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_bigram_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: the asymmetric case Jaccard misses. The corpus has
+# no planted truncations, so the query manufactures them (corpus ∪ first-
+# half copies, id-shifted — mirrored identically in the oracle): the
+# truncated twin's shingles are a subset of its source's, so containment
+# ~1 while Jaccard ~0.5.
+# ---------------------------------------------------------------------------
+
+_CONT_SHIFT = 2_000_000
+_CONT_T = 0.9
+
+_CONTAINMENT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CONT_SHIFT} AS doc_id,
+         substr(text, 1, CAST(length(text) // 2 AS INT)) AS text
+  FROM documents WHERE length(text) >= 64
+),
+d AS (SELECT doc_id, trim(lower(text)) AS t FROM corpus),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{_NGRAM_N - 1}, 1))) AS i FROM d),
+sh0 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT shared.id_a, shared.id_b,
+       CAST(shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) AS containment
+FROM shared JOIN sizes sa ON shared.id_a = sa.doc_id
+            JOIN sizes sb ON shared.id_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) >= {_CONT_T}
+"""
+
+
+@query("dedup_containment", sql=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-duplicates at 0.9 over corpus ∪ planted half-
+    truncations: finds every truncation-of pair (and transitive cross
+    pairs) that symmetric Jaccard at 0.5 would score ~0.5 and drop —
+    the excerpt/quote dedup case. Same shared-shingle equi-join +
+    doc-freq cap as dedup_ngram_jaccard; only the min denominator
+    differs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    halves = docs.where(F.length("text") >= 64).select(
+        (F.col("doc_id") + _CONT_SHIFT).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) div 2 as int))").alias("text"),
+    )
+    corpus = docs.unionByName(halves)
+    return dedup.containment_pairs(
+        corpus, n=_NGRAM_N, threshold=_CONT_T, max_shingle_freq=_MAX_SHINGLE_DF
+    )

@@ -518,3 +518,61 @@ def test_bm25_plan_broadcasts_stats_and_takeordered(spark):
     plan = PI.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or PI.has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_catches_truncation_jaccard_misses(spark):
+    """A half-truncated copy scores containment ~1 (kept at tau=0.9) but
+    Jaccard ~0.5 — the asymmetric case the containment operator exists
+    for; and the registered query finds EVERY planted truncation pair."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    # non-repeating text: the half's shingle set must be a strict SUBSET
+    # of the full's (repeated text would make the distinct sets equal and
+    # jaccard 1.0)
+    base = " ".join(f"word{i:03d} token{i:03d}" for i in range(40))
+    half = base[: len(base) // 2]
+    other = " ".join(f"zz{i:03d} qq{i:03d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, half), (3, other)],
+        StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        ),
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) not in jac, "jaccard at 0.9 must miss the truncation"
+    # sanity: at 0.4 jaccard does see it, scoring ~|half|/|full|
+    jac_low = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, threshold=0.4).collect()
+    }
+    assert 0.4 <= jac_low[(1, 2)] <= 0.6
+
+
+def test_containment_query_finds_all_planted_truncations(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.text_dedup import (
+        _CONT_SHIFT,
+    )
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    out = E.queries()["dedup_containment"](spark, SF_DIR)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    eligible = {
+        r["doc_id"]
+        for r in docs.where(F.length("text") >= 64).select("doc_id").collect()
+    }
+    missing = {d for d in eligible if (d, d + _CONT_SHIFT) not in pairs}
+    assert not missing, f"planted truncation pairs missing: {sorted(missing)[:5]}"
