@@ -137,11 +137,22 @@ def bpe_fit(
             )
             .withColumn(
                 "repr",
-                F.when(F.col("__pair").isNull(), F.col("repr")).otherwise(
+                # cheap containment pre-filter: a row can only change if the
+                # single-delimiter form " A B " occurs in its repr (the
+                # doubled-delimiter pattern matches iff this does), so the
+                # vast majority of vocab rows skip the 3-replace rewrite
+                # chain each round — semantics identical, the oracle's
+                # unconditional replace is a no-op on exactly those rows
+                F.when(
+                    F.col("__pair").isNotNull()
+                    & F.contains(
+                        F.col("repr"),
+                        F.concat(F.lit(" "), F.col("__pair"), F.lit(" ")),
+                    ),
                     greedy_merge_expr(
                         F.col("repr"), F.col("__pair"), F.col("__merged")
-                    )
-                ),
+                    ),
+                ).otherwise(F.col("repr")),
             )
             .drop("__k", "__pair", "__merged")
             .localCheckpoint(eager=True)

@@ -918,24 +918,38 @@ def semantic_dedup(
     included) is reproduced exactly by the generated DuckDB oracle.
 
     Scale shape: the cluster IS the LSH bucket — candidate generation is a
-    cell equi-join, never an all-pairs cross join (plan-gated). Per-cell
+    cell group, never an all-pairs cross join (plan-gated). Per-cell
     pairwork is O(Σ|cell|²·dim); k is the knob that bounds it (SemDeDup
     runs k ≈ n/1000 at web scale so cells stay ~10³ — here k=8 matches the
-    oracle-checkable fit). The codebook broadcasts (k·dim doubles), the
-    corpus shuffles once on cell; with production k the cell key is
-    high-cardinality, so the join skew story is the generic salted-join
-    one (operators/skew.py), not a new mechanism."""
+    oracle-checkable fit). The codebook broadcasts (k·dim doubles) and the
+    corpus shuffles once on cell. The within-cell dominance sweep is ONE
+    numpy matrix product per cell (Arrow-batched ``applyInPandas``, tiled
+    to bound per-task memory) — the same GEMM re-rank trade
+    ``bucketed_near_dup_pairs`` makes: the earlier per-pair expression-fold
+    self-join re-evaluated an interpreted dim-length fold per candidate
+    pair and was the whole-bench hot spot (46 s → ~4 s at sf0.1). With
+    production k the cell key is high-cardinality, so the join skew story
+    is the generic salted-join one (operators/skew.py), not a new
+    mechanism; a pathologically hot cell is bounded by the row-tiled GEMM
+    (tile × |cell| doubles per task, not |cell|²).
+
+    Oracle-equality caveat (same as ``bucketed_near_dup_pairs``): the GEMM
+    sums float64 products in a different association order than DuckDB's
+    sequential ``list_cosine_similarity``; after round(...,9) the two agree
+    empirically, and ``cos_c`` (centroid similarity, the priority key)
+    stays on the sequential-fold path so the ordering itself can't flap."""
+    import pandas as pd
+
     cents = kmeans_fit(corpus, k, iters, id_col, vec_col, round_digits)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
-    # Pin the scored assignment with an eager localCheckpoint: it feeds
-    # BOTH sides of the cell self-join plus the final flag join, and each
-    # reference would otherwise re-run the codebook scoring (a k-way
-    # nested-loop per corpus row) — measured ~2x end-to-end at sf0.1.
+    # Pin the scored assignment with an eager localCheckpoint: the codebook
+    # scoring (a k-way nested-loop per corpus row) must run once, not once
+    # per consumer — measured ~2x end-to-end at sf0.1.
     scored = (
         assigned.join(F.broadcast(cents), "cell")
         .select(
             F.col(id_col),
-            F.col(vec_col),
+            _as_double(F.col(vec_col)).alias("__v"),
             F.col("cell"),
             F.round(
                 cosine(_as_double(F.col(vec_col)), F.col("centroid")), round_digits
@@ -943,38 +957,41 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=True)
     )
-    mate = scored.select(
-        F.col("cell"),
-        F.col(id_col).alias("__m_id"),
-        F.col(vec_col).alias("__m_vec"),
-        F.col("cos_c").alias("__m_cos"),
-    )
-    sim = F.round(
-        cosine(_as_double(F.col(vec_col)), _as_double(F.col("__m_vec"))),
-        round_digits,
-    )
-    dominated = (
-        scored.join(mate, "cell")
-        .where(
-            (F.col("__m_id") != F.col(id_col))
-            & (sim > F.lit(tau))
-            & (
-                (F.col("__m_cos") < F.col("cos_c"))
-                | ((F.col("__m_cos") == F.col("cos_c")) & (F.col("__m_id") < F.col(id_col)))
-            )
+    cell_type = dict(scored.dtypes)["cell"]
+    id_type = dict(scored.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, cell {cell_type}, cos_c double, kept boolean"
+    tile = 1024
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # priority order: lower cos_c first (most diverse kept first),
+        # ties to the lower id — identical to the SQL oracle's dominance
+        # predicate. After sorting, row i is dropped iff some j < i has
+        # rounded sim > tau.
+        pdf = pdf.sort_values(["cos_c", id_col], ignore_index=True)
+        v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        v = v / nrm
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            sims = np.round(v[lo:hi] @ v.T, round_digits)
+            # strictly-higher-priority mates only: columns j < row index
+            mask = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            dropped[lo:hi] = ((sims > tau) & mask).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "cos_c": pdf["cos_c"],
+                "kept": ~dropped,
+            }
         )
-        .select(F.col(id_col).alias("__d_id"))
-        .distinct()
-    )
-    return (
-        scored.join(dominated, scored[id_col] == dominated["__d_id"], "left")
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.col("cos_c"),
-            F.col("__d_id").isNull().alias("kept"),
-        )
-    )
+
+    return scored.groupBy("cell").applyInPandas(_sweep, out_schema)
 
 
 def semantic_dedup_oracle_sql(

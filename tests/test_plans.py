@@ -328,24 +328,19 @@ def test_q21_semi_anti_stack_on_one_key(spark, qs):
 
 
 def test_semantic_dedup_never_all_pairs(spark, qs):
-    """SemDeDup candidate generation must be a cell equi-join (the cluster
-    IS the bucket) — never a cartesian of the corpus against itself. The
-    only nested-loop joins allowed are the ivf_assign codebook scorings
-    (corpus x k-row broadcast codebook — bounded by construction, one per
-    branch that re-derives the assignment)."""
+    """SemDeDup pairwork must stay inside the cell (the cluster IS the
+    bucket) — never a cartesian of the corpus against itself. The r07
+    shape: the checkpointed scored assignment shuffles ONCE on cell into
+    the per-cell GEMM dominance sweep (FlatMapGroupsInPandas); the codebook
+    scorings (corpus × k-row broadcast, the only sanctioned nested loops)
+    run upstream of the localCheckpoint and so never appear in — or
+    re-execute under — this plan."""
     df = qs["vec_semantic_dedup"](spark, SF_DIR)
     plan = PI.formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # the corpus-vs-corpus mate join is keyed on cell (equi), not a loop
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-    # 3 codebook scorings (scored, mate, final flag join re-derivations),
-    # each building the broadcast 8-row codebook side — nothing else may
-    # nested-loop (node headers counted once; EXPLAIN FORMATTED repeats
-    # each node in the detail section)
-    import re
-
-    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
-    assert len(bnlj) <= 3, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    PI.assert_max_exchanges(df, 1)
 
 
 def test_frame_near_dup_banded_never_all_pairs(spark, qs):
