@@ -319,12 +319,19 @@ def mm_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ahash_planted_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """aHash signatures of the corpus ∪ perturbed ('re-encoded') copy."""
+    """aHash signatures of the corpus ∪ perturbed ('re-encoded') copy.
+
+    The per-byte hex-slice expansion is the dominant cost of the whole
+    aHash family; it runs ONCE here (eager localCheckpoint on the
+    payload-free frame relation) and both signature variants — base and
+    perturbed twin — aggregate from the pinned frames. Before the split
+    each variant re-sliced the payload from scratch (~2x the map work,
+    measured ~25s → ~15s on the collapse query at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = M.ahash_frame_signatures(docs)
-    twin = M.ahash_frame_signatures(
-        docs.select((F.col("doc_id") + _FD_SHIFT).alias("doc_id"), "text"),
-        perturb_mod=_AHASH_PERTURB,
+    frames = M.frame_byte_arrays(docs).localCheckpoint(eager=True)
+    base = M.ahash_sigs_from_frames(frames)
+    twin = M.ahash_sigs_from_frames(
+        frames, perturb_mod=_AHASH_PERTURB, id_shift=_FD_SHIFT
     )
     return base.unionAll(twin)
 
@@ -372,12 +379,42 @@ def mm_frame_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice are value-checked end to end."""
     from ..operators import dedup
 
-    pairs = M.ahash_near_dup_pairs(_ahash_planted_sigs(spark, sf_dir))
-    packed = pairs.select(
+    # Identical-signature pre-contraction: frames sharing an exact
+    # (sig_hi, sig_lo) are pairwise ham=0 cliques — at sf0.1 they inflate
+    # the raw pair graph to ~350k edges (~7 partners/frame) and dominate
+    # both the band join and the CC rounds. Component-equivalence:
+    # each group contracts to a star on its min packed key (all genuine
+    # ham-0 pairs), and the band join runs over one representative per
+    # DISTINCT signature (any member-member ham equals the rep-rep ham,
+    # so rep-rep edges preserve exactly the cross-group connectivity).
+    # Nodes with no ham<=2 partner still never enter the graph: a
+    # singleton group emits no star edge and its rep only appears via a
+    # cross pair. Same components, same min-node canonicals, ~10x fewer
+    # edges — and the degenerate-signature hot bucket the band join's
+    # docstring warns about collapses to ONE row per band. This is the
+    # 100 TB shape: exact-dup contraction before the near-dup join.
+    sigs = _ahash_planted_sigs(spark, sf_dir).select(
+        (F.col("doc_id") * F.lit(M._PACK) + F.col("frame_no")).alias("k"),
+        "sig_hi",
+        "sig_lo",
+    ).localCheckpoint(eager=True)
+    groups = sigs.groupBy("sig_hi", "sig_lo").agg(F.min("k").alias("rep"))
+    star = (
+        sigs.join(groups, ["sig_hi", "sig_lo"])
+        .where(F.col("k") != F.col("rep"))
+        .select(F.col("k").alias("id_a"), F.col("rep").alias("id_b"))
+    )
+    reps = groups.select(
+        F.expr(f"rep div {M._PACK}").cast("bigint").alias("doc_id"),
+        F.pmod(F.col("rep"), F.lit(M._PACK)).cast("bigint").alias("frame_no"),
+        "sig_hi",
+        "sig_lo",
+    )
+    cross = M.ahash_near_dup_pairs(reps).select(
         (F.col("doc_a") * F.lit(M._PACK) + F.col("frame_a")).alias("id_a"),
         (F.col("doc_b") * F.lit(M._PACK) + F.col("frame_b")).alias("id_b"),
     )
-    cc = dedup.connected_components(packed)
+    cc = dedup.connected_components(star.unionAll(cross))
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.join(sizes, "component").select(
         F.expr(f"node div {M._PACK}").cast("bigint").alias("doc_id"),
