@@ -344,8 +344,12 @@ def main() -> None:
             # machine's timing noise floor, where a 1.3x ratio is a few
             # hundred milliseconds of scheduler jitter — the r06 close run
             # flagged 11 such cells with deltas under 0.25s. A regression
-            # must clear BOTH the ratio and half a second of real time.
-            if med > 0 and t / med >= 1.3 and t - med >= 0.5:
+            # must clear BOTH the ratio and a median-scaled slice of real
+            # time (ADVICE r06: a flat 0.5s floor silenced any regression
+            # on cells with median under ~1.7s — e.g. 1.0s -> 1.45s; the
+            # max(0.25, 0.15*med) form keeps the jitter guard on
+            # microcells without blinding the 1-2s band).
+            if med > 0 and t / med >= 1.3 and t - med >= max(0.25, 0.15 * med):
                 regressions[k] = {
                     "sec": round(t, 3),
                     "hist_median": round(med, 3),

@@ -135,17 +135,17 @@ keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHING
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 jpairs AS (
   SELECT id_a, id_b,
-         CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+         CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
   FROM shared
   JOIN sizes sa ON shared.id_a = sa.doc_id
   JOIN sizes sb ON shared.id_b = sb.doc_id
-  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= {_JACCARD_T}
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {_JACCARD_T}
 )"""
 
 _JACCARD_ORACLE = f"""
@@ -1014,15 +1014,15 @@ keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHING
 sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT shared.id_a, shared.id_b,
-       CAST(shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) AS containment
+       CAST(n_shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) AS containment
 FROM shared JOIN sizes sa ON shared.id_a = sa.doc_id
             JOIN sizes sb ON shared.id_b = sb.doc_id
-WHERE CAST(shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) >= {_CONT_T}
+WHERE CAST(n_shared AS DOUBLE)/least(sa.n_sh, sb.n_sh) >= {_CONT_T}
 """
 
 

@@ -28,6 +28,29 @@ REL_QUERIES = [
     "rel_sql_q18_large_volume",
     "rel_sql_q14_promo_revenue",
     "rel_sql_q19_brand_ranges",
+    # round-6 adds (ADVICE r06: these had plan gates but no automated
+    # parity pytest — regressions would only surface on driver rotation)
+    "rel_sql_q2_min_cost_supplier",
+    "rel_sql_q4_priority_check",
+    "rel_sql_q6_forecast_revenue",
+    "rel_sql_q7_volume_shipping",
+    "rel_sql_q8_market_share",
+    "rel_sql_q9_product_profit",
+    "rel_sql_q11_important_stock",
+    "rel_sql_q12_ship_classes",
+    "rel_sql_q13_customer_distribution",
+    "rel_sql_q15_top_supplier",
+    "rel_sql_q16_supplier_relationship",
+    "rel_sql_q17_small_quantity",
+    "rel_sql_q20_part_promotion",
+    "rel_sql_q21_waiting_supplier",
+    "rel_sql_q22_dormant_balance",
+    "rel_equifreq_binning",
+    "rel_window_value_functions",
+    "text_bigram_fluency",
+    "pipeline_scd2_asof",
+    "dedup_containment",
+    "graph_degree_distribution",
 ]
 
 
