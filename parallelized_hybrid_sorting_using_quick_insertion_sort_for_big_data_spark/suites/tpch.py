@@ -13,12 +13,21 @@ double-aliased dimension joins (Q7), ratio-of-conditional-aggregates over an
 (Q15), null-aware NOT IN anti join (Q16), and IN over a grouped-HAVING
 subquery (Q20).
 
-Corpus adaptations (this synthetic schema has no partsupp table, no
-l_shipmode / l_commitdate / l_receiptdate — TESTDATA.md): supply-cost
-relations are re-expressed over lineitem's (partkey, suppkey) pairs,
-"late" is shipdate > orderdate + K days (same device as Q21), and Q12's
-ship-mode axis becomes l_returnflag. Every adaptation keeps the original
-query's *plan shape* — that is what these exist to pin.
+Corpus adaptations (this synthetic schema has no l_shipmode /
+l_commitdate / l_receiptdate — TESTDATA.md): "late" is shipdate >
+orderdate + K days (same device as Q21), and Q12's ship-mode axis becomes
+l_returnflag. Every adaptation keeps the original query's *plan shape* —
+that is what these exist to pin.
+
+The partsupp table (absent from the testdata) is DERIVED deterministically
+from part x supplier by ``_PARTSUPP_CTE`` — TPC-H's own 4-suppliers-per-
+part layout with arithmetic (seedless, engine-portable) availqty/
+supplycost in dbgen's value ranges — so Q2/Q11/Q16/Q20 run as the TRUE
+TPC-H queries over a real partsupp relation, not lineitem re-expressions
+(VERDICT r06 #5). The CTE text is shared verbatim by the Spark query and
+the DuckDB oracle, so the relation can never drift between engines; at
+scale it is a broadcast-dim construction (part x 4 rows, one narrow
+projection — no shuffle).
 
 Float discipline matches suites/relational.py: every double aggregate runs
 on DECIMAL(27,8) (order-independent) and is cast back to DOUBLE; per-row
@@ -41,41 +50,69 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+# 4 partsupp rows per part, dbgen-style: supplier keys are 4 consecutive
+# slots mod |supplier| (keys are 0-based in this corpus); availqty in
+# 1..9999 and supplycost in 1.00..1000.00 come from small coprime
+# multipliers instead of dbgen's RNG. supplycost's one double division is
+# IEEE-identical across engines; aggregates over it stage through decimals
+# per the suite discipline. Shared verbatim by spark.sql and the DuckDB
+# oracle strings (see module docstring).
+_PARTSUPP_CTE = """partsupp AS (
+  SELECT p.p_partkey AS ps_partkey,
+         CAST((p.p_partkey * 4 + i.i) % (SELECT count(*) FROM supplier) AS BIGINT) AS ps_suppkey,
+         CAST((p.p_partkey * 7 + i.i * 13) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((p.p_partkey * 31 + i.i * 17) % 99900 + 100 AS DOUBLE) / 100.0 AS ps_supplycost
+  FROM part p
+  CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) i
+)"""
+
+
 # ---------------------------------------------------------------------------
-# Q2 shape: minimum-cost supplier — correlated MIN subquery against the
-# (part, supplier) price relation, decorrelated by Catalyst into a
-# per-partkey MIN aggregate joined back on the correlation key.
-# (No partsupp table: the supplier price list is derived from lineitem as
-# min observed l_extendedprice per (partkey, suppkey).)
+# Q2: minimum-cost supplier — the TRUE TPC-H query over the derived
+# partsupp relation: region-restricted correlated MIN subquery,
+# decorrelated by Catalyst into a per-partkey MIN aggregate joined back on
+# the correlation key, with the deterministic ORDER BY ... LIMIT 100 top.
 # ---------------------------------------------------------------------------
 
-_Q2_SQL = """
-SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name, t.min_price
+_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_supplycost
 FROM part p
-JOIN (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
-      FROM lineitem GROUP BY l_partkey, l_suppkey) t ON t.l_partkey = p.p_partkey
-JOIN supplier s ON s.s_suppkey = t.l_suppkey
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
-WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
-  AND t.min_price = (SELECT min(l2.l_extendedprice) FROM lineitem l2
-                     WHERE l2.l_partkey = p.p_partkey)
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size <= 15 AND p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
 """
 
 
 @query("rel_sql_q2_min_cost_supplier", sql=_Q2_SQL)
 def rel_sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape (minimum-cost supplier) through spark.sql, identical
-    text on both engines: for small PROMO parts, every supplier whose best
-    offer equals the part's global best offer. Catalyst decorrelates the
-    scalar MIN into a per-partkey aggregate LEFT-joined back on p_partkey —
-    the same per-key-extremum-then-join shape as Q17 but with MIN (exact on
-    doubles, no summation-order concern at all). At scale: both the
-    (partkey, suppkey) price list and the per-partkey floor are one shuffle
-    each on partkey and AQE can reuse the exchange; part's size/type filter
-    pushes to its scan and prunes the probe side; supplier/nation broadcast.
-    MIN is insensitive to partial-aggregation order, so no decimal staging
-    is needed anywhere."""
-    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation")
+    """TPC-H Q2 (minimum-cost supplier) through spark.sql, identical text
+    on both engines, over the derived partsupp relation — the true query:
+    for small PROMO parts, the EUROPE supplier(s) whose cost equals the
+    part's EUROPE-wide minimum, top-100 by account balance. Catalyst
+    decorrelates the region-filtered scalar MIN into a per-partkey
+    aggregate joined back on the correlation key — the same
+    per-key-extremum-then-join shape as Q17 but with MIN (exact on
+    doubles, no summation-order concern). The ORDER BY is a total order
+    of the output (p_partkey breaks every tie), so LIMIT 100 is
+    deterministic cross-engine. At scale: partsupp is a generated
+    broadcast-dim construction (part x 4 — no shuffle to build); both the
+    cost list and the per-partkey floor shuffle once on partkey with AQE
+    exchange reuse; the size/type filter pushes to the part scan;
+    supplier/nation/region broadcast; the top-100 is a
+    TakeOrderedAndProject, never a global sort."""
+    _views(spark, sf_dir, "part", "supplier", "nation", "region")
     return spark.sql(_Q2_SQL)
 
 
@@ -282,18 +319,19 @@ def rel_sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the "fraction of the national total" threshold).
 # ---------------------------------------------------------------------------
 
-_Q11_SQL = """
-SELECT l.l_partkey AS p_partkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) AS part_value
-FROM lineitem l
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
+_Q11_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT ps.ps_partkey,
+       CAST(sum(CAST(ps.ps_supplycost AS DECIMAL(27,8)) * ps.ps_availqty) AS DOUBLE) AS part_value
+FROM partsupp ps
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE n.n_name = 'NATION_3'
-GROUP BY l.l_partkey
-HAVING CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) >
-       0.002 * CAST((SELECT sum(CAST(l2.l_extendedprice AS DECIMAL(27,8)))
-                     FROM lineitem l2
-                     JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+GROUP BY ps.ps_partkey
+HAVING CAST(sum(CAST(ps.ps_supplycost AS DECIMAL(27,8)) * ps.ps_availqty) AS DOUBLE) >
+       0.001 * CAST((SELECT sum(CAST(ps2.ps_supplycost AS DECIMAL(27,8)) * ps2.ps_availqty)
+                     FROM partsupp ps2
+                     JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
                      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
                      WHERE n2.n_name = 'NATION_3') AS DOUBLE)
 """
@@ -301,20 +339,22 @@ HAVING CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) >
 
 @query("rel_sql_q11_important_stock", sql=_Q11_SQL)
 def rel_sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (important stock) through spark.sql, identical text
-    on both engines: parts whose value shipped by one nation's suppliers
-    exceeds a fixed fraction of that nation's total. The HAVING threshold
-    is an UNCORRELATED scalar subquery over the same filtered join — Spark
-    executes it once as a separate one-row subquery job and injects the
-    result as a literal into the HAVING filter (no per-group probe; the
-    complement of Q17's correlated form, same complementarity Q22 pins on
-    the anti-join side). Both the per-part sums and the grand total are
-    exact decimals; each side is then ONE double cast and the 0.002
-    multiply is one IEEE op, so the comparison is engine-independent. At
-    scale: two passes over the nation-filtered slice (supplier/nation
-    broadcast, so the slice never shuffles to be filtered), each
-    aggregating map-side first."""
-    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    """TPC-H Q11 (important stock) through spark.sql, identical text on
+    both engines, over the derived partsupp relation — the true query:
+    parts whose stock value (supplycost x availqty) held by one nation's
+    suppliers exceeds a fixed fraction of that nation's total. The HAVING
+    threshold is an UNCORRELATED scalar subquery over the same filtered
+    join — Spark executes it once as a separate one-row subquery job and
+    injects the result as a literal into the HAVING filter (no per-group
+    probe; the complement of Q17's correlated form, same complementarity
+    Q22 pins on the anti-join side). Value staging: supplycost casts to
+    decimal BEFORE the availqty multiply, so both the per-part sums and
+    the grand total are exact decimal sums of exact decimal products; each
+    side is then ONE double cast and the 0.001 multiply is one IEEE op —
+    engine-independent comparison. At scale: two passes over the
+    nation-filtered slice (supplier/nation broadcast, so the slice never
+    shuffles to be filtered), each aggregating map-side first."""
+    _views(spark, sf_dir, "part", "supplier", "nation")
     return spark.sql(_Q11_SQL)
 
 
@@ -428,33 +468,34 @@ def rel_sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subquery (the one anti-join variant the battery didn't yet pin).
 # ---------------------------------------------------------------------------
 
-_Q16_SQL = """
-SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
-FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+_Q16_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
 WHERE p.p_brand <> 'Brand#5'
   AND p.p_type NOT LIKE 'PROMO%'
   AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49)
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
 
 
 @query("rel_sql_q16_supplier_relationship", sql=_Q16_SQL)
 def rel_sql_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape (parts/supplier relationship) through spark.sql,
-    identical text on both engines: distinct supplier counts per
-    (brand, type, size) for a sieve of sizes, excluding blacklisted
-    suppliers (negative balance standing in for the original's complaint
-    comment scan). Pins NOT IN's NULL-aware anti join — semantically
-    distinct from NOT EXISTS (Q21/Q22): if the subquery produced a NULL
-    key the whole predicate would void — Spark plans it as a
-    null-aware broadcast anti join of the tiny excluded set. The
-    brand/type/size sieve pushes to the part scan (IN-list + NOT LIKE are
-    scan-evaluable), and count(DISTINCT suppkey) aggregates on
-    (triple, suppkey) first — both engines dedup before counting, exact,
-    no HLL. At scale: one fact shuffle on partkey, one distinct-agg
-    exchange on the group keys."""
-    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    """TPC-H Q16 (parts/supplier relationship) through spark.sql, identical
+    text on both engines, over the derived partsupp relation — the true
+    query: distinct supplier counts per (brand, type, size) for a sieve of
+    sizes, excluding blacklisted suppliers (negative balance standing in
+    for the original's complaint comment scan). Pins NOT IN's NULL-aware
+    anti join — semantically distinct from NOT EXISTS (Q21/Q22): if the
+    subquery produced a NULL key the whole predicate would void — Spark
+    plans it as a null-aware broadcast anti join of the tiny excluded set.
+    The brand/type/size sieve pushes to the part scan (IN-list + NOT LIKE
+    are scan-evaluable) and prunes partsupp through the join, and
+    count(DISTINCT suppkey) aggregates on (triple, suppkey) first — both
+    engines dedup before counting, exact, no HLL. At scale: one partsupp
+    shuffle on partkey, one distinct-agg exchange on the group keys."""
+    _views(spark, sf_dir, "part", "supplier")
     return spark.sql(_Q16_SQL)
 
 
@@ -463,34 +504,40 @@ def rel_sql_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataF
 # (semi join against an aggregate), nested inside a broadcast-dim filter.
 # ---------------------------------------------------------------------------
 
-_Q20_SQL = """
+_Q20_SQL = f"""
+WITH {_PARTSUPP_CTE}
 SELECT s.s_name, s.s_suppkey
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = 'NATION_7'
   AND s.s_suppkey IN (
-    SELECT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_name LIKE '%bolt%'
-      AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
-    GROUP BY l.l_suppkey
-    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,4))) > CAST(50 AS DECIMAL(18,4))
+    SELECT ps.ps_suppkey FROM partsupp ps
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      AND ps.ps_availqty > (
+        SELECT 0.5 * CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        FROM lineitem l
+        WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01')
   )
 """
 
 
 @query("rel_sql_q20_part_promotion", sql=_Q20_SQL)
 def rel_sql_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape (potential part promotion) through spark.sql,
-    identical text on both engines: one nation's suppliers who moved more
-    than a threshold quantity of LIKE-matched parts in one year (the
-    original's partsupp availability check becomes a shipped-quantity
-    HAVING — same IN-over-aggregate nesting). The IN subquery is itself a
-    groupBy + HAVING relation, so Spark plans a LEFT SEMI join of the
-    100-row supplier dim against a per-suppkey aggregate; the quantity
-    threshold compares exact decimals (quantities have ≤2 decimals —
-    DECIMAL(18,4) sums them exactly; a double sum's reduction order could
-    flip a boundary supplier). At scale: the aggregate side shuffles once
-    on suppkey after its scan-pushed name/date filters, and the outer
-    supplier⋈nation legs broadcast — the semi join itself ships only the
-    qualifying suppkey set."""
+    """TPC-H Q20 (potential part promotion) through spark.sql, identical
+    text on both engines, over the derived partsupp relation — the true
+    query and its full THREE-deep nesting: suppliers in one nation holding
+    excess stock (availqty > half the year's shipped quantity) of
+    LIKE-matched parts. The outer IN is a semi join; inside it, the
+    availability check is a scalar aggregate CORRELATED on BOTH partsupp
+    keys, which Catalyst decorrelates into a per-(partkey, suppkey)
+    aggregate of the date-filtered lineitem joined back on the pair — a
+    (part,supp) pair with no shipments yields NULL and the comparison
+    voids, on both engines. The shipped sum is an exact DECIMAL(18,4)
+    aggregate; 0.5x is one IEEE double op, so the excess-stock boundary is
+    engine-independent. At scale: lineitem shuffles once on
+    (partkey, suppkey) after scan-pushed date filters; the part LIKE
+    filter semi-joins partsupp on partkey; supplier and nation broadcast —
+    the outer semi join ships only the qualifying suppkey set."""
     _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(_Q20_SQL)

@@ -369,16 +369,33 @@ def test_q22_anti_join_with_scalar_thresholds(spark, qs):
     assert "Subquery" in plan, plan
 
 
+def _assert_only_partsupp_loops(plan: str, max_loops: int) -> None:
+    """The derived-partsupp CTE (suites/tpch.py) expands part against a
+    4-literal-row inline relation; Spark correctly plans that as a
+    BroadcastNestedLoopJoin with the 4-row side as the broadcast build —
+    the benign, intended shape (the alternative, scanning part 4x via
+    UNION ALL, reads a 20B-row dim four times at TPC-H 100 TB scale).
+    Cartesians stay banned outright; BNLJs are capped at the number of
+    partsupp expansions the query's text contains."""
+    import re
+
+    assert "CartesianProduct" not in plan, plan
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= max_loops, plan
+
+
 def test_q2_decorrelated_min_two_partkey_aggregates(spark, qs):
-    """TPC-H Q2 shape: the correlated MIN subquery decorrelates into a
-    per-partkey aggregate joined back on p_partkey — together with the
-    explicit (partkey, suppkey) price-list aggregate that is exactly two
-    l_partkey shuffles, never a per-row re-scan, never a cartesian; the
-    part sieve pushes to its scan."""
+    """TPC-H Q2 (true partsupp form): the region-filtered correlated MIN
+    decorrelates into a per-ps_partkey aggregate joined back on the
+    correlation key — never a per-row re-scan; the part sieve pushes to
+    its scan; the top-100 is a TakeOrderedAndProject, not a global sort.
+    The only nested loops are the two partsupp expansions (outer query +
+    MIN subquery)."""
     df = qs["rel_sql_q2_min_cost_supplier"](spark, SF_DIR)
     plan = PI.formatted_plan(df)
-    assert plan.count("hashpartitioning(l_partkey") == 2, plan
-    assert not PI.has_cartesian(df)
+    assert plan.count("hashpartitioning(ps_partkey") >= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    _assert_only_partsupp_loops(plan, 2)
     PI.assert_filter_pushed(df, "p_size")
     PI.assert_max_exchanges(df, 2)
 
@@ -437,9 +454,11 @@ def test_q16_not_in_plans_anti_join(spark, qs):
     df = qs["rel_sql_q16_supplier_relationship"](spark, SF_DIR)
     plan = PI.formatted_plan(df)
     assert "LeftAnti" in plan, plan
-    assert not PI.has_cartesian(df)
+    _assert_only_partsupp_loops(plan, 1)
     PI.assert_filter_pushed(df, "p_brand")
-    PI.assert_max_exchanges(df, 2)
+    # (triple, suppkey) dedup pass + triple count pass + the partsupp
+    # CTE's one-row |supplier| sizing subquery
+    PI.assert_max_exchanges(df, 3)
 
 
 def test_q20_in_over_aggregate_plans_semi_join(spark, qs):
@@ -450,7 +469,12 @@ def test_q20_in_over_aggregate_plans_semi_join(spark, qs):
     df = qs["rel_sql_q20_part_promotion"](spark, SF_DIR)
     plan = PI.formatted_plan(df)
     assert "LeftSemi" in plan, plan
-    assert not PI.has_cartesian(df)
+    # the (partkey, suppkey)-correlated availability aggregate decorrelates
+    # into one pair-keyed exchange of the date-filtered lineitem
+    import re
+
+    assert re.search(r"hashpartitioning\(l_partkey#\d+\w*, l_suppkey", plan), plan
+    _assert_only_partsupp_loops(plan, 1)
     PI.assert_filter_pushed(df, "l_shipdate")
     PI.assert_max_exchanges(df, 2)
 
@@ -464,8 +488,9 @@ def test_q11_and_q15_scalar_subqueries_run_once(spark, qs):
     q11 = qs["rel_sql_q11_important_stock"](spark, SF_DIR)
     p11 = PI.formatted_plan(q11)
     assert "Subquery" in p11, p11
-    assert not PI.has_cartesian(q11)
-    PI.assert_max_exchanges(q11, 2)
+    _assert_only_partsupp_loops(p11, 2)
+    # per-part pass + threshold pass, each (partsupp agg + subquery total)
+    PI.assert_max_exchanges(q11, 4)
     q15 = qs["rel_sql_q15_top_supplier"](spark, SF_DIR)
     p15 = PI.formatted_plan(q15)
     assert "Subquery" in p15, p15
