@@ -6,7 +6,7 @@ top-k, seeded generator inputs, ranked ordered output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import hybrid, sorting
@@ -151,24 +151,62 @@ def sort_multikey_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. Per-partition sort (shuffle-free; rows-only check — partition layout is
-#    engine-specific so there is no meaningful cross-engine oracle)
+# 5. Per-partition sort (shuffle-free). Promoted from rows-only to a full
+#    value oracle (VERDICT r06 #7): partition IDs stay engine-side, but the
+#    ORDER the local sort produced is made SQL-visible by enumerating each
+#    partition's physical rows and re-basing the index per orderkey.
 # ---------------------------------------------------------------------------
 
+_SORT_WITHIN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       CAST(row_number() OVER (
+         PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) - 1
+       AS BIGINT) AS lrk
+FROM lineitem
+"""
 
-@query("sort_within_partitions", sql=None)
+
+@query("sort_within_partitions", sql=_SORT_WITHIN_ORACLE)
 def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's per-rank local-sort stage in isolation
-    (QuickInsertionHeap.c:208): hash-distribute lineitem then sort each
-    partition by ship date with zero global shuffle of sorted output.
-    Rows-only check (partition-internal order is not SQL-visible)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    arranged = sorting.partition_sort(
-        li.repartition(8, "l_orderkey"), ["l_shipdate", "l_orderkey", "l_linenumber"]
+    (QuickInsertionHeap.c:208): hash-distribute lineitem on l_orderkey,
+    then sort each partition by (orderkey, shipdate, linenumber) with zero
+    global shuffle of the sorted output.
+
+    Oracle construction: a mapInPandas pass enumerates each partition's
+    rows IN THEIR PHYSICAL ORDER (narrow, order-preserving), and the
+    per-orderkey local rank is that enumeration re-based by the group's
+    minimum (one window). Because hash distribution puts every row of an
+    orderkey in one partition and the local sort makes the group
+    contiguous and inner-ordered, the emitted ``lrk`` equals
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate,
+    l_linenumber) - 1 IFF the partition-local sort actually sorted — a
+    full value-hash oracle on the operator's output order, with partition
+    ids never leaving the engine. (l_orderkey, l_linenumber) is the
+    lineitem PK, so the rank is deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
     )
-    return arranged.select(
-        F.spark_partition_id().alias("pid"),
+    arranged = sorting.partition_sort(
+        li.repartition(8, "l_orderkey"),
+        ["l_orderkey", "l_shipdate", "l_linenumber"],
+    )
+
+    def enumerate_rows(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.assign(__idx=range(i, i + len(pdf)))
+            i += len(pdf)
+            yield pdf
+
+    enumerated = arranged.mapInPandas(
+        enumerate_rows,
+        "l_orderkey bigint, l_linenumber int, l_shipdate timestamp_ntz, __idx bigint",
+    )
+    w = Window.partitionBy("l_orderkey")
+    return enumerated.select(
         "l_orderkey",
         "l_linenumber",
         "l_shipdate",
+        (F.col("__idx") - F.min("__idx").over(w)).alias("lrk"),
     )
