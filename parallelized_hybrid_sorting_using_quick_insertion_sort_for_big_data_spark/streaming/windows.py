@@ -174,6 +174,122 @@ def stream_sessionize(
     return read_sink(spark, out_dir, agg.schema)
 
 
+def stream_late_drop(
+    spark: SparkSession,
+    source_file: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    n_chunks: int = 3,
+) -> DataFrame:
+    """Late-data accounting for a watermarked tumbling aggregation — the
+    metric every production stream publishes next to its results: how many
+    events were DROPPED because they arrived behind the watermark, and what
+    was actually emitted.
+
+    The source is split into ``n_chunks`` files by ``event_id % n_chunks``
+    and fed ONE PER TRIGGER — each chunk spans the full time range, so
+    from micro-batch 2 on, the watermark (max event time seen so far minus
+    the delay) is near the END of the range and most of the incoming chunk
+    is genuinely late. The job runs in APPEND mode: a window is emitted
+    exactly once, when the watermark passes its end; late input rows for
+    closed (or about-to-be-unreachable) windows are filtered by the state
+    operator and counted in the engine's ``numRowsDroppedByWatermark``
+    metric, which this runner reads from the query progress.
+
+    Output is ONE row: (emitted_windows, emitted_events, late_dropped).
+    All three are reproduced exactly by the DuckDB oracle
+    (suites/events.py), which replays the engine's measured micro-batch
+    schedule in SQL. Two Spark behaviors the oracle encodes (calibrated
+    against per-batch StreamingQueryProgress, see the oracle's comment):
+    the late-row filter uses the watermark from the PREVIOUS trigger
+    (state eviction uses the current one — so a batch can merge late rows
+    into the very windows it finalizes at its own end), and the drop
+    counter measures rows after the map-side partial aggregate, i.e.
+    distinct late windows per batch here (each chunk is one file, read as
+    one partition via the coalesce(1) below — keep it, the oracle's
+    accounting depends on it).
+
+    Scale shape: identical to ``stream_tumbling_agg`` (bounded state,
+    partial-agg counts); the drop accounting is driver-side metadata from
+    StreamingQueryProgress, not a data collect."""
+    from .sink import read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_slate_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = os.path.join(tempfile.gettempdir(), name + "_src")
+    os.makedirs(staged, exist_ok=True)
+    src = spark.read.parquet(source_file)
+    # one file per chunk, ascending mtimes so FileStreamSource triggers
+    # them in chunk order (same device as stream_dedup's replay copies)
+    for i in range(n_chunks):
+        tmp_i = os.path.join(tempfile.gettempdir(), f"{name}_c{i}")
+        src.where(F.pmod(F.col("event_id"), F.lit(n_chunks)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp_i)
+        part = next(
+            f for f in sorted(os.listdir(tmp_i)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(staged, f"chunk_{i}.parquet")
+        shutil.copy(os.path.join(tmp_i, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        shutil.rmtree(tmp_i, ignore_errors=True)
+
+    events = normalize_event_ts(
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros(F.col("win.start")).alias("win_start_us"), "n_events")
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), name + "_out")
+    os.makedirs(out_dir, exist_ok=True)
+    checkpoint = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    dropped = 0
+    try:
+        with stream_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.outputMode("append")
+                .foreachBatch(_write_batch)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                for p in q.recentProgress:
+                    ops = (
+                        p.get("stateOperators", [])
+                        if isinstance(p, dict)
+                        else p.stateOperators
+                    )
+                    for op in ops:
+                        dropped += int(
+                            op.get("numRowsDroppedByWatermark", 0)
+                            if isinstance(op, dict)
+                            else op.numRowsDroppedByWatermark
+                        )
+            finally:
+                q.stop()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+
+    sink = read_sink(spark, out_dir, agg.schema)
+    return sink.agg(
+        F.count(F.lit(1)).cast("bigint").alias("emitted_windows"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).cast("bigint").alias("emitted_events"),
+    ).withColumn("late_dropped", F.lit(dropped).cast("bigint"))
+
+
 def stream_static_enrich(
     spark: SparkSession,
     source_dir: str,

@@ -11,8 +11,9 @@ construction. doc_ids shift by i·10M; all other tables are reused from
 sf0.1 (the five measured queries read only `documents`).
 
 Run:  python scripts/scale_check.py
-Writes SCALE_CHECK_r06.json at the repo root: per query, median-of-3
-times at sf0.1 and sf1 and the slope vs the 10× row ratio.
+Writes SCALE_CHECK_r07.json at the repo root: per query, median-of-3
+times at sf0.1 and sf1 and the slope vs the 10× row ratio. Round 7 adds a
+10× embeddings synth (dim-rolled copies) for the vector-family queries.
 """
 
 from __future__ import annotations
@@ -46,43 +47,76 @@ QUERIES = (
     # the two checkpoint-optimized frame queries (read documents too)
     "mm_frame_near_dup",
     "mm_frame_dedup_collapse",
+    # round-7: the rebuilt GEMM-sweep semantic dedup + the LSH family read
+    # the 10x-synthesized embeddings table (VERDICT r06 #2's slope bar)
+    "vec_semantic_dedup",
+    "vec_lsh_portable",
 )
 
 
 def build_sf1(spark) -> None:
-    if (SF1 / "documents.parquet").exists():
-        return
-    SF1.mkdir(parents=True, exist_ok=True)
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(str(SF01 / "documents.parquet"))
-    alpha = string.ascii_lowercase
-    parts = []
-    for i in range(COPIES):
-        rot = alpha[i:] + alpha[:i]
-        parts.append(
-            base.select(
-                (F.col("doc_id") + i * SHIFT).alias("doc_id"),
-                F.translate(
-                    F.col("text"), alpha + alpha.upper(), rot + rot.upper()
-                ).alias("text"),
-                *[c for c in base.columns if c not in ("doc_id", "text")],
+    if not (SF1 / "documents.parquet").exists():
+        SF1.mkdir(parents=True, exist_ok=True)
+        base = spark.read.parquet(str(SF01 / "documents.parquet"))
+        alpha = string.ascii_lowercase
+        parts = []
+        for i in range(COPIES):
+            rot = alpha[i:] + alpha[:i]
+            parts.append(
+                base.select(
+                    (F.col("doc_id") + i * SHIFT).alias("doc_id"),
+                    F.translate(
+                        F.col("text"), alpha + alpha.upper(), rot + rot.upper()
+                    ).alias("text"),
+                    *[c for c in base.columns if c not in ("doc_id", "text")],
+                )
             )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            str(SF1 / "documents.parquet")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        str(SF1 / "documents.parquet")
-    )
-    for f in SF01.glob("*.parquet"):
-        if f.stem != "documents":
-            dst = SF1 / f.name
-            if not dst.exists():
-                if f.is_dir():
-                    shutil.copytree(f, dst)
-                else:
-                    shutil.copy(f, dst)
+        for f in SF01.glob("*.parquet"):
+            if f.stem != "documents":
+                dst = SF1 / f.name
+                if not dst.exists():
+                    if f.is_dir():
+                        shutil.copytree(f, dst)
+                    else:
+                        shutil.copy(f, dst)
+
+    # 10x embeddings (round 7, for the vector-family slope checks): copy i
+    # rolls each embedding left by i dims and shifts ids — same norms, all
+    # copies pairwise distinct (random near-orthogonal vectors stay
+    # near-orthogonal under rotation), so the dedup/ANN operators see ~10x
+    # fresh vectors rather than planted 10-cliques.
+    marker = SF1 / ".emb10x"
+    if not marker.exists():
+        base = spark.read.parquet(str(SF01 / "embeddings.parquet"))
+        dim = len(base.select("embedding").first()[0])
+        parts = []
+        for i in range(COPIES):
+            rolled = F.concat(
+                F.slice(F.col("embedding"), (i % dim) + 1, dim - (i % dim)),
+                F.slice(F.col("embedding"), 1, i % dim),
+            )
+            parts.append(
+                base.select(
+                    (F.col("vec_id") + i * SHIFT).alias("vec_id"),
+                    rolled.alias("embedding"),
+                    *[c for c in base.columns if c not in ("vec_id", "embedding")],
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            str(SF1 / "embeddings.parquet")
+        )
+        marker.touch()
 
 
 def median_time(fn, reps=3) -> tuple[float, list[float]]:
@@ -123,8 +157,8 @@ def main() -> None:
         out[name] = row
         print(f"MARKER {name} sf0.1={row['sf0.1']['median_sec']}s "
               f"sf1={row['sf1']['median_sec']}s slope={ratio}x", flush=True)
-    (REPO / "SCALE_CHECK_r06.json").write_text(json.dumps(out, indent=1) + "\n")
-    print("MARKER wrote SCALE_CHECK_r06.json")
+    (REPO / "SCALE_CHECK_r07.json").write_text(json.dumps(out, indent=1) + "\n")
+    print("MARKER wrote SCALE_CHECK_r07.json")
     spark.stop()
 
 

@@ -20,7 +20,18 @@ ORACLE_QUERIES = [
     "events_ewma",
     "events_rollup_multires",
     "events_user_timeline",
+    "events_stream_late_drop",
 ]
+
+
+def test_stream_late_drop_is_nondegenerate(spark):
+    """The late-data query must actually exercise the drop path: some
+    events dropped, some windows emitted — otherwise the oracle agreement
+    would be vacuous."""
+    row = entrymod.queries()["events_stream_late_drop"](spark, SF_DIR).collect()[0]
+    assert row["late_dropped"] > 0
+    assert row["emitted_windows"] > 0
+    assert row["emitted_events"] > 0
 
 
 def test_asof_properties(spark):
