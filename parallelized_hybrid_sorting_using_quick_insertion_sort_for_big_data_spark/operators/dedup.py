@@ -922,8 +922,15 @@ def connected_components(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        # large-star output keeps orientation u > v (v = m(u) <= u < old v)
-        edges = large.where(F.col("u") != F.col("v")).distinct()
+        # large-star output keeps orientation u > v (v = m(u) <= u < old v).
+        # No distinct here (r07): duplicate edges are harmless to the
+        # small-star min-aggregation and join that consume this relation,
+        # and the round's closing distinct bounds growth before the next
+        # iteration — dropping the intermediate dedup saves one full
+        # shuffle per round in a loop whose cost is round-overhead-bound
+        # on all three consumer queries (components, keep-best, frame
+        # collapse). Duplicate inflation is bounded: |large| <= |nbr| = 2|E|.
+        edges = large.where(F.col("u") != F.col("v"))
 
         # -- small-star: edges already oriented (hi, lo); all lo-side
         #    neighbors plus hi itself link to the min neighbor
