@@ -49,7 +49,9 @@ from .text import TOKEN_RE
 def _vocab(df: DataFrame, text_col: str, token_re: str) -> DataFrame:
     """(token, freq, repr) with repr = ' c1 c2 … cn ' (space-wrapped
     character split)."""
-    toks = df.select(
+    from ..sources.tables import spread_scan
+
+    toks = spread_scan(df).select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0)
         ).alias("token")

@@ -69,7 +69,9 @@ def contamination_stats(
         .select(key(F.col("__g")).alias("__bg"))
         .distinct()
     )
-    doc_grams = corpus.select(
+    from ..sources.tables import spread_scan
+
+    doc_grams = spread_scan(corpus).select(
         F.col(id_col),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("__g"),
     ).select(id_col, key(F.col("__g")).alias("__dg")).distinct()

@@ -69,7 +69,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Distinct char-n-gram shingles per document: (id, shingle).
-    Lowercased; documents shorter than n contribute their whole text."""
+    Lowercased; documents shorter than n contribute their whole text.
+    The input is spread across cores first (no-op on already-parallel
+    scans) — shingling is per-row CPU work that otherwise runs on however
+    few partitions the corpus file produced."""
+    from ..sources.tables import spread_scan
+
+    df = spread_scan(df)
     t = F.trim(F.lower(F.col(text_col)))
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
     return (
@@ -371,8 +377,10 @@ def winnow_fingerprints(
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
     if strategy not in ("pandas", "expr"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    from ..sources.tables import spread_scan
+
     t = F.trim(F.lower(F.col(text_col)))
-    prepared = df.select(F.col(id_col), t.alias("__t"))
+    prepared = spread_scan(df).select(F.col(id_col), t.alias("__t"))
     prepared = prepared.withColumn(
         "__hs",
         F.transform(
@@ -554,7 +562,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         # two's-complement value
         return (1 << b) if b < 63 else -(1 << 63)
 
-    tok = df.select(
+    from ..sources.tables import spread_scan
+
+    tok = spread_scan(df).select(
         F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("tok")
     ).withColumn("__h", F.xxhash64("tok"))
     votes = tok.groupBy(id_col).agg(
@@ -579,8 +589,10 @@ def simhash_portable(
     from the md5-prefix token hash — every bit reproducible in DuckDB (no
     xxhash64, no signed-64 assembly; both halves stay non-negative).
     Same per-bit majority-vote construction as :func:`simhash`."""
+    from ..sources.tables import spread_scan
+
     md5 = F.md5(F.col("tok"))
-    tok = df.select(
+    tok = spread_scan(df).select(
         F.col(id_col), F.explode(T.tokens(F.col(text_col))).alias("tok")
     ).select(
         F.col(id_col),
@@ -1021,6 +1033,9 @@ def crossdup_coverage(
     """
     if n < 1 or min_df < 2:
         raise ValueError(f"need n >= 1 and min_df >= 2, got n={n}, min_df={min_df}")
+    from ..sources.tables import spread_scan
+
+    df = spread_scan(df)
     base = df.select(
         F.col(id_col), T.token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
     )

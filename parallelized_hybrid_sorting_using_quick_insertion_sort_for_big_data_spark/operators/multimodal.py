@@ -247,6 +247,11 @@ def frame_byte_arrays(
     several signature variants derive from one scan."""
     import pandas as pd
 
+    from ..sources.tables import spread_scan
+
+    # the expansion is pure per-row CPU; widen degenerate few-partition
+    # scans so the Arrow workers use every core (no-op at cluster scale)
+    df = spread_scan(df)
     id_type = dict(df.dtypes)[id_col]
     fs = FRAME_SIZE
 

@@ -228,6 +228,9 @@ def lsh_signature(
     """Append an nbits-bit random-hyperplane signature column ``bucket``:
     bit p = sign(v · plane_p). Same-bucket vectors are cosine-close with
     probability rising in cos — the standard SimHash-for-angles scheme."""
+    from ..sources.tables import spread_scan
+
+    df = spread_scan(df)
     v = _as_double(F.col(vec_col))
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
@@ -274,6 +277,9 @@ def lsh_signature_planes(
     """``lsh_signature`` over an explicit literal plane table; projections
     are rounded to 9 digits before the sign test so any engine summing the
     same products in a different order lands on the same bit."""
+    from ..sources.tables import spread_scan
+
+    df = spread_scan(df)
     v = _as_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for p, row in enumerate(planes):
@@ -705,6 +711,11 @@ def kmeans_fit(
     checkpoint dir instead. The returned codebook's plan is a
     constant-size RDD scan regardless of ``iters`` (plan-size gate in
     test_plans.py)."""
+    from ..sources.tables import spread_scan
+
+    # each Lloyd round evaluates k cosine folds per corpus row map-side —
+    # widen degenerate few-partition scans once, before iterating
+    df = spread_scan(df)
     cents = df.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cell"), _as_double(F.col(vec_col)).alias("centroid")
     )

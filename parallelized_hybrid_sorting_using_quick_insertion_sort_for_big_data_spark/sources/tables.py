@@ -40,6 +40,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the session's default
+    parallelism — ONLY when it currently has fewer partitions.
+
+    Why this exists: the testdata tables are single-file, single-row-group
+    parquet, so every scan is ONE task, and a CPU-bound per-row operator
+    (shingling, winnowing, signature folds, Arrow frame decode) runs
+    single-threaded while 31 cores idle — measured as several text queries
+    running FASTER on a 10x corpus written as 32 files (SCALE_CHECK_r07).
+    The guard makes this a NO-OP at cluster scale: a 100 TB scan already
+    yields thousands of partitions, so no extra shuffle is ever added
+    there — this only widens degenerate small-scan inputs, whose shuffle
+    volume is by construction tiny. Call it at the entry of operators
+    whose map-side work dominates their input size; never on
+    shuffle-bound relational queries (their exchange IS the cost, and a
+    pre-shuffle would double it)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, text as T
 from ..queries import query
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------------
 # 1. Text analysis annotation (tokens, lang-id, quality, fingerprint)
@@ -914,7 +914,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one fact-sized gram exchange — the same budget as any token
     aggregate), then a bucket rollup and a running-sum window over the
     tiny bucket relation. All counts integer-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     first_seen = (
         docs.select(
             "doc_id", F.explode(T.word_ngrams(F.col("text"), _VOCAB_N)).alias("tok")
@@ -963,7 +963,7 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one gram-keyed exchange builds the count table, the doc⋈counts
     equi-join reuses the gram partitioning (counts are corpus-sized —
     never broadcast), and the per-doc rollup is one doc-keyed exchange."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     g = docs.select("doc_id", F.explode(T.word_ngrams(F.col("text"), 2)).alias("gram"))
     counts = g.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     per_doc = (

@@ -503,10 +503,14 @@ def test_crossdup_coverage_bounded_exchanges_no_cartesian(spark, qs):
     gram-key equi-join (never all-pairs), the doc-keyed window and the
     per-doc sum share one exchange, and only fixed-width md5-key rows
     shuffle — bounded exchange count, no cartesian, text column pruned
-    from every post-scan exchange."""
+    from every post-scan exchange. (+2 exchanges r07: the conditional
+    spread_scan round-robin that widens the single-partition local corpus
+    scan before the per-row gram work appears once under each of the two
+    scan branches (token-count base + gram hits) — absent on an
+    already-parallel scan, i.e. at scale.)"""
     df = qs["text_crossdup_coverage"](spark, SF_DIR)
     assert not PI.has_cartesian(df)
-    PI.assert_max_exchanges(df, 4)
+    PI.assert_max_exchanges(df, 6)
 
 
 def test_window_value_functions_single_exchange(spark, qs):
