@@ -426,6 +426,75 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 8b. Leakage-safe train/val/test split: hash-splitting documents
+#     INDEPENDENTLY leaks near-duplicates across the train/eval boundary
+#     (the classic benchmark-contamination path: a paraphrase of a test
+#     doc lands in train). The group-aware split keys the hash on the
+#     near-dup COMPONENT id, so an entire duplicate cluster moves as one
+#     unit. Oracle: the Jaccard pair CTEs + recursive closure (same chain
+#     as dedup_components) + the generated split CASE — every assignment
+#     value-checked.
+# ---------------------------------------------------------------------------
+
+_LEAK_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LEAK_SALT = "leakage"
+
+
+def _leakage_split_oracle() -> str:
+    from ..operators import sampling as _SA
+
+    case = _SA.split_case_sql("group_key", _LEAK_FRACTIONS, _LEAK_SALT)
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM jpairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+grouped AS (
+  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+)
+SELECT doc_id, group_key, {case} AS split FROM grouped
+"""
+
+
+@query("pipeline_leakage_safe_split", sql=_leakage_split_oracle())
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: near-dup pairs (char-8-gram
+    Jaccard, same params as ``dedup_ngram_jaccard``) → connected
+    components → every document keyed by its component id (its own id if
+    unclustered) → deterministic md5 hash split on the GROUP key
+    (``sampling.hash_split``). A duplicate cluster therefore lands wholly
+    in one split — the property that keeps eval sets uncontaminated — and
+    the assignment is stable under corpus growth (a group keeps its split
+    forever). Scale shape: the pair join and the O(log n) star rounds are
+    the same bounded machinery as ``dedup_components``; the split itself
+    is one map-side md5 per doc. The no-pair-crosses-splits invariant is
+    additionally pytest-pinned."""
+    from ..operators import sampling as _SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    )
+    cc = dedup.connected_components(pairs)
+    grouped = docs.select("doc_id").join(
+        cc, F.col("doc_id") == F.col("node"), "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("group_key")
+    )
+    out = _SA.hash_split(grouped, "group_key", _LEAK_FRACTIONS, salt=_LEAK_SALT)
+    return out.select("doc_id", "group_key", "split")
+
+
+# ---------------------------------------------------------------------------
 # 9. PII scrubbing. The synthetic corpus contains no organic PII, so the
 #    query plants deterministic emails/IPs/phones on id-derived subsets
 #    (mirrored identically in the oracle) — redaction and counting are then

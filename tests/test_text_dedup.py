@@ -20,7 +20,42 @@ ORACLE_QUERIES = [
     "text_minhash_doc_sketch",
     "dedup_incremental_minhash",
     "text_winnow_fingerprints",
+    "pipeline_leakage_safe_split",
 ]
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """The invariant the query exists for: no near-dup pair may straddle a
+    split boundary (that's eval contamination), splits must cover every
+    document exactly once, and all three splits must be non-empty."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.text_dedup import (
+        _JACCARD_T,
+        _MAX_SHINGLE_DF,
+        _NGRAM_N,
+    )
+
+    qs = entrymod.queries()
+    out = qs["pipeline_leakage_safe_split"](spark, SF_DIR)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(rows) == docs.count(), "a document lost or duplicated"
+    assert set(rows.values()) == {"train", "val", "test"}
+    pairs = dedup.jaccard_pairs(
+        docs, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    ).collect()
+    assert len(pairs) > 0, "vacuous: no near-dup pairs at this SF"
+    crossing = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if rows[p["id_a"]] != rows[p["id_b"]]
+    ]
+    assert not crossing, f"near-dup pairs straddle splits: {crossing[:5]}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -268,14 +303,20 @@ def test_winnow_strategies_identical(spark, docs):
 
 
 def test_winnow_zero_shuffle_plan(spark):
-    """Winnowing is pure per-row array work: the plan must contain no
-    Exchange (the per-doc dedup happens in array_distinct, not a shuffle)."""
+    """Winnowing is pure per-row array work: the per-doc dedup happens in
+    array_distinct, never a shuffle. The ONE allowed exchange is
+    spread_scan's conditional round-robin widening of the single-partition
+    local corpus file (r07) — absent on an already-parallel scan, i.e. at
+    scale — so the algorithm itself stays exchange-free: an already-wide
+    input must plan with ZERO exchanges."""
     from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
         inspect as PI,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    assert PI.count_exchanges(dedup.winnow_fingerprints(docs)) == 0
+    assert PI.count_exchanges(dedup.winnow_fingerprints(docs)) <= 1
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert PI.count_exchanges(dedup.winnow_fingerprints(wide)) == 1  # only the explicit repartition above
 
 
 def test_winnow_short_doc_single_window(spark):
