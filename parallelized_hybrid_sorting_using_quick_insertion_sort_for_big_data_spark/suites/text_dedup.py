@@ -373,6 +373,120 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 7b. FULL pretraining-corpus pipeline: exact dedup -> quality/language
+#     gate -> benchmark decontamination -> deterministic split -> per-split
+#     audit. The composition an LLM data pipeline runs end to end before
+#     tokenization; the corpus's own doc_id % 37 subset plays the eval
+#     benchmark, so decontamination drops real members (plus anything
+#     overlapping them) from every split. Every stage reuses an
+#     already-oracled operator and the WHOLE chain is value-hash-checked
+#     as one statement.
+# ---------------------------------------------------------------------------
+
+_PRETRAIN_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_PRETRAIN_SALT = "pretrain"
+_PRETRAIN_N = 5
+_PRETRAIN_CONTAM_T = 0.2
+
+_PRETRAIN_DEDUP_SQL = f"""SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY {T.FINGERPRINT_SQL.format(t='text')} ORDER BY doc_id
+         ) AS rn
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_ID_SHIFT} AS doc_id, text FROM documents)
+) WHERE rn = 1"""
+
+_PRETRAIN_BENCH_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0"
+
+
+def _pretrain_oracle() -> str:
+    from ..operators import decontam as _DC
+    from ..operators import sampling as _SA
+
+    cstats = _DC.contamination_stats_sql(
+        _PRETRAIN_DEDUP_SQL, _PRETRAIN_BENCH_SQL,
+        n=_PRETRAIN_N, threshold=_PRETRAIN_CONTAM_T,
+    )
+    case = _SA.split_case_sql("doc_id", _PRETRAIN_FRACTIONS, _PRETRAIN_SALT)
+    return f"""
+WITH cstats AS ({cstats}),
+d AS ({_PRETRAIN_DEDUP_SQL}),
+ann AS (
+  SELECT d.doc_id,
+         {T.lang_id_sql('text')} AS lang,
+         {T.quality_score_sql('text')} AS q,
+         CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT) AS n_tok,
+         cs.contaminated
+  FROM d JOIN cstats cs ON d.doc_id = cs.doc_id
+),
+spl AS (
+  SELECT *,
+         {case} AS split,
+         (lang = 'en' AND q >= {_MIN_QUALITY}) AS q_pass
+  FROM ann
+)
+SELECT split,
+       CAST(count(CASE WHEN q_pass AND NOT contaminated THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN NOT q_pass THEN 1 END) AS BIGINT) AS n_dropped_quality,
+       CAST(count(CASE WHEN q_pass AND contaminated THEN 1 END) AS BIGINT) AS n_dropped_contaminated,
+       CAST(coalesce(sum(CASE WHEN q_pass AND NOT contaminated THEN n_tok END), 0) AS BIGINT) AS kept_tokens,
+       round(min(CASE WHEN q_pass AND NOT contaminated THEN q END), 9) AS min_q_kept,
+       round(max(CASE WHEN q_pass AND NOT contaminated THEN q END), 9) AS max_q_kept
+FROM spl GROUP BY split
+"""
+
+
+@query("pipeline_pretraining_corpus", sql=_pretrain_oracle())
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-data pipeline as ONE query over the
+    corpus ∪ planted exact duplicates: (1) exact dedup (md5 fingerprint
+    window, min-id winner), (2) language + quality gate, (3) benchmark
+    decontamination (distinct word-5-gram overlap ≥ 0.2 against the
+    broadcast doc_id%37 'eval set' — its members self-overlap 100% and are
+    dropped from training data, the actual point of decontamination),
+    (4) deterministic md5 split 90/5/5, (5) per-split audit: kept docs,
+    quality-dropped, contamination-dropped, kept token budget, and kept
+    quality bounds. Scale shape: every stage is the already-audited
+    operator it reuses — one fingerprint window exchange, scan-stage
+    lang/quality maps, a broadcast benchmark gram join, a map-side split;
+    the rollup is a 3-group aggregate. The oracle replays the whole chain
+    as a single statement."""
+    from ..operators import decontam as _DC
+    from ..operators import sampling as _SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _ID_SHIFT).alias("doc_id"), "text")
+    )
+    deduped = dedup.exact_dedup(corpus)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    stats = _DC.contamination_stats(
+        deduped, bench, n=_PRETRAIN_N, threshold=_PRETRAIN_CONTAM_T,
+        hash_grams=False,
+    )
+    ann = deduped.join(stats.select("doc_id", "contaminated"), "doc_id").select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        "contaminated",
+    )
+    spl = _SA.hash_split(ann, "doc_id", _PRETRAIN_FRACTIONS, salt=_PRETRAIN_SALT)
+    q_pass = (F.col("lang") == "en") & (F.col("q") >= _MIN_QUALITY)
+    kept = q_pass & ~F.col("contaminated")
+    return spl.groupBy("split").agg(
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~q_pass, 1)).alias("n_dropped_quality"),
+        F.count(F.when(q_pass & F.col("contaminated"), 1)).alias("n_dropped_contaminated"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.round(F.min(F.when(kept, F.col("q"))), 9).alias("min_q_kept"),
+        F.round(F.max(F.when(kept, F.col("q"))), 9).alias("max_q_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 8. Near-dup cluster collapse: pairs -> connected components -> canonical
 #    survivor per cluster. Duplicates are transitive (a~b, b~c => one
 #    survivor among {a,b,c}); pair lists alone over-delete or under-delete.

@@ -21,7 +21,21 @@ ORACLE_QUERIES = [
     "dedup_incremental_minhash",
     "text_winnow_fingerprints",
     "pipeline_leakage_safe_split",
+    "pipeline_pretraining_corpus",
 ]
+
+
+def test_pretraining_pipeline_exercises_every_drop_path(spark):
+    """Each stage of the end-to-end pipeline must actually fire on the
+    corpus: every split non-empty, some docs dropped for quality, some
+    dropped as benchmark contamination (the doc_id%37 members self-overlap
+    100%), and a positive kept token budget."""
+    out = entrymod.queries()["pipeline_pretraining_corpus"](spark, SF_DIR).collect()
+    rows = {r["split"]: r for r in out}
+    assert set(rows) == {"train", "val", "test"}
+    assert sum(r["n_dropped_quality"] for r in out) > 0
+    assert sum(r["n_dropped_contaminated"] for r in out) > 0
+    assert all(r["n_kept"] > 0 and r["kept_tokens"] > 0 for r in out)
 
 
 def test_leakage_safe_split_never_separates_near_dups(spark):
