@@ -277,15 +277,17 @@ def rel_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue-minus-cost expression shape.)
 # ---------------------------------------------------------------------------
 
-_Q9_SQL = """
+_Q9_SQL = f"""
+WITH {_PARTSUPP_CTE}
 SELECT nation, o_year, CAST(sum(amount_dec) AS DOUBLE) AS sum_profit, count(*) AS n_rows
 FROM (
   SELECT n.n_name AS nation,
          CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
          CAST(l.l_extendedprice * (1 - l.l_discount)
-              - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(27,8)) AS amount_dec
+              - ps.ps_supplycost * l.l_quantity AS DECIMAL(27,8)) AS amount_dec
   FROM part p
   JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -297,18 +299,19 @@ GROUP BY nation, o_year
 
 @query("rel_sql_q9_product_profit", sql=_Q9_SQL)
 def rel_sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape (product-type profit) through spark.sql, identical
-    text on both engines: per supplier-nation and order-year profit on
-    parts whose name matches a LIKE pattern (cost = 0.6 * retail price *
-    quantity — this corpus has no partsupp.ps_supplycost; the adaptation
-    preserves Q9's revenue-minus-cost expression and its
-    contains-LIKE-on-a-dimension plan). The '%gear%' predicate cannot use
-    an index but DOES push to the part scan, pruning the fact join by
-    part_keys early; profit is evaluated per-row in IEEE doubles (both
-    engines bit-identical: literal 0.6 widens decimal→double the same
-    way) then staged to decimal so the nation×year rollup is
-    order-independent. At scale: one fact shuffle per join key, dims
-    broadcast, 2-column part scan."""
+    """TPC-H Q9 (product-type profit) through spark.sql, identical text on
+    both engines — with the derived partsupp this is the TRUE query: cost
+    = ps_supplycost * l_quantity via the (partkey, suppkey) partsupp join,
+    the 6-table snowflake of the original. The '%gear%' predicate cannot
+    use an index but DOES push to the part scan, pruning the fact join by
+    part keys early; profit is evaluated per-row in IEEE doubles (both
+    engines bit-identical) then staged to decimal so the nation×year
+    rollup is order-independent. Lineitem joins partsupp on the composite
+    (partkey, suppkey) pair — a lineitem row matches exactly one partsupp
+    row when the pair exists and drops out otherwise, same as dbgen data
+    where every (partkey, suppkey) in lineitem IS a partsupp row. At
+    scale: one fact shuffle per join key, dims (and the generated
+    partsupp) broadcast, 2-column part scan."""
     _views(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
     return spark.sql(_Q9_SQL)
 
