@@ -528,13 +528,15 @@ def test_q7_q8_q9_q12_single_fact_exchange_dims_broadcast(spark, qs):
     final aggregate of broadcast-joined fact rows) with their selective
     predicates pushed to the scans — the at-scale shape: dims broadcast,
     the fact is touched once."""
-    for name, pushed_col, partsupp_loops in [
-        ("rel_sql_q7_volume_shipping", "l_shipdate", 0),
-        ("rel_sql_q8_market_share", "p_type", 0),
+    for name, pushed_col, partsupp_loops, max_exch in [
+        ("rel_sql_q7_volume_shipping", "l_shipdate", 0, 1),
+        ("rel_sql_q8_market_share", "p_type", 0, 1),
         # Q9 is the true partsupp form since r07 — its one sanctioned
-        # nested loop is the broadcast 4-literal-row partsupp expansion
-        ("rel_sql_q9_product_profit", "p_name", 1),
-        ("rel_sql_q12_ship_classes", "l_shipdate", 0),
+        # nested loop is the broadcast 4-literal-row partsupp expansion,
+        # and the CTE's one-row |supplier| sizing subquery adds the
+        # second (single-partition, one-count-row) exchange
+        ("rel_sql_q9_product_profit", "p_name", 1, 2),
+        ("rel_sql_q12_ship_classes", "l_shipdate", 0, 1),
     ]:
         df = qs[name](spark, SF_DIR)
         plan = PI.formatted_plan(df)
@@ -543,7 +545,7 @@ def test_q7_q8_q9_q12_single_fact_exchange_dims_broadcast(spark, qs):
         else:
             assert not PI.has_cartesian(df), name
         assert PI.has_broadcast_join(df), name
-        PI.assert_max_exchanges(df, 1)
+        PI.assert_max_exchanges(df, max_exch)
         PI.assert_filter_pushed(df, pushed_col)
 
 
