@@ -62,7 +62,11 @@ def test_no_cached_blocks_leak(spark):
     result = HH.heavy_hitters(df, "token", k=3)
     assert {r["value"] for r in result.collect()} == {"x"}
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    assert after == before
+    # growth-only assert: the async ContextCleaner may unpersist STALE
+    # entries left by earlier tests between the two captures (observed
+    # flake), so `after == before` over-constrains; the leak this test
+    # pins is heavy_hitters ADDING registry entries of its own
+    assert after - before == set()
 
 
 def test_nulls_ignored_and_k_validation(spark):
