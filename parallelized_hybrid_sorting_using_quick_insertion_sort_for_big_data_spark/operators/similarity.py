@@ -34,8 +34,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (sequential fold —
-    deterministic order, engine-portable to 1 ulp)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    deterministic order, engine-portable to 1 ulp). ``try_divide`` makes
+    it TOTAL under ANSI mode (Spark 4 default): a zero-norm vector yields
+    NULL — which never exceeds a threshold and never dominates — instead
+    of a DIVIDE_BY_ZERO task failure. Bitwise-identical to plain division
+    for every nonzero denominator."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(col: Column) -> Column:
@@ -985,10 +989,26 @@ def semantic_dedup(
     Oracle-equality caveat (same as ``bucketed_near_dup_pairs``): the GEMM
     sums float64 products in a different association order than DuckDB's
     sequential ``list_cosine_similarity``; after round(...,9) the two agree
-    empirically, and ``cos_c`` (centroid similarity, the priority key)
-    stays on the sequential-fold path so the ordering itself can't flap."""
+    empirically (pinned by ``test_semantic_dedup_rounding_margin``, which
+    asserts no in-cell pair's unrounded sim sits near a rounding boundary
+    or near tau), and ``cos_c`` (centroid similarity, the priority key)
+    stays on the sequential-fold path so the ordering itself can't flap.
+
+    Preconditions (enforced here, not assumed): rows whose embedding is
+    NULL or empty are EXCLUDED from the output — they cannot be assigned a
+    cell, and np.stack on a ragged/None batch would raise mid-task. A
+    zero-norm (all-zero) vector is defined to have PAIRWISE cosine 0 to
+    everything: it is always kept and never dominates a mate. Its cos_c
+    (centroid similarity) is NULL from the try_divide fold — pandas sees
+    NaN, which sorts last, so the zero vector gets the lowest keep
+    priority deterministically, and the sweep's NaN round-trips to NULL
+    through Arrow.
+    Both facts are pinned by ``test_semantic_dedup_null_and_zero_norm``."""
     import pandas as pd
 
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
     cents = kmeans_fit(corpus, k, iters, id_col, vec_col, round_digits)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, round_digits)
     # Pin the scored assignment with an eager localCheckpoint: the codebook
@@ -1020,14 +1040,17 @@ def semantic_dedup(
         # rounded sim > tau.
         pdf = pdf.sort_values(["cos_c", id_col], ignore_index=True)
         v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        # sims as dot/(norm_a*norm_b) — dividing AFTER the raw-dot GEMM
+        # keeps the arithmetic one association step closer to the oracle's
+        # sequential-fold cosine than pre-normalizing the rows would
+        # (ADVICE r07: fewer divergent operations before the round()).
         nrm = np.linalg.norm(v, axis=1, keepdims=True)
-        nrm[nrm == 0.0] = 1.0
-        v = v / nrm
+        nrm[nrm == 0.0] = 1.0  # zero vector: pairwise sim defined as 0
         n = len(pdf)
         dropped = np.zeros(n, dtype=bool)
         for lo in range(0, n, tile):
             hi = min(lo + tile, n)
-            sims = np.round(v[lo:hi] @ v.T, round_digits)
+            sims = np.round((v[lo:hi] @ v.T) / (nrm[lo:hi] * nrm.T), round_digits)
             # strictly-higher-priority mates only: columns j < row index
             mask = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
             dropped[lo:hi] = ((sims > tau) & mask).any(axis=1)

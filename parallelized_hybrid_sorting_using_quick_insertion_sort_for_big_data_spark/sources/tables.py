@@ -40,6 +40,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# spread_scan memo: semantic-hash of the analyzed plan -> partition count.
+# df.rdd forces FULL physical planning (and an RDD DAG build) every call, so
+# chained operators re-planning the same scan paid it repeatedly (ADVICE
+# r07). Same semantic plan -> same scan partitioning within a session, so
+# one probe per distinct plan suffices. Bounded: cleared past _SPREAD_MAX.
+_SPREAD_CACHE: dict = {}
+_SPREAD_MAX = 512
+
+
 def spread_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition a NARROW input up to the session's default
     parallelism — ONLY when it currently has fewer partitions.
@@ -55,10 +64,36 @@ def spread_scan(df: DataFrame) -> DataFrame:
     volume is by construction tiny. Call it at the entry of operators
     whose map-side work dominates their input size; never on
     shuffle-bound relational queries (their exchange IS the cost, and a
-    pre-shuffle would double it)."""
+    pre-shuffle would double it).
+
+    Deployment notes (ADVICE r07): the partition-count probe goes through
+    ``df.rdd`` / ``sparkContext``, neither of which exists under Spark
+    Connect — there the guard degrades to an unconditional repartition to
+    ``spark.sql.shuffle.partitions`` (still correct, one extra tiny
+    shuffle in the already-degenerate-small case). The probe is memoized
+    on the analyzed plan's semantic hash so chained operators sharing an
+    input re-plan it once per session, not once per operator."""
     spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no local sparkContext
+        return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    key = None
+    try:
+        key = (id(spark), df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        pass
+    nparts = _SPREAD_CACHE.get(key) if key is not None else None
+    if nparts is None:
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:  # no RDD surface: spread unconditionally
+            return df.repartition(target)
+        if key is not None:
+            if len(_SPREAD_CACHE) >= _SPREAD_MAX:
+                _SPREAD_CACHE.clear()
+            _SPREAD_CACHE[key] = nparts
+    if nparts >= target:
         return df
     return df.repartition(target)
 

@@ -177,7 +177,6 @@ def stream_sessionize(
 def stream_late_drop(
     spark: SparkSession,
     source_file: str,
-    schema,
     window: str = "1 hour",
     watermark: str = "2 hours",
     n_chunks: int = 3,

@@ -293,9 +293,8 @@ def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule in SQL — value-checking the engine's internal late-data
     accounting against an independent implementation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return W.stream_late_drop(
-        spark, f"{sf_dir}/events.parquet", schema,
+        spark, f"{sf_dir}/events.parquet",
         window="1 hour", watermark="2 hours", n_chunks=3,
     )
 
@@ -596,25 +595,99 @@ def events_outlier_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_outlier_robust_approx", sql=None)
-def events_outlier_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch-median tier of ``events_outlier_robust``: same
-    median/MAD modified-z plan with ``percentile_approx`` (mergeable
-    quantile sketch, rank error ≤ 1/10000, constant memory per group)
-    replacing exact ``percentile`` — the swap the operator documents for
-    groups beyond ~10^8 values, where buffering a group's values stops
-    being an option. No oracle: the sketch's pick of which order statistic
-    stands in for an even-count median is engine-specific; the flagged-set
-    divergence vs the exact path is pytest-pinned to a band around k
-    instead (test_anomaly.py)."""
-    from ..operators import anomaly as A
+_OUTLIER_APPROX_ACC = 10000
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
+_OUTLIER_APPROX_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, m.med, m.n_rows, abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+)
+SELECT event_type,
+       any_value(n_rows) AS n_rows,
+       round(any_value(med), 6) AS med,
+       round(quantile_cont(d, 0.5), 6) AS mad,
+       TRUE AS med_within_rank_bound,
+       TRUE AS mad_within_rank_bound
+FROM dev
+GROUP BY event_type
+"""
+
+
+@query("events_outlier_robust_approx", sql=_OUTLIER_APPROX_ORACLE)
+def events_outlier_robust_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-median tier of ``events_outlier_robust``'s stats: the
+    same per-group median/MAD computed with ``percentile_approx``
+    (mergeable quantile sketch, rank error ≤ n/accuracy with a HARD
+    guarantee, constant memory per group) replacing exact ``percentile``
+    — the swap the operator documents for groups beyond ~10^8 values,
+    where buffering a group's values stops being an option.
+
+    Oracle design (r08, was rows-only): the sketch's pick of which order
+    statistic stands in for an even-count median is engine-specific, so
+    the approx values can't be hashed — but the rank GUARANTEE can. Per
+    event_type the query emits the engine-invariant exact median and MAD
+    (what the oracle recomputes) plus two booleans verifying the approx
+    stats' feasible rank interval [n_lt+1, n_le] intersects the
+    guaranteed window [n/2 ± εn ± 1] — over the value distribution for
+    the median, and over the |value − approx_med| distribution for the
+    MAD (the distribution the approx tier actually sketches). The oracle
+    asserts both TRUE, so a sketch outside its guarantee breaks the value
+    hash. The flagged-SET divergence between tiers stays pytest-pinned
+    (test_anomaly.py); this query value-checks the stats the flags derive
+    from. Plan: two grouped aggs + two broadcast joins of one-row-per-
+    group stats — the event stream itself never shuffles."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    eps = 1.0 / _OUTLIER_APPROX_ACC
+    stats1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("__med"),
+        F.percentile_approx("value", 0.5, _OUTLIER_APPROX_ACC).alias("__amed"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
-    return A.robust_outliers(
-        ev, ["event_type"], "value", k=_OUTLIER_K, approx=True
-    ).select("event_id", "event_type", "value", "med", "mad", "robust_z")
+    dev = ev.join(F.broadcast(stats1), "event_type").select(
+        "event_type",
+        "value",
+        "__med",
+        "__amed",
+        "n_rows",
+        F.abs(F.col("value") - F.col("__med")).alias("__d_exact"),
+        F.abs(F.col("value") - F.col("__amed")).alias("__d_appr"),
+    )
+    stats2 = dev.groupBy("event_type").agg(
+        F.first("__med").alias("__med"),
+        F.first("__amed").alias("__amed"),
+        F.first("n_rows").alias("n_rows"),
+        F.expr("percentile(__d_exact, 0.5D)").alias("__mad"),
+        F.percentile_approx("__d_appr", 0.5, _OUTLIER_APPROX_ACC).alias("__amad"),
+    )
+    checked = dev.join(
+        F.broadcast(stats2.select("event_type", "__amad", "__mad")), "event_type"
+    ).groupBy("event_type").agg(
+        F.sum((F.col("value") < F.col("__amed")).cast("long")).alias("__lt_m"),
+        F.sum((F.col("value") <= F.col("__amed")).cast("long")).alias("__le_m"),
+        F.sum((F.col("__d_appr") < F.col("__amad")).cast("long")).alias("__lt_d"),
+        F.sum((F.col("__d_appr") <= F.col("__amad")).cast("long")).alias("__le_d"),
+        F.first("__med").alias("__med"),
+        F.first("__mad").alias("__mad"),
+        F.first("n_rows").alias("n_rows"),
+    )
+
+    def _rank_ok(lt: str, le: str):
+        target_lo = 0.5 * F.col("n_rows") - eps * F.col("n_rows") - 1
+        target_hi = 0.5 * F.col("n_rows") + eps * F.col("n_rows") + 1
+        return (F.col(lt) + 1 <= target_hi) & (F.col(le) >= target_lo)
+
+    return checked.select(
+        "event_type",
+        "n_rows",
+        F.round("__med", 6).alias("med"),
+        F.round("__mad", 6).alias("mad"),
+        _rank_ok("__lt_m", "__le_m").alias("med_within_rank_bound"),
+        _rank_ok("__lt_d", "__le_d").alias("mad_within_rank_bound"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ engines; only reduction order varies, and decimal removes that).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import query
@@ -666,41 +666,165 @@ def rel_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 17. Approximate quantiles — the 100 TB percentile path (exact interpolated
 #     percentiles need a full sort; approx_percentile is one pass with
-#     bounded sketch memory). No oracle: sketches are engine-specific; the
-#     error bound vs the exact form is pytest-pinned instead.
+#     bounded sketch memory). Promoted to a FULL oracle r08 (VERDICT r07
+#     item 5): sketch estimates are engine-specific so they can't be
+#     value-hashed, but the sketch's HARD rank guarantee can — the query
+#     emits engine-invariant exact percentiles plus a boolean that the
+#     approx value's rank bracket intersects the guaranteed window, and the
+#     oracle asserts TRUE. A sketch regression now breaks the hash.
 # ---------------------------------------------------------------------------
 
+_APPROX_Q_ACC = 10000  # GK sketch: rank error <= n/accuracy, a hard bound
 
-@query("rel_approx_quantiles", sql=None)
+_APPROX_Q_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS exact_p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS exact_p75,
+       TRUE AS within_rank_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("rel_approx_quantiles", sql=_APPROX_Q_ORACLE)
 def rel_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile(l_extendedprice) per l_returnflag at accuracy
     10000 — single-pass sketch aggregation, the scale substitute for
-    `rel_percentiles`' exact interpolation. Emitted as three scalar columns
-    (not array<double>) so the driver's rows-only canonicalization can sort
-    and hash the frame."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-    return li.groupBy("l_returnflag").agg(
-        pcts[0].alias("approx_p25"),
-        pcts[1].alias("approx_p50"),
-        pcts[2].alias("approx_p75"),
+    `rel_percentiles`' exact interpolation.
+
+    Oracle design (r08): the sketch value itself is engine-specific, but
+    Greenwald-Khanna gives a HARD guarantee — the returned value is an
+    actual element whose rank r satisfies |r - p·n| <= n/accuracy. The
+    query verifies that guarantee IN the output: per percentile it counts
+    elements strictly below / at-or-below the approx value (the element's
+    feasible rank interval [n_lt+1, n_le]) and emits ``within_rank_bound``
+    = that interval intersects [p·n - εn - 1, p·n + εn + 1] for all three
+    percentiles. The oracle recomputes the engine-invariant columns
+    (exact interpolated percentiles, counts) and asserts the boolean is
+    TRUE — so a sketch that drifts out of its guarantee breaks the value
+    hash. The exact percentiles are the verification harness; the sketch
+    alone is the 100 TB path. Counting passes are map-side conditional
+    sums against the BROADCAST one-row-per-group sketch output — no extra
+    fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pcts = [0.25, 0.50, 0.75]
+    eps = 1.0 / _APPROX_Q_ACC
+    base = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", pcts, _APPROX_Q_ACC
+        ).alias("__ap"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.75D))"
+        ).alias("__ep"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    j = li.join(F.broadcast(base), "l_returnflag")
+    count_aggs = []
+    for i in range(len(pcts)):
+        count_aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("__ap")[i]).cast("long")
+            ).alias(f"__lt{i}")
+        )
+        count_aggs.append(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("__ap")[i]).cast("long")
+            ).alias(f"__le{i}")
+        )
+    counted = j.groupBy("l_returnflag").agg(
+        F.first("__ep").alias("__ep"),
+        F.first("n_rows").alias("n_rows"),
+        *count_aggs,
+    )
+    ok = F.lit(True)
+    for i, p in enumerate(pcts):
+        target_lo = F.lit(p) * F.col("n_rows") - F.lit(eps) * F.col("n_rows") - 1
+        target_hi = F.lit(p) * F.col("n_rows") + F.lit(eps) * F.col("n_rows") + 1
+        # feasible rank interval of the returned element: [lt+1, le]
+        ok = (
+            ok
+            & (F.col(f"__lt{i}") + 1 <= target_hi)
+            & (F.col(f"__le{i}") >= target_lo)
+        )
+    return counted.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("__ep")[0], 6).alias("exact_p25"),
+        F.round(F.col("__ep")[1], 6).alias("exact_p50"),
+        F.round(F.col("__ep")[2], 6).alias("exact_p75"),
+        ok.alias("within_rank_bound"),
     )
 
 
-@query("rel_approx_distinct", sql=None)
-def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, rsd 1%) of customers and parts
-    per order priority — the 100 TB cardinality path: one pass, fixed-size
-    mergeable sketch per group, no Expand and no per-key shuffle of the
-    distinct sets (which is what an exact multi-column count(DISTINCT)
-    plans). No oracle: HLL estimates are engine-specific; the relative
-    error vs the exact counts is pytest-pinned instead."""
+_APPROX_D_RSD = 0.01
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURE sketch form of ``rel_approx_distinct`` — what actually runs
+    at 100 TB: one pass, fixed-size mergeable HLL partials, ONE exchange
+    and NO Expand node (plan-gated in test_plans.py). The registry query
+    wraps this with exact counts purely as the oracle-checkable
+    verification harness; this is the plan users should copy."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs"),
-        F.approx_count_distinct("o_totalprice", 0.01).alias("approx_prices"),
+        F.approx_count_distinct("o_custkey", _APPROX_D_RSD).alias("approx_custs"),
+        F.approx_count_distinct("o_totalprice", _APPROX_D_RSD).alias("approx_prices"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+_APPROX_D_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS exact_custs,
+       count(DISTINCT o_totalprice) AS exact_prices,
+       TRUE AS custs_within_5rsd,
+       TRUE AS prices_within_5rsd
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("rel_approx_distinct", sql=_APPROX_D_ORACLE)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) of customers and
+    prices per order priority — the 100 TB cardinality path: one pass,
+    fixed-size mergeable sketch per group, no Expand and no per-key
+    shuffle of the distinct sets (which is what an exact multi-column
+    count(DISTINCT) plans).
+
+    Oracle design (r08): the HLL estimate is engine-specific, but for a
+    FIXED dataset and Spark's fixed hash it is deterministic — so the
+    query emits the engine-invariant exact distinct counts plus booleans
+    |approx - exact| <= max(1, 5·rsd·exact) (5σ of the HLL error model,
+    the same band the pytest pins), and the oracle asserts TRUE. The
+    exact counts are the verification harness; the sketch alone is the
+    scale path."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", _APPROX_D_RSD).alias("__ac"),
+        F.approx_count_distinct("o_totalprice", _APPROX_D_RSD).alias("__ap"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.countDistinct("o_totalprice").alias("exact_prices"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def _ok(approx_col: str, exact_col: str) -> Column:
+        band = F.greatest(
+            F.lit(1.0), F.lit(5.0 * _APPROX_D_RSD) * F.col(exact_col)
+        )
+        return F.abs(F.col(approx_col) - F.col(exact_col)) <= band
+
+    return agg.select(
+        "o_orderpriority",
+        "n_rows",
+        "exact_custs",
+        "exact_prices",
+        _ok("__ac", "exact_custs").alias("custs_within_5rsd"),
+        _ok("__ap", "exact_prices").alias("prices_within_5rsd"),
     )
 
 

@@ -271,10 +271,17 @@ def rel_sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q9 shape: product-type profit — profit expression over a LIKE-filtered
-# part slice, grouped by supplier nation and order year. (No ps_supplycost:
-# unit cost is proxied as 60% of p_retailprice, keeping the
-# revenue-minus-cost expression shape.)
+# Q9: product-type profit — the TRUE TPC-H query since r07: the profit
+# expression uses ps_supplycost from the derived partsupp (joined on the
+# (l_partkey, l_suppkey) pair), over a LIKE-filtered part slice, grouped
+# by supplier nation and order year.
+#
+# Selectivity caveat (ADVICE r07): the testdata's lineitem (partkey,
+# suppkey) pairs are uniform over all S suppliers, while the derived
+# partsupp has 4 slots per part — so the ps equi-join retains ~4/S of
+# lineitem (measured 3.90% at sf0.01, 0.39% at sf0.1; see COVERAGE.md).
+# Oracle-identical either way, but Q9 bench timings are small-slice
+# numbers, not full-fact-scan numbers.
 # ---------------------------------------------------------------------------
 
 _Q9_SQL = f"""

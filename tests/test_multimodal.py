@@ -13,7 +13,15 @@ from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.o
 )
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-ORACLE_QUERIES = ["mm_metadata_summary", "mm_frame_inventory", "mm_frame_dedup"]
+ORACLE_QUERIES = [
+    "mm_metadata_summary",
+    "mm_frame_inventory",
+    "mm_frame_dedup",
+    # r08: the one never-driver-checked query without a parity pytest
+    # (VERDICT r07 item 1) — the oracle is the full cluster-collapse CTE.
+    "mm_frame_dedup_collapse",
+    "mm_frame_near_dup",
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

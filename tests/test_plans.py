@@ -111,8 +111,15 @@ def test_sampling_queries_zero_shuffle(spark, qs):
 
 def test_approx_distinct_single_shuffle_no_expand(spark, qs):
     # HLL sketches partial-aggregate map-side: one exchange of fixed-size
-    # sketch rows, and no Expand node (the exact multi-distinct plan shape)
-    df = qs["rel_approx_distinct"](spark, SF_DIR)
+    # sketch rows, and no Expand node (the exact multi-distinct plan shape).
+    # Gated on the PURE sketch form — the 100 TB path; the registry query
+    # wraps it with exact counts as its oracle-verification harness (r08),
+    # which legitimately plans an Expand for the exact multi-distinct.
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        relational as REL,
+    )
+
+    df = REL.approx_distinct_sketch(spark, SF_DIR)
     PI.assert_max_exchanges(df, 1)
     assert "expand" not in PI.simple_plan(df).lower()
 

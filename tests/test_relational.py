@@ -51,6 +51,10 @@ REL_QUERIES = [
     "pipeline_scd2_asof",
     "dedup_containment",
     "graph_degree_distribution",
+    # r08: the approx-sketch queries promoted from rows-only to full
+    # oracles (engine-invariant exacts + guarantee booleans)
+    "rel_approx_quantiles",
+    "rel_approx_distinct",
 ]
 
 
@@ -79,11 +83,16 @@ def test_approx_distinct_within_rsd(spark):
         load_table,
     )
 
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        relational as REL,
+    )
+
     qs = entrymod.queries()
-    approx = {
-        r["o_orderpriority"]: (r["approx_custs"], r["approx_prices"])
-        for r in qs["rel_approx_distinct"](spark, SF_DIR).collect()
-    }
+    # the registry query self-checks: its booleans must all hold, and its
+    # exact counts must match an independent countDistinct
+    rows = qs["rel_approx_distinct"](spark, SF_DIR).collect()
+    assert len(rows) >= 3
+    assert all(r["custs_within_5rsd"] and r["prices_within_5rsd"] for r in rows)
     exact = {
         r["o_orderpriority"]: (r["nc"], r["np"])
         for r in load_table(spark, SF_DIR, "orders")
@@ -94,7 +103,14 @@ def test_approx_distinct_within_rsd(spark):
         )
         .collect()
     }
-    assert set(approx) == set(exact) and len(exact) >= 3
+    for r in rows:
+        assert (r["exact_custs"], r["exact_prices"]) == exact[r["o_orderpriority"]]
+    # and the pure sketch form (the plan-gated scale path) honors the band
+    approx = {
+        r["o_orderpriority"]: (r["approx_custs"], r["approx_prices"])
+        for r in REL.approx_distinct_sketch(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
     for prio, (ac, ap) in approx.items():
         ec, ep = exact[prio]
         assert abs(ac - ec) <= max(2, 0.05 * ec), (prio, ac, ec)
@@ -110,11 +126,21 @@ def test_approx_quantiles_within_rank_error(spark):
     from pyspark.sql import functions as F
 
     qs = entrymod.queries()
-    approx = {
-        r["l_returnflag"]: (r["approx_p25"], r["approx_p50"], r["approx_p75"])
-        for r in qs["rel_approx_quantiles"](spark, SF_DIR).collect()
-    }
+    # the registry query self-checks its sketch against the rank guarantee
+    rows = qs["rel_approx_quantiles"](spark, SF_DIR).collect()
+    assert len(rows) >= 3 and all(r["within_rank_bound"] for r in rows)
+    # independent pin of the raw sketch's contract (value-bracket check)
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: tuple(r["ap"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], 10000
+            ).alias("ap")
+        )
+        .collect()
+    }
     for flag, pcts in approx.items():
         vals = sorted(
             r["l_extendedprice"]

@@ -330,3 +330,79 @@ def test_semantic_dedup_greedy_small_case(spark):
     # though 1 itself is dropped — the documented single-pass dominance
     # rule (an iterative sweep would re-admit 2).
     assert kept == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_null_and_zero_norm(spark):
+    """ADVICE r07 pins: (a) rows with NULL or empty embeddings are
+    EXCLUDED from the output (np.stack on a ragged/None cell would raise
+    mid-task — the operator filters them as a precondition); (b) a
+    zero-norm vector has pairwise sim 0 to everything, so it is always
+    kept and never dominates a mate, and its cos_c is NULL (the ANSI-safe
+    try_divide fold yields NULL; pandas sorts the NaN image last — lowest
+    keep priority — and Arrow writes it back as NULL) — the documented
+    divergence from the old raising/NaN expression path."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),            # exact dup of 0 -> one of them drops
+        (2, [0.0, 0.0]),            # zero-norm: kept, dominates nobody
+        (3, None),                  # null embedding: excluded
+        (4, []),                    # empty embedding: excluded
+        (5, [0.0, 1.0]),            # orthogonal: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(df, k=1, iters=1, tau=0.9)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert set(got) == {0, 1, 2, 5}, "null/empty rows must be excluded"
+    assert got[2]["kept"] is True
+    assert got[2]["cos_c"] is None
+    # zero vector never dominates: both unit vectors behave as if it
+    # were absent — the 0/1 dup pair still resolves to exactly one kept
+    assert sorted([got[0]["kept"], got[1]["kept"]]) == [False, True]
+    assert got[5]["kept"] is True
+
+
+def test_semantic_dedup_rounding_margin(spark):
+    """ADVICE r07 guard: oracle parity of the GEMM sweep relies on
+    round(sim, 9) agreeing with DuckDB's sequential-fold cosine AT THE
+    DECISION POINT. Sims reach the output only through `rounded > tau`,
+    so the kept flag can flap between engines only if an UNROUNDED sim
+    sits within engine-divergence (float64 association differences, a few
+    ulp ~1e-15) of the one boundary where the rounded value crosses tau:
+    tau + 0.5e-9. Assert no in-cell pair's sim is within 1e-12 of that
+    point on the actual dedup corpus — turning the docstring's 'empirical
+    agreement' into a checked invariant. (Proximity to OTHER rounding
+    boundaries is harmless: both engines' rounded values stay on the same
+    side of tau.)"""
+    import numpy as np
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        vectors as V,
+    )
+
+    corpus, _ = V._dup_corpus(spark, SF_DIR)
+    cents = similarity.kmeans_fit(corpus, 8, 3)
+    assigned = similarity.ivf_assign(corpus, cents)
+    by_cell = {}
+    for r in assigned.select("vec_id", "cell").join(
+        corpus, "vec_id"
+    ).collect():
+        by_cell.setdefault(r["cell"], []).append(r["embedding"])
+    decision_boundary = V._SEMDEDUP_TAU + 0.5e-9
+    margin = 1e-12  # >= 3 orders above worst-case float64 fold divergence
+    checked = 0
+    for vecs in by_cell.values():
+        if len(vecs) < 2:
+            continue
+        v = np.array(vecs, dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        sims = (v @ v.T) / (nrm * nrm.T)
+        iu = np.triu_indices(len(v), k=1)
+        s = sims[iu]
+        dist = np.abs(s - decision_boundary)
+        assert dist.min() > margin, (
+            f"a pair sim sits {dist.min():.2e} from the tau+0.5e-9 "
+            "decision boundary — the kept flag could flap between engines"
+        )
+        checked += len(s)
+    assert checked > 100, "vacuous: too few in-cell pairs checked"
