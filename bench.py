@@ -242,6 +242,18 @@ def main() -> None:
     ):
         times[key] = timed_median(key, lambda fn=fn: materialize(fn(spark, sf_dir)))
 
+    # r08: the pairs where salting/two-phase actually WIN (suites/skewq.py
+    # r08 comment block: hot-partition Window and full-outer skew are the
+    # stragglers AQE cannot split; the inner-join/distinct pairs above are
+    # the documented negative result). Generated 8M-row hot relation.
+    for key, fn in (
+        ("skew_plain_window_gen", skewq.skew_plain_window_gen),
+        ("skew_twophase_window_gen", skewq.skew_twophase_window_gen),
+        ("skew_plain_outer_gen", skewq.skew_plain_outer_gen),
+        ("skew_salted_outer_gen", skewq.skew_salted_outer_gen),
+    ):
+        times[key] = timed_median(key, lambda fn=fn: materialize(fn(spark)))
+
     # --- registry headline queries at sf_dir (BASELINE.md bench 2 + breadth)
     # Fresh JVM for this section: the synthetic grid + sweeps above run ~40
     # timed jobs whose accumulated heap/GC debt would otherwise be billed to

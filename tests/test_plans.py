@@ -584,3 +584,25 @@ def test_equifreq_binning_no_global_window(spark, qs):
     bnlj = re.findall(r"\+- BroadcastNestedLoopJoin", plan)
     assert len(bnlj) == 1, plan
     PI.assert_max_exchanges(df, 2)
+
+
+def test_salted_join_plan_has_salt_expansion(spark, qs):
+    # the salt mechanics must be visible in the physical plan: the dim side
+    # expands via explode(array(salts)) -> a Generate node, and the join
+    # stays a shuffle join on the salted key (broadcast would defeat the
+    # demonstration; the dim is exploded n_salts x but still tiny)
+    df = qs["skew_salted_join"](spark, SF_DIR)
+    plan = PI.simple_plan(df).lower()
+    assert "generate" in plan and "explode" in plan
+    assert not PI.has_cartesian(df)
+
+
+def test_skew_twophase_share_plan(spark, qs):
+    # the two-phase rewrite of the hot-partition window: NO Window node
+    # (that's the straggler being removed), per-key totals broadcast back,
+    # exchanges bounded by the grouped agg (+ AQE bookkeeping)
+    df = qs["skew_twophase_share"](spark, SF_DIR)
+    plan = PI.simple_plan(df).lower()
+    assert "window" not in plan
+    assert PI.has_broadcast_join(df)
+    PI.assert_max_exchanges(df, 2)

@@ -154,3 +154,41 @@ def test_salted_join_still_rejects_full_outer(spark, skewed, dim):
 
     with pytest.raises(ValueError):
         skew.salted_join(skewed, dim, "k", "dk", how="full_outer")
+
+
+def test_skew_gen_pairs_equal(spark):
+    """r08 bench pairs (the shapes where mitigation WINS): the two-phase
+    window rewrite and the salted full outer must return the exact plain
+    results on the generated hot relation (small n for speed; the bench
+    runs n=8M)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        skewq,
+    )
+
+    n = 100_000
+    key = lambda t: tuple((x is None, x) for x in t)
+    a = sorted(
+        map(tuple, skewq.skew_plain_window_gen(spark, n).collect()), key=key
+    )
+    b = sorted(
+        map(tuple, skewq.skew_twophase_window_gen(spark, n).collect()), key=key
+    )
+    assert len(a) == n and a == b
+    c = sorted(
+        map(tuple, skewq.skew_plain_outer_gen(spark, n).collect()), key=key
+    )
+    d = sorted(
+        map(tuple, skewq.skew_salted_outer_gen(spark, n).collect()), key=key
+    )
+    assert len(c) == 8 and c == d  # 7 segments + the null row class
+
+
+def test_skew_twophase_share_oracle_parity(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()["skew_twophase_share"](spark, SF_DIR),
+        E.oracle_sql()["skew_twophase_share"],
+        SF_DIR,
+    )
