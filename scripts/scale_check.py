@@ -11,7 +11,7 @@ construction. doc_ids shift by i·10M; all other tables are reused from
 sf0.1 (the five measured queries read only `documents`).
 
 Run:  python scripts/scale_check.py
-Writes SCALE_CHECK_r07.json at the repo root: per query, median-of-3
+Writes SCALE_CHECK_r08.json at the repo root: per query, median-of-3
 times at sf0.1 and sf1 and the slope vs the 10× row ratio. Round 7 adds a
 10× embeddings synth (dim-rolled copies) for the vector-family queries.
 """
@@ -51,6 +51,12 @@ QUERIES = (
     # the 10x-synthesized embeddings table (VERDICT r06 #2's slope bar)
     "vec_semantic_dedup",
     "vec_lsh_portable",
+    # round-8 (VERDICT r07 item 7): the two multi-operator pipeline
+    # compositions — each chains 4-5 heavy operators over documents, so a
+    # slope row proves the composition (not just each stage) stays
+    # sub-linear-per-row at 10x
+    "pipeline_pretraining_corpus",
+    "pipeline_leakage_safe_split",
 )
 
 
@@ -157,8 +163,8 @@ def main() -> None:
         out[name] = row
         print(f"MARKER {name} sf0.1={row['sf0.1']['median_sec']}s "
               f"sf1={row['sf1']['median_sec']}s slope={ratio}x", flush=True)
-    (REPO / "SCALE_CHECK_r07.json").write_text(json.dumps(out, indent=1) + "\n")
-    print("MARKER wrote SCALE_CHECK_r07.json")
+    (REPO / "SCALE_CHECK_r08.json").write_text(json.dumps(out, indent=1) + "\n")
+    print("MARKER wrote SCALE_CHECK_r08.json")
     spark.stop()
 
 

