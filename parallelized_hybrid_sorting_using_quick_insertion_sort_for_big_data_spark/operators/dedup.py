@@ -1194,3 +1194,117 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line/paragraph-granular exact dedup that REWRITES documents — the
+    C4 / RefinedWeb "remove duplicated lines across the corpus" step (the
+    one dedup tier that edits documents instead of dropping them whole).
+    Documents are split into segments (the testdata has no newlines, so
+    the unit is a fixed ``seg_words``-word window — on a corpus with real
+    lines, split on the newline instead: the mechanics are identical from
+    the explode on), every segment's FIRST corpus occurrence (lexicographic
+    min (id, seg_idx)) is kept, later occurrences are dropped, and each
+    document is rebuilt from its surviving segments in original order.
+
+    Output: (id, n_segs, n_kept, cleaned_text) — one row per input doc;
+    a fully-duplicated doc survives as an empty string (count it, don't
+    lose it).
+
+    Scale shape: one narrow explode (segments carry their text once),
+    keep-first as a MIN-STRUCT grouped aggregate on the segment hash
+    (map-side partials — a corpus-hot segment never funnels a reducer,
+    unlike the window row_number() formulation), an equi-join of winners
+    back on (hash, id, idx), and one shuffle on id to reassemble. The
+    rebuild necessarily moves segment text (the output IS the cleaned
+    corpus); the dedup DECISION itself moves only fixed-width
+    (hash, id, idx) triples."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_words)).cast("int")
+    segs = (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__w"),
+            F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("__i", "__seg_idx"),
+        )
+        .select(
+            id_col,
+            F.col("__seg_idx").cast("long").alias("seg_idx"),
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__seg_idx") * seg_words + 1, seg_words),
+                " ",
+            ).alias("seg"),
+        )
+        .withColumn("h", F.md5(F.col("seg")))
+    )
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__first")
+    )
+    kept = segs.join(winners, "h").where(
+        (F.col(id_col) == F.col("__first")[id_col])
+        & (F.col("seg_idx") == F.col("__first.seg_idx"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+def segment_dedup_oracle_sql(seg_words: int = 15, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`segment_dedup`: same single-space
+    tokenization, same fixed-window segmentation, keep-first by
+    lexicographic (doc_id, seg_idx) (a window row_number — fine at oracle
+    scale), same space-joined rebuild."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {table}
+),
+seg AS (
+  SELECT t.doc_id,
+         CAST(gs.i AS BIGINT) AS seg_idx,
+         array_to_string(w[gs.i * {seg_words} + 1 : (gs.i + 1) * {seg_words}], ' ') AS seg
+  FROM tok t
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(CAST(ceil(len(w) / {seg_words}.0) AS BIGINT))) AS i
+  ) gs
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (
+           PARTITION BY md5(seg) ORDER BY doc_id, seg_idx
+         ) AS rn
+  FROM seg
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY doc_id)
+SELECT t.doc_id, t.n_segs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""

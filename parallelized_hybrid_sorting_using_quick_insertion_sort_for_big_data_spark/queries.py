@@ -82,79 +82,70 @@ _DRIVER_WINDOW = 50
 # block. NEVER assume old rows stay valid across a testdata regeneration
 # (r03 TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 6 WINDOW (50 exactly; pytest-guarded in test_session.py).
-    # -- 12 round-5 queries that never got a driver row (judge-verified
-    #    locally in r05; text_bpe_* additionally REWRITTEN this round —
-    #    greedy-merge fix — so their window slot is doubly required)
-    "rel_window_range_frame",
-    "rel_moment_stats",
-    "rel_sql_q10_returned_items",
-    "rel_sql_q18_large_volume",
-    "rel_sql_q14_promo_revenue",
-    "rel_sql_q19_brand_ranges",
-    "events_ewma",
-    "events_rollup_multires",
-    "events_user_timeline",
-    "text_bpe_merges",
-    "text_bpe_segmentation",
-    "mm_frame_dedup",
-    # -- new in round 6: never driver-checked
-    "rel_sql_q17_small_quantity",
-    "rel_sql_q21_waiting_supplier",
-    "rel_sql_q22_dormant_balance",
+    # ROUND 8 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # Rotation policy (VERDICT r07 item 1 root cause: the r07 window was
+    # never rotated, so 12 queries stayed driver-unchecked): FRONT = every
+    # query with no driver row in ANY round (14 — the judge's 12 plus the
+    # two new r08 queries) + the 4 whose implementation changed this round
+    # (the three promoted approx-sketch oracles and the GEMM-division
+    # semantic dedup); TAIL = oldest-driver-checked first (r04 block, then
+    # r05), with the 3 rows-only queries deferred past oracle-backed ones
+    # (their oracle-exact twins carry the value check). All 50 verified in
+    # the local full sweep before commit.
+    # -- never driver-checked (14)
+    "dedup_containment",
+    "dedup_segment_rewrite",
+    "events_stream_late_drop",
+    "mm_frame_dedup_collapse",
+    "pipeline_data_quality_audit",
+    "pipeline_leakage_safe_split",
+    "pipeline_pretraining_corpus",
+    "pipeline_scd2_asof",
+    "rel_equifreq_binning",
+    "rel_window_value_functions",
+    "sample_weighted_topk",
+    "skew_twophase_share",
+    "text_bigram_fluency",
+    "text_vocab_growth",
+    # -- implementation changed in round 8
+    "rel_approx_quantiles",
+    "rel_approx_distinct",
+    "events_outlier_robust_approx",
     "vec_semantic_dedup",
-    "mm_frame_near_dup",
-    # -- displaced past the cap in round 5 (newest row r03; unchanged code,
-    #    locally full-sweep verified in r05)
-    "vec_topk_with_metadata",
-    "vec_quantize_int8",
-    # -- late round-6 adds, never driver-checked: the TPC-H completion
-    #    suite (suites/tpch.py) + graph analytics (suites/graphq.py)
-    "rel_sql_q2_min_cost_supplier",
-    "rel_sql_q4_priority_check",
-    "rel_sql_q6_forecast_revenue",
-    "rel_sql_q7_volume_shipping",
-    "rel_sql_q8_market_share",
-    "rel_sql_q9_product_profit",
-    "rel_sql_q11_important_stock",
-    "rel_sql_q12_ship_classes",
-    "rel_sql_q13_customer_distribution",
-    "rel_sql_q15_top_supplier",
-    "rel_sql_q16_supplier_relationship",
-    "rel_sql_q20_part_promotion",
-    "graph_pagerank_trade",
-    "graph_degree_distribution",
-    "text_crossdup_coverage",
-    # -- the r04-checked block, oldest-checked first (CORRECTNESS_r04.json
-    #    record order); the remaining 30 r04 names (from rel_set_operations
-    #    on, incl. mm_frame_sample, mm_frame_dedup_collapse,
-    #    rel_correlated_subquery, rel_window_rank_functions) + the 50
-    #    r05-green queries keep import order in the tail and rotate in
-    #    round 7 — all r04-green, unchanged code, locally full-sweep
-    #    verified this round.
-    # ROUND 7 FRONT (pre-planned): the late-round-6 queries that missed
-    #    this window (pipeline_data_quality_audit, text_vocab_growth,
-    #    rel_window_value_functions, text_bigram_fluency,
-    #    sample_weighted_topk, pipeline_scd2_asof, rel_equifreq_binning,
-    #    dedup_containment — all locally hash-verified,
-    #    LOCAL_VERIFY_r06.txt addenda 4+), then the r04 leftovers
-    #    oldest-first, then the r05 block.
-    "events_sessionize",
-    "events_stream_user_profile",
-    "events_stream_tumbling",
-    "events_stream_dedup",
-    "events_stream_enrich",
-    "events_asof_join",
-    "events_range_join",
-    "events_zorder_code",
-    "events_resample_gapfill",
-    "events_outlier_robust",
-    "mm_metadata_summary",
-    "mm_frame_inventory",
-    "rel_q1_pricing_summary",
-    "rel_join_revenue_by_nation",
-    "rel_window_top_orders_per_segment",
-    "rel_semi_anti_join",
+    # -- oldest-checked refill (last driver row r04)
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "events_stream_sessionize",
+    "events_stream_stream_join",
+    "mm_frame_sample",
+    "pipeline_scd2_merge",
+    "rel_correlated_subquery",
+    "rel_cube_orders",
+    "rel_distinct_aggregates",
+    "rel_grouping_sets",
+    "rel_histogram",
+    "rel_outer_join",
+    "rel_percentiles",
+    "rel_pivot_priority_by_year",
+    "rel_rollup_customers",
+    "rel_scalar_functions",
+    "rel_set_operations",
+    "rel_sql_q3_shipping_priority",
+    "rel_unpivot_part_metrics",
+    "rel_window_rank_functions",
+    "rel_window_running_totals",
+    "sort_total_lineitem",
+    "text_analysis",
+    "text_minhash_doc_sketch",
+    "text_winnow_fingerprints",
+    "vec_ann_recall",
+    "vec_bucketed_near_dup",
+    "vec_kmeans_centroids",
+    "vec_kmeans_ivf_topk",
+    # -- oldest-checked refill (last driver row r05)
+    "decontam_bloom_membership",
+    "decontam_ngram_overlap",
+    "dedup_components",
 )
 
 

@@ -1226,3 +1226,31 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         corpus, n=_NGRAM_N, threshold=_CONT_T, max_shingle_freq=_MAX_SHINGLE_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (line/paragraph) exact dedup — the C4/RefinedWeb tier that
+# EDITS documents: every 15-word segment keeps only its first corpus
+# occurrence; docs are rebuilt from their surviving segments in order.
+# ---------------------------------------------------------------------------
+
+_SEG_WORDS = 15
+
+
+@query("dedup_segment_rewrite", sql=dedup.segment_dedup_oracle_sql(_SEG_WORDS))
+def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide segment dedup with document REWRITE (r08): split every
+    document into 15-word segments, keep each segment's first corpus
+    occurrence (lexicographic (doc_id, seg_idx) — deterministic, mirrored
+    by the oracle's row_number), drop later occurrences, and rebuild every
+    document from its surviving segments in original order. Output one
+    row per input doc: (doc_id, n_segs, n_kept, cleaned_text) — the
+    cleaned corpus itself is value-hashed against the oracle, proving the
+    whole explode → keep-first → order-preserving reassembly exactly.
+    Keep-first is a min-struct grouped aggregate (map-side partials, no
+    hot-hash straggler); see operators/dedup.py:segment_dedup for the
+    100 TB shape."""
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return dedup.segment_dedup(docs, seg_words=_SEG_WORDS)

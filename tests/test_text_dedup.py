@@ -22,6 +22,7 @@ ORACLE_QUERIES = [
     "text_winnow_fingerprints",
     "pipeline_leakage_safe_split",
     "pipeline_pretraining_corpus",
+    "dedup_segment_rewrite",
 ]
 
 
@@ -631,3 +632,62 @@ def test_containment_query_finds_all_planted_truncations(spark):
     }
     missing = {d for d in eligible if (d, d + _CONT_SHIFT) not in pairs}
     assert not missing, f"planted truncation pairs missing: {sorted(missing)[:5]}"
+
+
+def test_segment_dedup_semantics(spark):
+    """Hand-checkable segment dedup (seg_words=2): cross-doc duplicate
+    segments drop from the LATER doc, within-doc repeats drop from the
+    later index, rebuild preserves order, a fully-duplicated doc becomes
+    the empty string (still one output row), and a short trailing segment
+    is its own unit."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # segs: "a b","c d","e"
+            (2, "a b x y"),          # "a b" dup of doc1 -> drops; keeps "x y"
+            (3, "c d e"),            # "c d" dups doc1; "e" is a NEW segment
+                                     # ("e" in doc1 is seg ("e"), same hash ->
+                                     # doc3's "e" drops too) -> only "" left?
+            (4, "c d c d"),          # within-doc repeat + cross-doc dup -> empty
+            (5, "q r"),              # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(docs, seg_words=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1]["n_segs"], out[1]["n_kept"], out[1]["cleaned_text"]) == (3, 3, "a b c d e")
+    assert (out[2]["n_segs"], out[2]["n_kept"], out[2]["cleaned_text"]) == (2, 1, "x y")
+    assert (out[3]["n_segs"], out[3]["n_kept"], out[3]["cleaned_text"]) == (2, 0, "")
+    assert (out[4]["n_segs"], out[4]["n_kept"], out[4]["cleaned_text"]) == (2, 0, "")
+    assert (out[5]["n_segs"], out[5]["n_kept"], out[5]["cleaned_text"]) == (1, 1, "q r")
+
+
+def test_segment_dedup_conservation(spark):
+    """Global invariants on the real corpus: every distinct segment hash
+    survives EXACTLY once corpus-wide, and kept+dropped == total."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = dedup.segment_dedup(docs, seg_words=15)
+    agg = out.agg(F.sum("n_segs").alias("t"), F.sum("n_kept").alias("k")).collect()[0]
+    # distinct segments across the corpus == total kept
+    toks = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(15)).cast("int")
+    segs = docs.select(
+        toks.alias("w"),
+        F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias("i", "si"),
+    ).select(F.md5(F.array_join(F.slice(F.col("w"), F.col("si") * 15 + 1, 15), " ")).alias("h"))
+    n_distinct = segs.select("h").distinct().count()
+    assert agg["k"] == n_distinct
+    assert agg["t"] == segs.count()
+    assert agg["k"] < agg["t"], "vacuous: corpus has no duplicated segments"
