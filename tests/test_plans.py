@@ -606,3 +606,15 @@ def test_skew_twophase_share_plan(spark, qs):
     assert "window" not in plan
     assert PI.has_broadcast_join(df)
     PI.assert_max_exchanges(df, 2)
+
+
+def test_segment_rewrite_plan(spark, qs):
+    # segment dedup: keep-first must be the min-struct AGGREGATE (no
+    # Window/row_number straggler on the segment hash), no cartesian, and
+    # the scan reads only (doc_id, text)
+    df = qs["dedup_segment_rewrite"](spark, SF_DIR)
+    plan = PI.simple_plan(df).lower()
+    assert "window" not in plan
+    assert not PI.has_cartesian(df)
+    for schema in PI.scan_read_schemas(df):
+        assert schema.count(":") <= 2, schema
