@@ -804,13 +804,32 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts are the verification harness; the sketch alone is the
     scale path."""
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
+    # The exact counts are computed as distinct-project → count per
+    # column, then joined to the one-pass sketch agg — NOT as
+    # countDistinct terms inside the sketch aggregation: mixing two exact
+    # DISTINCT columns with HLL aggregates in one agg plans a 3-way
+    # Expand whose replicated rows defeat the hash-agg fast path
+    # (measured 7-20 s vs 1.5 s for this form at sf0.1). The join keys
+    # are one-row-per-group relations; all three legs are ordinary
+    # two-phase aggregations.
+    sketch = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", _APPROX_D_RSD).alias("__ac"),
         F.approx_count_distinct("o_totalprice", _APPROX_D_RSD).alias("__ap"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
-        F.countDistinct("o_totalprice").alias("exact_prices"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    ec = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_custs"))
+    )
+    ep = (
+        o.select("o_orderpriority", "o_totalprice")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_prices"))
+    )
+    agg = sketch.join(ec, "o_orderpriority").join(ep, "o_orderpriority")
 
     def _ok(approx_col: str, exact_col: str) -> Column:
         band = F.greatest(
