@@ -1050,7 +1050,16 @@ def semantic_dedup(
         dropped = np.zeros(n, dtype=bool)
         for lo in range(0, n, tile):
             hi = min(lo + tile, n)
-            sims = np.round((v[lo:hi] @ v.T) / (nrm[lo:hi] * nrm.T), round_digits)
+            # raw-dot GEMM, then divide by the norms IN PLACE (two
+            # broadcast divisions) — same dot/(na*nb) structure without
+            # materializing the tile×n outer-product and quotient
+            # temporaries (measured ~0.5 s at sf0.1). Last-ulp
+            # association differences vs a fused divide are covered by
+            # the decision-boundary margin test.
+            sims = v[lo:hi] @ v.T
+            sims /= nrm[lo:hi]
+            sims /= nrm.T
+            np.round(sims, round_digits, out=sims)
             # strictly-higher-priority mates only: columns j < row index
             mask = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
             dropped[lo:hi] = ((sims > tau) & mask).any(axis=1)
