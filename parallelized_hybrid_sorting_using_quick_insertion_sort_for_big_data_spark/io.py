@@ -108,3 +108,53 @@ def read_table(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame
     else:
         r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
     return r.format(fmt).load(path)
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction (r08): rewrite a dataset directory into
+    ~``target_file_bytes`` files. The small-files problem is the chronic
+    100 TB lake disease — a streaming sink or an over-parallel write
+    leaves thousands of KB-sized files, and every later scan pays a task
+    + a footer read + an open/close per file; compaction is the
+    standing maintenance job that fixes it.
+
+    Sizing uses the SOURCE's on-disk bytes (driver-side filesystem
+    metadata via Spark's Hadoop FS — no data read): n_files =
+    clamp(ceil(total_bytes / target), 1, current_file_count). The
+    rewrite is one round-robin ``repartition(n)`` — an explicit full
+    shuffle, which is the honest cost of re-laying-out data; for a
+    sorted/z-ordered dataset use the sorted writers instead (this
+    function is for UNordered layout where only file count matters).
+    Returns the file count written."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(hconf)
+    total = 0
+    n_src = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden metadata
+        total += f.getLen()
+        n_src += 1
+    if n_src == 0:
+        raise ValueError(f"no data files under {src_path!r}")
+    n_out = max(1, min(n_src, -(-total // target_file_bytes)))
+    df = read_table(spark, src_path, fmt)
+    write_table(df.repartition(n_out), dst_path, fmt)
+    out_files = [
+        s.getPath().getName()
+        for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dst_path))
+    ]
+    return sum(1 for n in out_files if not (n.startswith("_") or n.startswith(".")))

@@ -1254,3 +1254,99 @@ def dedup_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return dedup.segment_dedup(docs, seg_words=_SEG_WORDS)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law slope: least-squares fit of log(freq) vs log(rank) over the
+# top-R token frequency spectrum — the other half of the corpus-statistics
+# pair (vocab growth = Heaps law). Engine-portable by the rel_moment_stats
+# device: regression inputs are round(ln(.), 9) cast to exact decimals,
+# the five power sums accumulate order-independently in DECIMAL(38,18),
+# and slope/intercept are computed from the sums in a fixed double
+# expression — identical IEEE ops from identical inputs on both engines.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_R = 1000
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+freq AS (
+  SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY t
+),
+top AS (
+  SELECT t, f FROM freq ORDER BY f DESC, t LIMIT {_ZIPF_TOP_R}
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM top
+),
+pts AS (
+  SELECT CAST(round(ln(r), 9) AS DECIMAL(18,9)) AS x,
+         CAST(round(ln(f), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked
+),
+sums AS (
+  -- x*y of DECIMAL(18,9) operands -> 18-fractional-digit product, exact
+  -- and under width 38 in BOTH engines (a (38,18)x(38,18) multiply would
+  -- hit each engine's own overflow/truncation policy and diverge)
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+FROM sums
+"""
+
+
+@query("text_zipf_slope", sql=_ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token-frequency spectrum (r08): rank the
+    top-{R} tokens by frequency, fit log(freq) = slope·log(rank) + b by
+    least squares. A natural corpus fits slope ≈ −1; the statistic feeds
+    tokenizer sizing and quality monitoring (a crawler stuck on
+    boilerplate shows a flattened head). Scale shape: token counts are a
+    two-phase agg; the top-R is ORDER BY … LIMIT (TakeOrdered — per-
+    partition heaps, no global sort); only R rows ever reach the
+    single-partition ranking window; the fit is five decimal power sums
+    over R rows. Portability: ln() may differ in the last ulp across
+    libms, so both engines round it to 9 digits BEFORE exact decimal
+    accumulation; slope/intercept are fixed double expressions over
+    identical sums."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    ).where(F.col("t") != "")
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.desc("f"), "t").limit(_ZIPF_TOP_R)
+    ranked = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("f"), "t"))
+    )
+    dec9 = "decimal(18,9)"
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 9).cast(dec9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).cast(dec9).alias("y"),
+    )
+    # (18,9) x (18,9) multiply -> exact 18-fractional-digit decimal under
+    # width 38 in both engines (see the oracle's comment)
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x")).cast("double").alias("sx"),
+        F.sum(F.col("y")).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("bigint").alias("n_points"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )

@@ -86,3 +86,34 @@ def test_write_sorted_roundtrip_equals_orderBy(spark, ints, tmp_path):
     got = {(r["id"], r["value"]) for r in back.collect()}
     want = {(r["id"], r["value"]) for r in ints.collect()}
     assert got == want
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files compact to the byte-sized target count with the exact
+    same rows; the sizing probe is metadata-only (no read of the data)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark import io as eio
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    df.repartition(64).write.parquet(src)
+    import os
+
+    n_src = sum(1 for n in os.listdir(src) if n.endswith(".parquet"))
+    assert n_src == 64
+    total = sum(
+        os.path.getsize(os.path.join(src, n))
+        for n in os.listdir(src)
+        if n.endswith(".parquet")
+    )
+    # target = half the total -> expect exactly 2 files
+    n_out = eio.compact(spark, src, dst, target_file_bytes=(total + 1) // 2)
+    assert n_out == 2
+    assert sum(1 for n in os.listdir(dst) if n.endswith(".parquet")) == 2
+    a = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+    # degenerate guards: huge target -> 1 file; tiny target never exceeds
+    # the source file count
+    assert eio.compact(spark, src, str(tmp_path / "c1"), 10**12) == 1
+    assert eio.compact(spark, src, str(tmp_path / "c2"), 1) == 64

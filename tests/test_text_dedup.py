@@ -23,6 +23,7 @@ ORACLE_QUERIES = [
     "pipeline_leakage_safe_split",
     "pipeline_pretraining_corpus",
     "dedup_segment_rewrite",
+    "text_zipf_slope",
 ]
 
 
@@ -691,3 +692,37 @@ def test_segment_dedup_conservation(spark):
     assert agg["k"] == n_distinct
     assert agg["t"] == segs.count()
     assert agg["k"] < agg["t"], "vacuous: corpus has no duplicated segments"
+
+
+def test_zipf_slope_matches_numpy_fit(spark):
+    """The decimal-power-sum regression must agree with an independent
+    numpy least-squares fit on the same (rounded) points to float
+    precision, and the spectrum's slope must be negative (frequencies
+    decay with rank)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    row = E.queries()["text_zipf_slope"](spark, SF_DIR).collect()[0]
+    assert row["n_points"] > 10
+    assert row["slope"] < 0
+    toks = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    freqs = sorted(
+        (r["f"] for r in toks.groupBy("t").agg(F.count(F.lit(1)).alias("f")).collect()),
+        reverse=True,
+    )[:1000]
+    x = np.array([round(math.log(i + 1), 9) for i in range(len(freqs))])
+    y = np.array([round(math.log(f), 9) for f in freqs])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(slope - row["slope"]) < 1e-9
+    assert abs(intercept - row["intercept"]) < 1e-9
