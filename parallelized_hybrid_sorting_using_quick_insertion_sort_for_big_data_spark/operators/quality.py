@@ -77,3 +77,91 @@ def audit(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_reference: Column,
+    bucket_width: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current window
+    of the same relation, per group — THE standing distribution-drift
+    monitor of a production data pipeline (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 investigate). r08 extension breadth: drift
+    detection is what tells a training-data pipeline its newest crawl
+    slice no longer looks like the corpus the filters were tuned on.
+
+    PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i) over equal-width value
+    buckets (add-one smoothed, so empty buckets are well-defined).
+
+    Engine portability (the suite's standard device): every input to the
+    float math is an exact integer count; p, q, and p−q are fixed chains
+    of single IEEE ops; ln() — the one libm call — is computed on ONE
+    integer-ratio double and rounded to 9 digits; each bucket's term is
+    rounded to 9 and the cross-bucket reduction happens in exact
+    DECIMAL(28,9), so association order cannot move the result.
+
+    Scale shape: two conditional-count aggregations over a (group,
+    bucket) key — map-side partials, one fixed-width exchange, output
+    |groups| × n_buckets rows pre-spine-join and |groups| rows out. The
+    bucket spine (a literal sequence) guarantees empty buckets
+    participate in both engines identically."""
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    counts = (
+        df.select(
+            F.col(group_col),
+            b.alias("__b"),
+            is_reference.cast("int").alias("__ref"),
+        )
+        .groupBy(group_col, "__b")
+        .agg(
+            F.sum("__ref").cast("long").alias("n_ref"),
+            F.sum(1 - F.col("__ref")).cast("long").alias("n_cur"),
+        )
+    )
+    spine = (
+        df.select(group_col)
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(n_buckets).select(
+                F.col("id").cast("int").alias("__b")
+            )
+        )
+    )
+    full = spine.join(counts, [group_col, "__b"], "left").select(
+        group_col,
+        "__b",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = full.groupBy(group_col).agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    j = full.join(F.broadcast(tot), group_col)
+    # smoothed proportions; the ln argument is ONE integer-ratio division
+    rp = F.col("n_ref") + 1
+    rq = F.col("n_cur") + 1
+    dp = (F.col("__tr") + n_buckets).cast("double")
+    dq = (F.col("__tc") + n_buckets).cast("double")
+    p = rp.cast("double") / dp
+    q = rq.cast("double") / dq
+    lnr = F.round(
+        F.log((rp * (F.col("__tc") + n_buckets)).cast("double")
+              / (rq * (F.col("__tr") + n_buckets)).cast("double")),
+        9,
+    )
+    term = F.round((p - q) * lnr, 9).cast("decimal(28,9)")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            (F.sum("n_ref")).alias("n_ref"),
+            (F.sum("n_cur")).alias("n_cur"),
+            F.sum(term).cast("double").alias("psi"),
+        )
+    )

@@ -865,3 +865,81 @@ def events_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_types"),
         F.element_at(seq, -1)["et"].alias("last_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift: first half-month (reference) vs second half
+# (current) of each event type's value distribution. Oracle replicates
+# the operator's exact math: integer bucket counts, a 10-bucket literal
+# spine, add-one smoothing, single-division ln argument rounded to 9,
+# per-bucket terms rounded to 9, decimal cross-bucket sum.
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 50.0
+
+_PSI_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_PSI_WIDTH}) AS INT), {_PSI_BUCKETS - 1}) AS b,
+         CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS is_ref
+  FROM events
+),
+counts AS (
+  SELECT event_type, b,
+         sum(is_ref) AS n_ref,
+         sum(1 - is_ref) AS n_cur
+  FROM base GROUP BY 1, 2
+),
+spine AS (
+  SELECT DISTINCT event_type, gs.b
+  FROM base, (SELECT unnest(range({_PSI_BUCKETS})) AS b) gs
+),
+full_grid AS (
+  SELECT s.event_type, s.b,
+         coalesce(c.n_ref, 0) AS n_ref,
+         coalesce(c.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.b = c.b
+),
+tot AS (
+  SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+  FROM full_grid GROUP BY 1
+),
+terms AS (
+  SELECT g.event_type, g.n_ref, g.n_cur,
+         CAST(round(
+           (CAST(g.n_ref + 1 AS DOUBLE) / CAST(t.tr + {_PSI_BUCKETS} AS DOUBLE)
+            - CAST(g.n_cur + 1 AS DOUBLE) / CAST(t.tc + {_PSI_BUCKETS} AS DOUBLE))
+           * round(ln(CAST((g.n_ref + 1) * (t.tc + {_PSI_BUCKETS}) AS DOUBLE)
+                      / CAST((g.n_cur + 1) * (t.tr + {_PSI_BUCKETS}) AS DOUBLE)), 9),
+           9) AS DECIMAL(28,9)) AS term
+  FROM full_grid g JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+       CAST(sum(term) AS DOUBLE) AS psi
+FROM terms
+GROUP BY event_type
+"""
+
+
+@query("events_psi_drift", sql=_PSI_ORACLE)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the month's first
+    half (reference) and second half (current) — the standing
+    distribution-drift monitor (r08). See operators/quality.py:psi_drift
+    for the engine-portability and scale argument; the oracle replicates
+    the identical integer-counts → single-division-ln → rounded-decimal
+    reduction, so PSI matches bit-for-bit."""
+    from ..operators import quality as Q
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return Q.psi_drift(
+        ev,
+        "event_type",
+        "value",
+        is_reference=F.dayofmonth("ts") <= 15,
+        bucket_width=_PSI_WIDTH,
+        n_buckets=_PSI_BUCKETS,
+    )

@@ -23,6 +23,7 @@ ORACLE_QUERIES = [
     "events_stream_late_drop",
     # r08: promoted from rows-only (exact med/MAD + rank-guarantee booleans)
     "events_outlier_robust_approx",
+    "events_psi_drift",
 ]
 
 
@@ -322,3 +323,54 @@ def test_ewma_matches_reference_computation(spark):
                 den = den + w
         want = num / den
         assert got[(r["user_id"], r["ts_us"], r["event_id"])] == want, r
+
+
+def test_psi_drift_semantics(spark):
+    """PSI on planted distributions: an identical ref/cur split scores
+    ~0, a hard mass shift scores big, and the operator's value matches a
+    from-scratch pure-Python PSI (same smoothing and rounding) exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        quality as Q,
+    )
+
+    rows = []
+    # 'stable': ref and cur both uniform over buckets 0..4 (value 5..45)
+    for i in range(500):
+        rows.append(("stable", float((i % 5) * 10 + 5), i % 2 == 0))
+    # 'shifted': ref in buckets 0-1, cur in buckets 8-9
+    for i in range(250):
+        rows.append(("shifted", float((i % 2) * 10 + 5), True))
+        rows.append(("shifted", float(480 - (i % 2) * 10), False))
+    df = spark.createDataFrame(rows, "g string, v double, is_ref boolean")
+    out = {
+        r["g"]: r
+        for r in Q.psi_drift(
+            df, "g", "v", F.col("is_ref"), bucket_width=50.0, n_buckets=10
+        ).collect()
+    }
+    assert out["stable"]["psi"] < 0.01
+    assert out["shifted"]["psi"] > 1.0
+    # exact replication in pure python for the shifted group
+    n_ref = [0] * 10
+    n_cur = [0] * 10
+    for g, v, is_ref in rows:
+        if g != "shifted":
+            continue
+        b = min(int(v // 50.0), 9)
+        (n_ref if is_ref else n_cur)[b] += 1
+    tr, tc = sum(n_ref), sum(n_cur)
+    psi = 0
+    from decimal import Decimal
+
+    for bkt in range(10):
+        rp, rq = n_ref[bkt] + 1, n_cur[bkt] + 1
+        p = rp / (tr + 10)
+        q = rq / (tc + 10)
+        lnr = round(math.log((rp * (tc + 10)) / (rq * (tr + 10))), 9)
+        psi += Decimal(str(round((p - q) * lnr, 9)))
+    assert float(psi) == out["shifted"]["psi"]
+    assert out["shifted"]["n_ref"] == tr and out["shifted"]["n_cur"] == tc
