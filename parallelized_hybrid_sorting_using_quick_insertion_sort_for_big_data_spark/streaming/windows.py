@@ -526,3 +526,57 @@ def stream_windowed_cms(
         if staged is not None:
             shutil.rmtree(staged, ignore_errors=True)
     return read_sink(spark, out_dir, agg.schema)
+
+
+def stream_scd2_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream–static TEMPORAL enrichment against a versioned (SCD2)
+    dimension (r08): each streaming event joins the dimension VERSION
+    that was valid at its event time — ``key`` equality plus
+    ``valid_from_us <= ts_us < valid_to_us`` — then rolls up per
+    dimension attribute. The production shape for enriching a
+    clickstream with slowly-changing customer attributes without
+    reprocessing: the equality key keeps the join hash-based (the range
+    residual filters the 2-3 versions of that key), the dim broadcasts,
+    and the join itself is stateless — state exists only for the final
+    aggregation (complete mode, |segments| rows).
+
+    Dim contract: (key, segment, valid_from_us, valid_to_us) with
+    half-open [from, to) validity — the scd.py convention."""
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_scd2e_{uuid.uuid4().hex[:8]}"
+    staged = None
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(source_dir):
+        staged = os.path.join(tempfile.gettempdir(), name + "_src")
+        os.makedirs(staged, exist_ok=True)
+        shutil.copy(source_dir, os.path.join(staged, os.path.basename(source_dir)))
+        source_dir = staged
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(source_dir)
+    ).withColumn("__ts_us", F.unix_micros(F.col("ts")))
+    cond = (
+        (events[key] == dim[key])
+        & (events["__ts_us"] >= dim["valid_from_us"])
+        & (events["__ts_us"] < dim["valid_to_us"])
+    )
+    enriched = events.join(F.broadcast(dim), cond).drop(dim[key])
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+    )
+    try:
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(
+                agg, name, output_mode="complete", overwrite_each_batch=True
+            )
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
+    return read_sink(spark, out_dir, agg.schema)

@@ -943,3 +943,62 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=_PSI_WIDTH,
         n_buckets=_PSI_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 temporal enrichment: events join the dimension VERSION
+# valid at their event time. The dim has two deterministic versions per
+# customer (segment, then segment_v2 from mid-month), so the pick is
+# visible in the output labels.
+# ---------------------------------------------------------------------------
+
+_SCD2E_MID_US = 1705363200000000   # 2024-01-16T00:00:00Z
+_SCD2E_HI_US = 4102444800000000    # 2100-01-01
+
+_SCD2E_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey AS user_id, c_mktsegment AS segment,
+         0 AS valid_from_us, {_SCD2E_MID_US} AS valid_to_us
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_v2', {_SCD2E_MID_US}, {_SCD2E_HI_US}
+  FROM customer
+)
+SELECT segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS total_value
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND epoch_us(e.ts) >= d.valid_from_us
+          AND epoch_us(e.ts) < d.valid_to_us
+GROUP BY segment
+"""
+
+
+@query("events_stream_scd2_enrich", sql=_SCD2E_ORACLE)
+def events_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming temporal enrichment against a two-version SCD2 customer
+    dimension (r08): each event takes the segment label that was valid at
+    its event time (plain segment before mid-month, segment_v2 after),
+    rolled up per label — executed as a real readStream job and
+    oracle-checked against the identical batch range join. See
+    streaming/windows.py:stream_scd2_enrich for the scale contract
+    (equality-keyed broadcast join, range residual, stateless join)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(_SCD2E_MID_US).cast("long").alias("valid_to_us"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit(_SCD2E_MID_US).cast("long").alias("valid_from_us"),
+        F.lit(_SCD2E_HI_US).cast("long").alias("valid_to_us"),
+    )
+    return W.stream_scd2_enrich(
+        spark, f"{sf_dir}/events.parquet", schema, v1.unionByName(v2)
+    )

@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     # r08: promoted from rows-only (exact med/MAD + rank-guarantee booleans)
     "events_outlier_robust_approx",
     "events_psi_drift",
+    "events_stream_scd2_enrich",
 ]
 
 
