@@ -119,3 +119,75 @@ SELECT doc_id, score,
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search via positional postings (r08) — the retrieval
+    capability BM25's bag-of-words scoring cannot express: count every
+    occurrence of the EXACT token sequence ``phrase`` per document.
+    Output: (id, n_matches), matching docs only.
+
+    Plan: one positional posting relation (term, id, pos) from a single
+    posexplode — then a k-way self-join chained on (same doc, pos+i)
+    with each leg FILTERED to its query term before joining, so only the
+    query terms' posting lists (corpus-frequency-sized, not corpus-
+    sized) ever reach an exchange. That is the inverted-index query
+    topology: at 100 TB the postings relation is the precomputed index
+    (write it bucketed by term), and a phrase query touches |terms|
+    posting lists — never the corpus. Token positions are identical to
+    the oracle's generate_subscripts (1-based)."""
+    terms = [t for t in phrase.lower().split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("__p0", "__t"),
+    ).select(
+        id_col,
+        (F.col("__p0") + 1).cast("long").alias("pos"),
+        F.col("__t").alias("term"),
+    )
+    legs = None
+    for i, t in enumerate(terms):
+        # each leg normalizes its position to the phrase START, so every
+        # join is a plain equi-join on (id, start)
+        leg = postings.where(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("__start")
+        )
+        legs = leg if legs is None else legs.join(leg, [id_col, "__start"])
+    return (
+        legs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+def phrase_match_sql(phrase: str, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`phrase_match` (generated, same
+    tokenization and 1-based positions)."""
+    terms = [t for t in phrase.lower().split(" ") if t]
+    joins = []
+    conds = ["a0.term = '" + terms[0] + "'"]
+    for i in range(1, len(terms)):
+        joins.append(
+            f"JOIN tok a{i} ON a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.pos = a0.pos + {i} AND a{i}.term = '{terms[i]}'"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS term,
+         CAST(generate_subscripts(string_split(lower(text), ' '), 1) AS BIGINT) AS pos
+  FROM {table}
+)
+SELECT a0.doc_id, count(*) AS n_matches
+FROM tok a0
+{' '.join(joins)}
+WHERE {' AND '.join(conds)}
+GROUP BY a0.doc_id
+"""

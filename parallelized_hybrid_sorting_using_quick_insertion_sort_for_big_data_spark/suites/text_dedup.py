@@ -1350,3 +1350,27 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search via positional postings — the retrieval tier BM25's
+# bag-of-words scoring cannot express (see operators/search.py).
+# ---------------------------------------------------------------------------
+
+_PHRASE = "order fast"
+
+
+@query("text_phrase_search", sql=_S.phrase_match_sql(_PHRASE))
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count exact occurrences of the token phrase '{order fast}' per
+    document via the positional-postings k-way adjacency join (r08):
+    each query term's leg filters the postings to that term BEFORE any
+    exchange, positions normalize to the phrase start, and the chain is
+    plain equi-joins on (doc, start) — the inverted-index query
+    topology, |query terms| posting lists instead of the corpus. Oracle:
+    generated DuckDB SQL with identical tokenization and 1-based
+    positions."""
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return _S.phrase_match(docs, _PHRASE)

@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "pipeline_pretraining_corpus",
     "dedup_segment_rewrite",
     "text_zipf_slope",
+    "text_phrase_search",
 ]
 
 
@@ -726,3 +727,35 @@ def test_zipf_slope_matches_numpy_fit(spark):
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(slope - row["slope"]) < 1e-9
     assert abs(intercept - row["intercept"]) < 1e-9
+
+
+def test_phrase_match_semantics(spark):
+    """Hand-counted phrase matching: multiple occurrences per doc,
+    overlapping occurrences of a self-overlapping phrase, a 3-term
+    phrase, a repeated-term phrase, and a phrase absent from the
+    corpus."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        search as S,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),     # "a b": 3; "a b c": 2
+            (2, "a a a a"),             # "a a": 3 (overlapping starts)
+            (3, "b c b"),               # no "a b"
+            (4, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def got(phrase):
+        return {
+            r["doc_id"]: r["n_matches"]
+            for r in S.phrase_match(docs, phrase).collect()
+        }
+
+    assert got("a b") == {1: 3}
+    assert got("a b c") == {1: 2}
+    assert got("a a") == {2: 3}
+    assert got("b c b") == {3: 1}
+    assert got("zz qq") == {}
