@@ -191,3 +191,88 @@ FROM tok a0
 WHERE {' AND '.join(conds)}
 GROUP BY a0.doc_id
 """
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) — the standard
+    hybrid-retrieval combiner: each retrieval leg contributes
+    ``1/(k_rrf + rank)`` for the documents it ranked, absent docs
+    contribute 0, and the fused list is re-ranked by the summed score.
+    ``legs`` maps a leg name to its ranked list (``id_col``, ``rank``);
+    output is (id_col, {name}_rank…, rrf_score, fused_rank) over the UNION
+    of the legs' candidates.
+
+    Scale shape: every leg is already a top-k relation (queries × k rows —
+    kilobytes at any corpus size), so the fusion is a chain of full outer
+    joins between tiny lists followed by a single-partition window over
+    ≤ Σk rows. The corpus-scale work lives in the legs (BM25's one-pass
+    stats + TakeOrderedAndProject, ANN's bucketed probe); fusion itself is
+    constant cost — exactly how a 100 TB serving tier composes lexical and
+    dense retrieval.
+
+    Determinism: ranks are integers, so ``1.0/(k_rrf + rank)`` is the same
+    double in any engine; contributions are summed in the legs' dict order
+    (mirrored by the generated oracle), rounded, then tie-broken by id."""
+    names = list(legs)
+    fused = None
+    for name, df in legs.items():
+        leg = df.select(F.col(id_col), F.col("rank").cast("bigint").alias(f"{name}_rank"))
+        fused = leg if fused is None else fused.join(leg, [id_col], "full")
+    score = None
+    for name in names:
+        part = F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = part if score is None else score + part
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.select(
+            id_col,
+            *[f"{n}_rank" for n in names],
+            F.round(score, round_digits).alias("rrf_score"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def rrf_fuse_sql(
+    leg_sqls: dict[str, str],
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`rrf_fuse` (generated: same leg order, same
+    summation order, same rounding and tie-break). Each value of
+    ``leg_sqls`` must be a self-contained SELECT producing
+    (``id_col``, rank)."""
+    names = list(leg_sqls)
+    ctes = ",\n".join(
+        f"{name} AS (SELECT {id_col}, CAST(rank AS BIGINT) AS rank FROM ({sql}))"
+        for name, sql in leg_sqls.items()
+    )
+    ids = " UNION ".join(f"SELECT {id_col} FROM {n}" for n in names)
+    rank_cols = ", ".join(f"{n}.rank AS {n}_rank" for n in names)
+    score = " + ".join(
+        f"COALESCE(CAST(1 AS DOUBLE) / ({k_rrf} + {n}.rank), CAST(0 AS DOUBLE))"
+        for n in names
+    )
+    joins = " ".join(f"LEFT JOIN {n} ON {n}.{id_col} = i.{id_col}" for n in names)
+    return f"""
+WITH {ctes},
+ids AS ({ids}),
+fused AS (
+  SELECT i.{id_col}, {rank_cols}, round({score}, {round_digits}) AS rrf_score
+  FROM ids i {joins}
+)
+SELECT {id_col}, {', '.join(f'{n}_rank' for n in names)}, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, {id_col}) AS BIGINT)
+         AS fused_rank
+FROM fused
+"""

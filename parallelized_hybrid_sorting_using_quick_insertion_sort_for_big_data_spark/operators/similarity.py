@@ -946,6 +946,166 @@ FROM qs
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): split each vector into m subspaces, k-means
+# each subspace under L2, emit per-subspace codes — the compression that
+# makes billion-vector ANN (IVF-PQ) fit in memory: m codes/vector instead
+# of dim floats (64-dim float64 -> 4 bytes at m=4/k=8).
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column, round_digits: int | None = 9) -> Column:
+    """Sequential-fold squared L2 distance (same fold shape as ``dot``)."""
+    d = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d, round_digits) if round_digits is not None else d
+
+
+def _pq_assign(
+    sub: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Nearest-centroid (min rounded L2²) assignment of sliced vectors.
+    Packed-codebook form (see ``ivf_assign``): ZERO corpus shuffle; ties
+    to the LOWEST cell via lexicographic struct-min on (d, cell)."""
+    packed = cents.agg(F.collect_list(F.struct("cell", "centroid")).alias("__cb"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cb"),
+            lambda c: F.struct(
+                _l2sq(F.col("__sv"), c["centroid"], round_digits).alias("d"),
+                c["cell"].alias("c"),
+            ),
+        )
+    )
+    return sub.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col), F.col("__sv"), best["c"].alias("cell")
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Train an m-subspace PQ codebook (deterministic L2 Lloyd, init = the
+    k lowest-id subvectors) and emit every vector's codes:
+    (id, sub, code) — all BIGINT, so the entire fit+assignment is
+    exact-comparable cross-engine.
+
+    Determinism mirrors ``kmeans_fit``: distances rounded to 9 before the
+    argmin, exact ties to the LOWEST cell, centroid update = decimal-exact
+    per-dimension mean rounded to 9. Scale shape per subspace per round:
+    packed codebook broadcast (k·dim/m doubles), map-side argmin (no corpus
+    shuffle), update shuffles only (cell, dim) partial sums. Subspaces are
+    independent — on a cluster all m fits pipeline concurrently; codes for
+    the serving tier are then a per-row map-side lookup."""
+    if dim % m:
+        raise ValueError("dim must divide evenly into m subspaces")
+    dl = dim // m
+    from ..sources.tables import spread_scan
+
+    df = spread_scan(df)
+    out = None
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * dl + 1, dl).alias("__sv"),
+        )
+        cents = sub.where(F.col(id_col) < k).select(
+            F.col(id_col).alias("cell"), F.col("__sv").alias("centroid")
+        )
+        for _ in range(iters):
+            assigned = _pq_assign(sub, cents, id_col, round_digits)
+            cents = centroid_vectors(
+                assigned, label_col="cell", vec_col="__sv"
+            ).localCheckpoint(eager=True)
+        codes_j = _pq_assign(sub, cents, id_col, round_digits).select(
+            F.col(id_col),
+            F.lit(j).cast("bigint").alias("sub"),
+            F.col("cell").cast("bigint").alias("code"),
+        )
+        out = codes_j if out is None else out.unionAll(codes_j)
+    return out
+
+
+def pq_codes_sql(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`pq_codes` — every subspace's Lloyd rounds
+    unrolled as (assign, update) CTE pairs, L2² written as the identical
+    (x-y)*(x-y) sum, same decimal-mean update as ``kmeans_ctes_sql``."""
+    dl = dim // m
+    l2 = (
+        "round(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])"
+        " * (e.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), 9)"
+    ).format(n=dl)
+    ctes = []
+    finals = []
+    for j in range(m):
+        lo, hi = j * dl + 1, (j + 1) * dl
+        ctes.append(
+            f"e{j} AS (SELECT {id_col}, CAST({vec_col}[{lo}:{hi}] AS DOUBLE[]) AS v "
+            f"FROM {table})"
+        )
+        ctes.append(
+            f"c{j}_0 AS (SELECT {id_col} AS cell, v AS cv FROM e{j} WHERE {id_col} < {k})"
+        )
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"""a{j}_{it} AS (
+  SELECT {id_col}, v, cell FROM (
+    SELECT e.{id_col}, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {l2} ASC, c.cell
+           ) AS rn
+    FROM e{j} e, c{j}_{it - 1} c
+  ) WHERE rn = 1
+)"""
+            )
+            ctes.append(
+                f"""c{j}_{it} AS (
+  SELECT cell, list(cc ORDER BY i) AS cv FROM (
+    SELECT cell, i,
+           round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 9) AS cc
+    FROM (SELECT cell, unnest(generate_series(1, len(v))) AS i, v FROM a{j}_{it})
+    GROUP BY cell, i
+  ) GROUP BY cell
+)"""
+            )
+        finals.append(
+            f"""SELECT {id_col}, CAST({j} AS BIGINT) AS sub, CAST(cell AS BIGINT) AS code
+FROM (
+  SELECT e.{id_col}, c.cell,
+         row_number() OVER (
+           PARTITION BY e.{id_col}
+           ORDER BY {l2} ASC, c.cell
+         ) AS rn
+  FROM e{j} e, c{j}_{iters} c
+) WHERE rn = 1"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     k: int = 8,

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import search as _search
 from ..operators import similarity
 from ..queries import query
 from ..sources.tables import load_table
@@ -454,3 +455,82 @@ def vec_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         corpus, k=8, iters=3, tau=_SEMDEDUP_TAU
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the IVF-PQ compression stage — m per-subspace L2
+# codebooks, every vector reduced to m 1-byte codes. All-BIGINT output, so
+# the whole fit (every Lloyd round, every assignment) is exact-compared.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 4, 8, 2, 64
+
+
+@query(
+    "vec_pq_codes",
+    sql=similarity.pq_codes_sql(m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM),
+)
+def vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for the whole corpus: 4 subspaces of 16
+    dims, each fit with a deterministic 2-round L2 Lloyd (init = the 8
+    lowest-id subvectors, rounded distances, ties to the lowest cell,
+    decimal-exact centroid means) and every vector assigned its nearest
+    code per subspace. 64 doubles -> 4 codes per vector — the compression
+    that lets a 100 TB embedding corpus serve ANN from memory. Packed
+    broadcast codebooks: zero corpus shuffle per round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + exact cosine (dense) fused with
+# reciprocal-rank fusion — the standard two-tower serving composition.
+# Both legs are top-k relations, so the fusion is constant cost.
+# ---------------------------------------------------------------------------
+
+_HYBRID_TERMS = ["spark", "merge", "window"]
+_HYBRID_K = 20
+_HYBRID_QVEC = 7  # the dense query = this vec_id's embedding
+
+_HYBRID_DENSE_SQL = f"""
+SELECT vec_id AS doc_id, rnk AS rank FROM (
+  SELECT c.vec_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 9)
+             DESC, c.vec_id
+         ) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id = {_HYBRID_QVEC} AND c.vec_id <> {_HYBRID_QVEC}
+) WHERE rnk <= {_HYBRID_K}
+"""
+
+
+@query(
+    "search_hybrid_rrf",
+    sql=_search.rrf_fuse_sql(
+        {
+            "bm25": f"SELECT doc_id, rank FROM ({_search.bm25_topk_sql(_HYBRID_TERMS, k=_HYBRID_K)})",
+            "dense": _HYBRID_DENSE_SQL,
+        }
+    ),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over documents∪embeddings (vec_id ≡ doc_id): BM25
+    top-20 for {spark, merge, window} fused with the exact-cosine top-20
+    for query vector 7 via reciprocal-rank fusion (k=60). Each leg is the
+    already-oracled operator; the fusion is a full outer join of two ≤20-row
+    lists plus one ≤40-row window — the corpus-scale cost stays in the legs.
+    Output pins both legs' ranks AND every fused score/rank in one hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = _search.bm25_topk(docs, _HYBRID_TERMS, k=_HYBRID_K).select("doc_id", "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") == _HYBRID_QVEC).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    den = similarity.brute_force_topk(qdf, emb, k=_HYBRID_K).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    return _search.rrf_fuse({"bm25": lex, "dense": den})

@@ -18,7 +18,42 @@ ORACLE_QUERIES = [
     "vec_lsh_portable",
     "vec_kmeans_centroids",
     "vec_ann_recall",
+    "search_hybrid_rrf",
+    "vec_pq_codes",
 ]
+
+
+def test_pq_codes_shape(spark):
+    """Every vector gets exactly m codes, one per subspace, each in [0, k);
+    identical vectors (the k init ids vs themselves) get identical codes."""
+    qs = entrymod.queries()
+    rows = qs["vec_pq_codes"](spark, SF_DIR).collect()
+    n_vec = len({r["vec_id"] for r in rows})
+    assert len(rows) == 4 * n_vec
+    assert {r["sub"] for r in rows} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 8 for r in rows)
+
+
+def test_rrf_fused_ranks_contiguous(spark):
+    """The fused rank must be a 1..n permutation over the union of leg
+    candidates, and every doc present in both legs must outscore a doc
+    ranked equally in only one leg (the RRF monotonicity property)."""
+    qs = entrymod.queries()
+    rows = qs["search_hybrid_rrf"](spark, SF_DIR).collect()
+    ranks = sorted(r["fused_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        both = r["bm25_rank"] is not None and r["dense_rank"] is not None
+        if both:
+            # a doc holding rank k in BOTH legs beats any doc holding rank
+            # k in exactly one leg
+            k1, k2 = r["bm25_rank"], r["dense_rank"]
+            for o in rows:
+                if o["doc_id"] == r["doc_id"]:
+                    continue
+                if o["bm25_rank"] == min(k1, k2) and o["dense_rank"] is None:
+                    assert r["rrf_score"] > o["rrf_score"]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
