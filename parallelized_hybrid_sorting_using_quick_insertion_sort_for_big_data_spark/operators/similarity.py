@@ -988,7 +988,7 @@ def _pq_assign(
     )
 
 
-def pq_codes(
+def pq_fit(
     df: DataFrame,
     m: int = 4,
     k: int = 8,
@@ -997,26 +997,18 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
-) -> DataFrame:
-    """Train an m-subspace PQ codebook (deterministic L2 Lloyd, init = the
-    k lowest-id subvectors) and emit every vector's codes:
-    (id, sub, code) — all BIGINT, so the entire fit+assignment is
-    exact-comparable cross-engine.
-
-    Determinism mirrors ``kmeans_fit``: distances rounded to 9 before the
-    argmin, exact ties to the LOWEST cell, centroid update = decimal-exact
-    per-dimension mean rounded to 9. Scale shape per subspace per round:
-    packed codebook broadcast (k·dim/m doubles), map-side argmin (no corpus
-    shuffle), update shuffles only (cell, dim) partial sums. Subspaces are
-    independent — on a cluster all m fits pipeline concurrently; codes for
-    the serving tier are then a per-row map-side lookup."""
+) -> list[DataFrame]:
+    """Train the m per-subspace PQ codebooks (deterministic L2 Lloyd,
+    init = the k lowest-id subvectors). Returns one (cell, centroid)
+    codebook DataFrame per subspace, each pinned with localCheckpoint so
+    downstream plans stay constant-size regardless of ``iters``."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     dl = dim // m
     from ..sources.tables import spread_scan
 
     df = spread_scan(df)
-    out = None
+    books: list[DataFrame] = []
     for j in range(m):
         sub = df.select(
             F.col(id_col),
@@ -1030,6 +1022,45 @@ def pq_codes(
             cents = centroid_vectors(
                 assigned, label_col="cell", vec_col="__sv"
             ).localCheckpoint(eager=True)
+        books.append(cents)
+    return books
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+    books: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Train an m-subspace PQ codebook (deterministic L2 Lloyd, init = the
+    k lowest-id subvectors) and emit every vector's codes:
+    (id, sub, code) — all BIGINT, so the entire fit+assignment is
+    exact-comparable cross-engine.
+
+    Determinism mirrors ``kmeans_fit``: distances rounded to 9 before the
+    argmin, exact ties to the LOWEST cell, centroid update = decimal-exact
+    per-dimension mean rounded to 9. Scale shape per subspace per round:
+    packed codebook broadcast (k·dim/m doubles), map-side argmin (no corpus
+    shuffle), update shuffles only (cell, dim) partial sums. Subspaces are
+    independent — on a cluster all m fits pipeline concurrently; codes for
+    the serving tier are then a per-row map-side lookup."""
+    dl = dim // m
+    from ..sources.tables import spread_scan
+
+    if books is None:
+        books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
+    df = spread_scan(df)
+    out = None
+    for j, cents in enumerate(books):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), j * dl + 1, dl).alias("__sv"),
+        )
         codes_j = _pq_assign(sub, cents, id_col, round_digits).select(
             F.col(id_col),
             F.lit(j).cast("bigint").alias("sub"),
@@ -1037,6 +1068,120 @@ def pq_codes(
         )
         out = codes_j if out is None else out.unionAll(codes_j)
     return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """PQ serving via asymmetric distance computation (ADC): the query
+    stays exact, every corpus vector is its reconstruction x̂ = ⊕_j
+    codeword_j(code_j), and score(q, x) ≈ dot(q, x̂) = Σ_j
+    dot(q_j, codeword_j) — i.e. ONE m×k lookup table per query, then a
+    per-vector table lookup + sum. Output: (id, adc_score, rnk) top-k,
+    query excluded.
+
+    This is how a 100 TB ANN tier actually serves: codes are 4 bytes/vector
+    (not 512), the LUT is m·k doubles broadcast with the query, and the
+    scan never touches the raw vectors. Exactness: per-(sub, code) partials
+    are rounded then summed as DECIMAL (order-independent), so the fused
+    score — and therefore the ranking — is engine-exact."""
+    books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
+    codes = pq_codes(
+        df, m, k, iters, dim, id_col, vec_col, round_digits, books=books
+    )
+    dl = dim // m
+    qvec = _as_double(F.col(vec_col))
+    qrow = df.where(F.col(id_col) == query_id).select(
+        *[F.slice(qvec, j * dl + 1, dl).alias(f"__q{j}") for j in range(m)]
+    )
+    lut = None
+    for j, cents in enumerate(books):
+        part = cents.crossJoin(F.broadcast(qrow)).select(
+            F.lit(j).cast("bigint").alias("sub"),
+            F.col("cell").cast("bigint").alias("code"),
+            F.round(
+                dot(F.col(f"__q{j}"), F.col("centroid")), round_digits
+            ).alias("partial"),
+        )
+        lut = part if lut is None else lut.unionAll(part)
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("partial").cast("decimal(38,12)")).cast("double"), round_digits
+            ).alias("adc_score")
+        )
+        .where(F.col(id_col) != query_id)
+    )
+    w = Window.orderBy(F.col("adc_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= topk)
+        .select(id_col, "adc_score", "rnk")
+    )
+
+
+def pq_adc_topk_sql(
+    query_id: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`pq_adc_topk` — the PQ fit/assignment CTE
+    chain from :func:`pq_codes_sql` plus the per-subspace LUT (identical
+    sequential-fold dot, rounded) and the decimal-exact score sum."""
+    dl = dim // m
+    base = pq_codes_sql(m, k, iters, dim, table, id_col, vec_col)
+    # split the generated "WITH <ctes>\n<union of finals>" into parts
+    ctes_txt, _, finals_txt = base.partition("\nSELECT")
+    finals_txt = "SELECT" + finals_txt
+    dotj = (
+        "round(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> q.qv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])), 9)"
+    ).format(n=dl)
+    luts = []
+    for j in range(m):
+        lo, hi = j * dl + 1, (j + 1) * dl
+        luts.append(
+            f"""SELECT CAST({j} AS BIGINT) AS sub, CAST(c.cell AS BIGINT) AS code,
+       {dotj} AS partial
+FROM c{j}_{iters} c,
+     (SELECT CAST({vec_col}[{lo}:{hi}] AS DOUBLE[]) AS qv FROM {table}
+      WHERE {id_col} = {query_id}) q"""
+        )
+    return f"""{ctes_txt},
+codes AS ({finals_txt}),
+lut AS ({' UNION ALL '.join(luts)}),
+scored AS (
+  SELECT c.{id_col},
+         round(CAST(sum(CAST(l.partial AS DECIMAL(38,12))) AS DOUBLE), 9)
+           AS adc_score
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+  WHERE c.{id_col} <> {query_id}
+  GROUP BY c.{id_col}
+)
+SELECT {id_col}, adc_score, rnk FROM (
+  SELECT {id_col}, adc_score,
+         CAST(row_number() OVER (ORDER BY adc_score DESC, {id_col}) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= {topk}
+"""
 
 
 def pq_codes_sql(

@@ -484,6 +484,26 @@ def vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vec_pq_adc_topk",
+    sql=similarity.pq_adc_topk_sql(
+        query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=10
+    ),
+)
+def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving by asymmetric distance computation: fit the 4-subspace
+    codebooks, quantize the corpus to 4 codes/vector, build the query's
+    4×8 lookup table of per-subspace partial dot products, and rank the
+    corpus by the table-lookup sum — the scan touches codes, never raw
+    vectors. Partials are rounded then decimal-summed, so the approximate
+    scores (and the ranking) are engine-exact; the oracle replays the fit,
+    the codes, the LUT, and the final top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 (lexical) + exact cosine (dense) fused with
 # reciprocal-rank fusion — the standard two-tower serving composition.

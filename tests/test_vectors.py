@@ -20,7 +20,22 @@ ORACLE_QUERIES = [
     "vec_ann_recall",
     "search_hybrid_rrf",
     "vec_pq_codes",
+    "vec_pq_adc_topk",
 ]
+
+
+def test_pq_adc_reconstruction_sane(spark):
+    """ADC scores are dot products against PQ reconstructions — for the
+    codebook-init vectors (vec_id < k, which sit AT a centroid only when
+    they form singleton cells) the ADC score of any vector against itself-
+    as-query must be within the corpus's max |dot| envelope; concretely,
+    every returned score must be finite and the ranking strictly ordered."""
+    qs = entrymod.queries()
+    rows = qs["vec_pq_adc_topk"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    scores = [r["adc_score"] for r in rows]
+    assert all(s == s for s in scores)  # no NaN
+    assert scores == sorted(scores, reverse=True)
 
 
 def test_pq_codes_shape(spark):
