@@ -504,6 +504,72 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_RECALL_K = 10
+
+_PQ_RECALL_ORACLE = f"""
+WITH exact AS (
+  SELECT vec_id FROM (
+    SELECT c.vec_id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])), 9)
+               DESC, c.vec_id
+           ) AS rnk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id = 7 AND c.vec_id <> 7
+  ) WHERE rnk <= {_PQ_RECALL_K}
+),
+adc AS (
+  SELECT vec_id FROM (
+    {similarity.pq_adc_topk_sql(query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=_PQ_RECALL_K)}
+  )
+),
+counts AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM adc) AS n_adc,
+         (SELECT count(*) FROM exact JOIN adc USING (vec_id)) AS n_hit
+)
+SELECT n_exact, n_adc, n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_exact, 1), 9) AS recall
+FROM counts
+"""
+
+
+@query("vec_pq_recall", sql=_PQ_RECALL_ORACLE)
+def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality measurement — recall@10 of the ADC ranking against the
+    exact cosine top-10 for the same query, reduced to one row
+    (n_exact, n_adc, n_hit, recall). The lossy-compression health check a
+    PQ deployment publishes next to its codes: at corpus scale the exact
+    side runs on a sampled query set; here the corpus is small enough to
+    measure exactly. Both rankings and the intersection are recomputed
+    independently by the oracle (the whole PQ fit included)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K).select("vec_id")
+    adc = similarity.pq_adc_topk(
+        emb, query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+        topk=_PQ_RECALL_K,
+    ).select("vec_id")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    a = adc.agg(F.count(F.lit(1)).alias("n_adc"))
+    h = exact.join(adc, ["vec_id"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(a)
+        .crossJoin(h)
+        .select(
+            "n_exact",
+            "n_adc",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 9
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 (lexical) + exact cosine (dense) fused with
 # reciprocal-rank fusion — the standard two-tower serving composition.

@@ -57,6 +57,11 @@ QUERIES = (
     # sub-linear-per-row at 10x
     "pipeline_pretraining_corpus",
     "pipeline_leakage_safe_split",
+    # round-8 late adds: the PQ family (fit + codes + ADC serve over the
+    # 10x embeddings — linear in corpus: m·k rounded distances per vector
+    # per round) and hybrid RRF (both legs linear scans; fusion constant)
+    "vec_pq_adc_topk",
+    "search_hybrid_rrf",
 )
 
 
@@ -147,8 +152,15 @@ def main() -> None:
     spark = get_spark("phsqis-scale-check")
     build_sf1(spark)
     qs = registry.queries()
-    out: dict[str, dict] = {}
-    for name in QUERIES:
+    # incremental mode: name queries on argv to (re)measure ONLY those,
+    # merged into the existing SCALE_CHECK json (late-round adds shouldn't
+    # force a ~25 min full re-measure of 14 settled rows)
+    names = tuple(sys.argv[1:]) or QUERIES
+    path = REPO / "SCALE_CHECK_r08.json"
+    out: dict[str, dict] = (
+        json.loads(path.read_text()) if path.exists() and sys.argv[1:] else {}
+    )
+    for name in names:
         fn = qs[name]
         row = {}
         for label, sf_dir in (("sf0.1", str(SF01)), ("sf1", str(SF1))):
@@ -163,7 +175,7 @@ def main() -> None:
         out[name] = row
         print(f"MARKER {name} sf0.1={row['sf0.1']['median_sec']}s "
               f"sf1={row['sf1']['median_sec']}s slope={ratio}x", flush=True)
-    (REPO / "SCALE_CHECK_r08.json").write_text(json.dumps(out, indent=1) + "\n")
+    path.write_text(json.dumps(out, indent=1) + "\n")
     print("MARKER wrote SCALE_CHECK_r08.json")
     spark.stop()
 

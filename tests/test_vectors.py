@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "search_hybrid_rrf",
     "vec_pq_codes",
     "vec_pq_adc_topk",
+    "vec_pq_recall",
 ]
 
 
