@@ -964,16 +964,42 @@ def _l2sq(a: Column, b: Column, round_digits: int | None = 9) -> Column:
     return F.round(d, round_digits) if round_digits is not None else d
 
 
+def _pq_sub_expand(
+    df: DataFrame, m: int, dl: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Explode each vector into its m subspace slices: (id, sub, __sv).
+    A pipelined 1→m per-row fan-out (no shuffle, same total bytes) that
+    lets every Lloyd round be ONE pass over the corpus for ALL subspaces —
+    instead of m sequential per-subspace jobs."""
+    vec = _as_double(F.col(vec_col))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("sub"),
+                F.slice(vec, j * dl + 1, dl).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("__e")).select(
+        id_col, F.col("__e.sub").alias("sub"), F.col("__e.sv").alias("__sv")
+    )
+
+
 def _pq_assign(
     sub: DataFrame,
     cents: DataFrame,
     id_col: str,
     round_digits: int,
 ) -> DataFrame:
-    """Nearest-centroid (min rounded L2²) assignment of sliced vectors.
-    Packed-codebook form (see ``ivf_assign``): ZERO corpus shuffle; ties
-    to the LOWEST cell via lexicographic struct-min on (d, cell)."""
-    packed = cents.agg(F.collect_list(F.struct("cell", "centroid")).alias("__cb"))
+    """Nearest-centroid (min rounded L2²) assignment of the exploded
+    (id, sub, __sv) relation against the (sub, cell, centroid) codebook.
+    The codebook is re-packed per subspace (m rows of k structs) and
+    broadcast-joined on ``sub`` — ZERO corpus shuffle; ties to the LOWEST
+    cell via lexicographic struct-min on (d, cell)."""
+    packed = cents.groupBy("sub").agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cb")
+    )
     best = F.array_min(
         F.transform(
             F.col("__cb"),
@@ -983,8 +1009,30 @@ def _pq_assign(
             ),
         )
     )
-    return sub.crossJoin(F.broadcast(packed)).select(
-        F.col(id_col), F.col("__sv"), best["c"].alias("cell")
+    return sub.join(F.broadcast(packed), "sub").select(
+        F.col(id_col), F.col("sub"), F.col("__sv"), best["c"].alias("cell")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Per-(sub, cell) centroid update: decimal-exact per-dimension mean
+    rounded to 9 (order-independent across partitionings and engines) —
+    ONE (sub, cell, dim) partial-sum shuffle for all m subspaces."""
+    exploded = assigned.select(
+        "sub", "cell", F.posexplode(F.col("__sv")).alias("dim_idx", "e")
+    )
+    comps = exploded.groupBy("sub", "cell", "dim_idx").agg(
+        F.round(
+            F.sum(F.col("e").cast("decimal(38,12)")).cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("cc")
+    )
+    return (
+        comps.groupBy("sub", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "cc"))).alias("__cs"))
+        .select(
+            "sub", "cell", F.transform("__cs", lambda s: s["cc"]).alias("centroid")
+        )
     )
 
 
@@ -997,33 +1045,27 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
-) -> list[DataFrame]:
+) -> DataFrame:
     """Train the m per-subspace PQ codebooks (deterministic L2 Lloyd,
-    init = the k lowest-id subvectors). Returns one (cell, centroid)
-    codebook DataFrame per subspace, each pinned with localCheckpoint so
-    downstream plans stay constant-size regardless of ``iters``."""
+    init = the k lowest-id subvectors) as ONE (sub, cell, centroid)
+    relation. Subspaces train concurrently inside shared jobs: each Lloyd
+    round is one corpus pass (broadcast codebook join + argmin) plus one
+    (sub, cell, dim) partial-sum shuffle — m never multiplies the job
+    count. The codebook (m·k rows) is pinned with localCheckpoint per
+    round so downstream plans stay constant-size regardless of ``iters``."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     dl = dim // m
     from ..sources.tables import spread_scan
 
-    df = spread_scan(df)
-    books: list[DataFrame] = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * dl + 1, dl).alias("__sv"),
-        )
-        cents = sub.where(F.col(id_col) < k).select(
-            F.col(id_col).alias("cell"), F.col("__sv").alias("centroid")
-        )
-        for _ in range(iters):
-            assigned = _pq_assign(sub, cents, id_col, round_digits)
-            cents = centroid_vectors(
-                assigned, label_col="cell", vec_col="__sv"
-            ).localCheckpoint(eager=True)
-        books.append(cents)
-    return books
+    sub = _pq_sub_expand(spread_scan(df), m, dl, id_col, vec_col)
+    cents = sub.where(F.col(id_col) < k).select(
+        "sub", F.col(id_col).alias("cell"), F.col("__sv").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(sub, cents, id_col, round_digits)
+        cents = _pq_update(assigned).localCheckpoint(eager=True)
+    return cents
 
 
 def pq_codes(
@@ -1035,7 +1077,7 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
-    books: list[DataFrame] | None = None,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Train an m-subspace PQ codebook (deterministic L2 Lloyd, init = the
     k lowest-id subvectors) and emit every vector's codes:
@@ -1044,30 +1086,20 @@ def pq_codes(
 
     Determinism mirrors ``kmeans_fit``: distances rounded to 9 before the
     argmin, exact ties to the LOWEST cell, centroid update = decimal-exact
-    per-dimension mean rounded to 9. Scale shape per subspace per round:
-    packed codebook broadcast (k·dim/m doubles), map-side argmin (no corpus
-    shuffle), update shuffles only (cell, dim) partial sums. Subspaces are
-    independent — on a cluster all m fits pipeline concurrently; codes for
-    the serving tier are then a per-row map-side lookup."""
+    per-dimension mean rounded to 9. Scale shape per Lloyd round — for ALL
+    m subspaces together: packed codebook broadcast (m·k·dim/m doubles),
+    map-side argmin over the exploded (id, sub) relation (no corpus
+    shuffle), update shuffles only (sub, cell, dim) partial sums. Codes
+    for the serving tier are then one more map-side assignment pass."""
     dl = dim // m
     from ..sources.tables import spread_scan
 
     if books is None:
         books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
-    df = spread_scan(df)
-    out = None
-    for j, cents in enumerate(books):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), j * dl + 1, dl).alias("__sv"),
-        )
-        codes_j = _pq_assign(sub, cents, id_col, round_digits).select(
-            F.col(id_col),
-            F.lit(j).cast("bigint").alias("sub"),
-            F.col("cell").cast("bigint").alias("code"),
-        )
-        out = codes_j if out is None else out.unionAll(codes_j)
-    return out
+    sub = _pq_sub_expand(spread_scan(df), m, dl, id_col, vec_col)
+    return _pq_assign(sub, books, id_col, round_digits).select(
+        F.col(id_col), F.col("sub"), F.col("cell").cast("bigint").alias("code")
+    )
 
 
 def pq_adc_topk(
@@ -1101,18 +1133,17 @@ def pq_adc_topk(
     dl = dim // m
     qvec = _as_double(F.col(vec_col))
     qrow = df.where(F.col(id_col) == query_id).select(
-        *[F.slice(qvec, j * dl + 1, dl).alias(f"__q{j}") for j in range(m)]
+        F.array(*[F.slice(qvec, j * dl + 1, dl) for j in range(m)]).alias("__qs")
     )
-    lut = None
-    for j, cents in enumerate(books):
-        part = cents.crossJoin(F.broadcast(qrow)).select(
-            F.lit(j).cast("bigint").alias("sub"),
-            F.col("cell").cast("bigint").alias("code"),
-            F.round(
-                dot(F.col(f"__q{j}"), F.col("centroid")), round_digits
-            ).alias("partial"),
-        )
-        lut = part if lut is None else lut.unionAll(part)
+    lut = books.crossJoin(F.broadcast(qrow)).select(
+        F.col("sub"),
+        F.col("cell").cast("bigint").alias("code"),
+        F.round(
+            dot(F.element_at(F.col("__qs"), (F.col("sub") + 1).cast("int")),
+                F.col("centroid")),
+            round_digits,
+        ).alias("partial"),
+    )
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy(id_col)
