@@ -216,6 +216,52 @@ def test_kmeans_lineage_flat_at_high_iters(spark):
     assert "Join" not in plan and "HashAggregate" not in plan
 
 
+def test_pq_fit_lineage_flat_at_high_iters(spark):
+    """Same lineage discipline as kmeans_fit: every Lloyd round
+    localCheckpoints the (sub, cell, centroid) codebook, so the returned
+    plan is a constant-size RDD scan regardless of iters."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        similarity,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    fit8 = similarity.pq_fit(emb, m=4, k=4, iters=8)
+    plan = PI.formatted_plan(fit8)
+    assert len(plan) < 4000, f"plan not flattened: {len(plan)} chars"
+    assert "Scan ExistingRDD" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_pq_codes_plan_corpus_never_shuffles(spark, qs):
+    """PQ assignment: the corpus explodes 1→m map-side and meets the
+    codebook through a BROADCAST join + per-row argmin — the only shuffle
+    exchange allowed is the m-row codebook re-pack on the tiny
+    checkpointed side. At 100 TB the corpus never moves."""
+    df = qs["vec_pq_codes"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df)
+    # 2 sanctioned exchanges: the spread_scan CPU-widening repartition of
+    # the (deliberately) single-file test corpus, and the m-row codebook
+    # re-pack groupBy on the checkpointed tiny side
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_hybrid_rrf_fusion_joins_stay_tiny(spark, qs):
+    """RRF fusion: no true CartesianProduct (the only nested loop is
+    BM25's sanctioned broadcast 1-row corpus-stats join), and every scan
+    reads only the columns its leg needs (doc_id/text for BM25,
+    vec_id/embedding for the dense leg) — the fusion layer itself adds
+    joins of ≤k-row lists."""
+    df = qs["search_hybrid_rrf"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    for schema in PI.scan_read_schemas(df):
+        assert schema.count(":") <= 2, schema
+
+
 def test_q5_join_chain_all_broadcast_single_shuffle(spark, qs):
     """TPC-H Q5 shape: the 6-table chain must broadcast every dimension
     side and shuffle only for the final 5-row aggregation; both date
