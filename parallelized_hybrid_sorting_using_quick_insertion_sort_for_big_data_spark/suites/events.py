@@ -1002,3 +1002,141 @@ def events_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.stream_scd2_enrich(
         spark, f"{sf_dir}/events.parquet", schema, v1.unionByName(v2)
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Time-series resample + gap-fill (r08): per-user DAILY grid spanning
+#     that user's observed range, daily means where events exist, and two
+#     standard gap-filling policies on the empty days — forward-fill and
+#     linear interpolation. The missing capability between raw events and
+#     a model-ready regular time series; every step is grid-local, so the
+#     topology is one daily pre-aggregation + one per-user window — the
+#     pre-agg bounds all later work by DAYS·USERS regardless of event
+#     volume (the 100 TB contract: events reduce before anything fans out).
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+_RESAMPLE_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(*), 9)
+           AS v_obs
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+  FROM daily GROUP BY user_id
+),
+g AS (
+  SELECT grid.user_id, grid.day, d.v_obs
+  FROM grid LEFT JOIN daily d ON d.user_id = grid.user_id AND d.day = grid.day
+),
+w AS (
+  SELECT user_id, day, v_obs,
+         last_value(v_obs IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v_obs IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(v_obs IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v_obs IS NOT NULL THEN day END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM g
+)
+SELECT user_id, day, day * {_DAY_US} AS day_start_us,
+       (v_obs IS NOT NULL) AS is_observed, v_obs,
+       round(pv, 9) AS v_ffill,
+       round(CASE
+         WHEN v_obs IS NOT NULL THEN v_obs
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nd <> pd
+           THEN pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+         ELSE coalesce(pv, nv)
+       END, 9) AS v_interp
+FROM w
+"""
+
+
+@query("events_resample_interpolate", sql=_RESAMPLE_ORACLE)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream to a per-user daily series with gap
+    filling: daily decimal-exact means, a dense per-user day grid
+    (sequence over that user's observed span — never a global calendar),
+    forward-fill via last-ignoring-nulls, and linear interpolation between
+    the bracketing observed days (identically-parenthesized double math in
+    both engines, rounded to 9). Grid endpoints are observed days by
+    construction, so both fills are total. One pre-aggregation shuffle +
+    one per-user window — event volume reduces FIRST, the grid fan-out is
+    bounded by users × days."""
+    from pyspark.sql import Window as _Win
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / F.lit(_DAY_US))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("v_obs")
+        )
+    )
+    grid = daily.groupBy("user_id").agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    ).select(
+        "user_id", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    back = (
+        _Win.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(_Win.unboundedPreceding, _Win.currentRow)
+    )
+    fwd = (
+        _Win.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(_Win.currentRow, _Win.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v_obs").isNotNull(), F.col("day"))
+    w = g.select(
+        "user_id",
+        "day",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v_obs", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nd") != F.col("pd")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("day") - F.col("pd")).cast("double")
+                / (F.col("nd") - F.col("pd")).cast("double")
+            ),
+        )
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+    )
+    return w.select(
+        "user_id",
+        "day",
+        (F.col("day") * F.lit(_DAY_US)).alias("day_start_us"),
+        F.col("v_obs").isNotNull().alias("is_observed"),
+        "v_obs",
+        F.round(F.col("pv"), 9).alias("v_ffill"),
+        F.round(interp, 9).alias("v_interp"),
+    )
