@@ -1140,3 +1140,101 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pv"), 9).alias("v_ffill"),
         F.round(interp, 9).alias("v_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 17. A/B test analysis (r08): deterministic 50/50 user assignment via the
+#     sampling module's md5-bucket coin, then a per-event-type two-sample
+#     Welch z-test on `value`. The experimentation readout every product
+#     analytics stack runs; one aggregation pass (conditional sums), all
+#     moments decimal-exact, z from identically-parenthesized double math.
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling as _SA  # noqa: E402
+
+_AB_SALT = "abtest"
+_AB_Z = 1.96
+
+_AB_ORACLE = f"""
+WITH assigned AS (
+  SELECT event_type, value,
+         CASE WHEN {_SA.bucket_sql("user_id", _AB_SALT)} < {_SA.DENOM // 2}
+              THEN 'A' ELSE 'B' END AS grp
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS n_b,
+         CAST(sum(CASE WHEN grp = 'A' THEN CAST(value AS DECIMAL(27,8))
+                       ELSE 0 END) AS DOUBLE) AS s_a,
+         CAST(sum(CASE WHEN grp = 'B' THEN CAST(value AS DECIMAL(27,8))
+                       ELSE 0 END) AS DOUBLE) AS s_b,
+         CAST(sum(CASE WHEN grp = 'A' THEN CAST(value * value AS DECIMAL(38,12))
+                       ELSE 0 END) AS DOUBLE) AS q_a,
+         CAST(sum(CASE WHEN grp = 'B' THEN CAST(value * value AS DECIMAL(38,12))
+                       ELSE 0 END) AS DOUBLE) AS q_b
+  FROM assigned GROUP BY event_type
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(s_a / n_a, 9) AS mean_a,
+       round(s_b / n_b, 9) AS mean_b,
+       round((q_a - (s_a * s_a) / n_a) / (n_a - 1), 9) AS var_a,
+       round((q_b - (s_b * s_b) / n_b) / (n_b - 1), 9) AS var_b,
+       round((s_a / n_a - s_b / n_b)
+             / sqrt(((q_a - (s_a * s_a) / n_a) / (n_a - 1)) / n_a
+                    + ((q_b - (s_b * s_b) / n_b) / (n_b - 1)) / n_b), 9) AS z,
+       abs((s_a / n_a - s_b / n_b)
+           / sqrt(((q_a - (s_a * s_a) / n_a) / (n_a - 1)) / n_a
+                  + ((q_b - (s_b * s_b) / n_b) / (n_b - 1)) / n_b)) > {_AB_Z}
+         AS significant
+FROM m
+"""
+
+
+@query("events_ab_test", sql=_AB_ORACLE)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B readout per event type: users deterministically
+    coin-flipped A/B by the engine-portable md5 bucket (same coin the
+    train/val/test splitter uses, different salt), then Welch's z on the
+    event value — counts, decimal-exact means and variances, the z score,
+    and the |z| > 1.96 significance verdict, all in ONE aggregation pass
+    with conditional sums (no second scan, no join between the arms). The
+    oracle replays assignment and every moment from the same constants.
+    Under a true null (hash assignment is independent of value) the z's
+    hover near 0 — the query exists to pin the MACHINERY exactly."""
+    from ..operators import sampling as _samp
+
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.when(
+        _samp.hash_bucket(F.col("user_id"), _AB_SALT) < _samp.DENOM // 2, "A"
+    ).otherwise("B")
+    a = F.col("grp") == "A"
+    dec = F.col("value").cast("decimal(27,8)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(38,12)")
+    zero = F.lit(0).cast("decimal(27,8)")
+    zero2 = F.lit(0).cast("decimal(38,12)")
+    m = ev.select("event_type", "value", grp.alias("grp")).groupBy("event_type").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, dec).otherwise(zero)).cast("double").alias("s_a"),
+        F.sum(F.when(~a, dec).otherwise(zero)).cast("double").alias("s_b"),
+        F.sum(F.when(a, dec2).otherwise(zero2)).cast("double").alias("q_a"),
+        F.sum(F.when(~a, dec2).otherwise(zero2)).cast("double").alias("q_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b, q_a, q_b = F.col("s_a"), F.col("s_b"), F.col("q_a"), F.col("q_b")
+    var_a = (q_a - (s_a * s_a) / n_a) / (n_a - F.lit(1))
+    var_b = (q_b - (s_b * s_b) / n_b) / (n_b - F.lit(1))
+    z = (s_a / n_a - s_b / n_b) / F.sqrt(var_a / n_a + var_b / n_b)
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(s_a / n_a, 9).alias("mean_a"),
+        F.round(s_b / n_b, 9).alias("mean_b"),
+        F.round(var_a, 9).alias("var_a"),
+        F.round(var_b, 9).alias("var_b"),
+        F.round(z, 9).alias("z"),
+        (F.abs(z) > F.lit(_AB_Z)).alias("significant"),
+    )

@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "events_rollup_multires",
     "events_user_timeline",
     "events_resample_interpolate",
+    "events_ab_test",
     "events_stream_late_drop",
     # r08: promoted from rows-only (exact med/MAD + rank-guarantee booleans)
     "events_outlier_robust_approx",
