@@ -192,3 +192,85 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over symmetric
+    ``edges(src, dst)``: label_0(v) = v; each round every node adopts the
+    MODE of its neighbors' labels, exact ties to the SMALLEST label.
+    Returns (node, label) after ``iters`` rounds.
+
+    Fully deterministic by construction (the classic async LPA is order-
+    dependent; the synchronous min-tie form is a pure function of the edge
+    set and round count), so every round replays exactly in the generated
+    DuckDB oracle: the argmax is a struct-max on (count, -label), mirrored
+    by ORDER BY count DESC, label. Labels are node ids — BIGINTs end to
+    end, no float anywhere.
+
+    At 100 TB: the same Pregel shape as :func:`pagerank` — per round ONE
+    join of the node-sized label relation against the (checkpointed) edge
+    list and one (dst, label) count shuffle; lineage cut per round keeps
+    the plan flat. Community detection is the corpus-curation complement
+    to connected components: components finds the dedup clusters, LPA
+    finds the denser-than-chance neighborhoods (e.g. template families in
+    a link graph)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        nbr = e.join(labels.withColumnRenamed("node", "src"), "src").select(
+            "dst", "label"
+        )
+        cnt = nbr.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"),
+                        (-F.col("label")).alias("nl"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("dst").alias("node"), F.col("b.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def lpa_oracle_sql(
+    edges_cte: str,
+    iters: int = 4,
+    select: str = "SELECT node, label FROM {last}",
+) -> str:
+    """Generated DuckDB oracle for :func:`label_propagation` — one CTE per
+    round, same mode/min-tie rule (ORDER BY count DESC, label)."""
+    parts = [
+        edges_cte,
+        "l0 AS (SELECT node, node AS label FROM "
+        "(SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst AS node FROM edges))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, r.label, count(*) AS c,
+           row_number() OVER (
+             PARTITION BY e.dst ORDER BY count(*) DESC, r.label
+           ) AS rn
+    FROM edges e JOIN l{i - 1} r ON r.node = e.src
+    GROUP BY e.dst, r.label
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + select.format(last=f"l{iters}")

@@ -87,3 +87,20 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape over graph edges; two stacked aggregations, second one over at
     most max-degree distinct rows."""
     return graph.degree_stats(_trade_edges(spark, sf_dir))
+
+
+_LPA_ITERS = 4
+_LPA_ORACLE = graph.lpa_oracle_sql(_EDGES_CTE, iters=_LPA_ITERS)
+
+
+@query("graph_lpa_communities", sql=_LPA_ORACLE)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the trade graph —
+    4 deterministic rounds (neighbor-label mode, min-label ties), every
+    node's final label value-checked against the generated unrolled-CTE
+    oracle. The third Pregel workload next to PageRank and connected
+    components: communities expose denser-than-chance neighborhoods
+    (here: customer-supplier cliques) that components' reachability and
+    PageRank's importance both miss. Same scale contract as pagerank:
+    node-sized label relation per round, checkpointed edges, flat plans."""
+    return graph.label_propagation(_trade_edges(spark, sf_dir), iters=_LPA_ITERS)

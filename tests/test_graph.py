@@ -144,3 +144,37 @@ def test_oracle_sql_matches_spark_on_testdata(spark):
         ).itertuples(index=False)
     }
     assert got == want
+
+
+def test_lpa_oracle_matches_and_known_graph(spark):
+    """LPA parity at sf0.001, plus a hand-checkable graph: two triangles
+    joined by one bridge edge must collapse to two communities (each
+    triangle adopts its own min node) under >=2 synchronous rounds."""
+    import __spark_entry__ as E
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        graph,
+    )
+    from tests.conftest import SF_DIR, duckdb_oracle
+
+    got = {
+        r["node"]: r["label"]
+        for r in E.queries()["graph_lpa_communities"](spark, SF_DIR).collect()
+    }
+    want = {
+        int(row[0]): int(row[1])
+        for row in duckdb_oracle(
+            E.oracle_sql()["graph_lpa_communities"], SF_DIR
+        ).itertuples(index=False)
+    }
+    assert got == want
+
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in tri] + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, iters=4).collect()
+    }
+    assert labels[0] == labels[1] == 0
+    assert labels[10] == labels[11] == labels[12]
