@@ -1448,3 +1448,176 @@ SELECT a.{id_col}, a.cell, a.cos_c,
        ) AS kept
 FROM assign a
 """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_id: int,
+    cells: int = 8,
+    cell_iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """IVF-PQ serving — the full modern ANN stack in one plan: a k-means
+    coarse quantizer restricts the search to the query's ``nprobe``
+    nearest cells, and candidates are scored by PQ asymmetric distance
+    (codes + the query's m×k LUT), never by their raw vectors. Output:
+    (id, cell, adc_score, rnk) top-k over the probed cells.
+
+    This variant quantizes raw vectors (IVF-Flat cells + PQ codes) rather
+    than residuals — residual encoding buys accuracy at the cost of an
+    engine-divergent subtract-then-fit chain; the raw form keeps every
+    stage (both codebook fits, the assignment, the probe, the LUT, the
+    decimal score sum) exactly replayable cross-engine. At 100 TB the
+    scan cost is (nprobe/cells) of the corpus × m byte-lookups per
+    candidate — the memory/IO shape a billion-vector tier actually runs.
+    """
+    cents = kmeans_fit(df, k=cells, iters=cell_iters, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col, round_digits).select(
+        id_col, "cell"
+    )
+    qvec_row = df.where(F.col(id_col) == query_id)
+    qsim = cosine(_as_double(F.col(vec_col)), F.col("__cent"))
+    if round_digits is not None:
+        qsim = F.round(qsim, round_digits)
+    probes = (
+        F.broadcast(qvec_row)
+        .join(
+            F.broadcast(
+                cents.select(F.col("cell").alias("__cell"), F.col("centroid").alias("__cent"))
+            )
+        )
+        .select(
+            F.col("__cell").alias("cell"),
+            F.row_number()
+            .over(Window.orderBy(F.desc(qsim), F.col("__cell")))
+            .alias("__pr"),
+        )
+        .where(F.col("__pr") <= nprobe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").where(
+        F.col(id_col) != query_id
+    )
+    books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
+    codes = pq_codes(df, m, k, iters, dim, id_col, vec_col, round_digits, books=books)
+    dl = dim // m
+    qvec = _as_double(F.col(vec_col))
+    qrow = qvec_row.select(
+        F.array(*[F.slice(qvec, j * dl + 1, dl) for j in range(m)]).alias("__qs")
+    )
+    lut = books.crossJoin(F.broadcast(qrow)).select(
+        F.col("sub"),
+        F.col("cell").cast("bigint").alias("code"),
+        F.round(
+            dot(F.element_at(F.col("__qs"), (F.col("sub") + 1).cast("int")),
+                F.col("centroid")),
+            round_digits,
+        ).alias("partial"),
+    )
+    scored = (
+        codes.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col, "cell")
+        .agg(
+            F.round(
+                F.sum(F.col("partial").cast("decimal(38,12)")).cast("double"), round_digits
+            ).alias("adc_score")
+        )
+    )
+    w = Window.orderBy(F.col("adc_score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= topk)
+        .select(id_col, F.col("cell").cast("bigint").alias("cell"), "adc_score", "rnk")
+    )
+
+
+def ivfpq_topk_sql(
+    query_id: int,
+    cells: int = 8,
+    cell_iters: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk`: the k-means coarse chain
+    (kmeans_ctes_sql), the PQ fit/code chain (pq_codes_sql), the probe,
+    and the decimal ADC scoring — one generated statement, every stage's
+    constants shared with the Spark side."""
+    dl = dim // m
+    km = kmeans_ctes_sql(cells, cell_iters, table, id_col, vec_col)
+    base = pq_codes_sql(m, k, iters, dim, table, id_col, vec_col)
+    pq_ctes, _, finals = base.partition("\nSELECT")
+    pq_ctes = pq_ctes[len("WITH "):]
+    finals = "SELECT" + finals
+    dotj = (
+        "round(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> q.qv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])), 9)"
+    ).format(n=dl)
+    luts = []
+    for j in range(m):
+        lo, hi = j * dl + 1, (j + 1) * dl
+        luts.append(
+            f"""SELECT CAST({j} AS BIGINT) AS sub, CAST(c.cell AS BIGINT) AS code,
+       {dotj} AS partial
+FROM c{j}_{iters} c,
+     (SELECT CAST({vec_col}[{lo}:{hi}] AS DOUBLE[]) AS qv FROM {table}
+      WHERE {id_col} = {query_id}) q"""
+        )
+    return f"""WITH {km},
+{pq_ctes},
+codes AS ({finals}),
+ivfassign AS (
+  SELECT {id_col}, cell FROM (
+    SELECT e.{id_col}, c.cell,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cell
+           ) AS rn
+    FROM e, c{cell_iters} c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(q.v, c.cv), 9) DESC, c.cell
+           ) AS pr
+    FROM c{cell_iters} c, (SELECT v FROM e WHERE {id_col} = {query_id}) q
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT a.{id_col}, a.cell FROM ivfassign a JOIN probe p ON p.cell = a.cell
+  WHERE a.{id_col} <> {query_id}
+),
+lut AS ({' UNION ALL '.join(luts)}),
+adc AS (
+  SELECT cd.{id_col}, cand.cell,
+         round(CAST(sum(CAST(l.partial AS DECIMAL(38,12))) AS DOUBLE), 9)
+           AS adc_score
+  FROM codes cd
+  JOIN cand ON cand.{id_col} = cd.{id_col}
+  JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+  GROUP BY cd.{id_col}, cand.cell
+)
+SELECT {id_col}, CAST(cell AS BIGINT) AS cell, adc_score, rnk FROM (
+  SELECT {id_col}, cell, adc_score,
+         CAST(row_number() OVER (ORDER BY adc_score DESC, {id_col}) AS BIGINT)
+           AS rnk
+  FROM adc
+) WHERE rnk <= {topk}
+"""

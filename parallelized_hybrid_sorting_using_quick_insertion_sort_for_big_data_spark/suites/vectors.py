@@ -504,6 +504,29 @@ def vec_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vec_ivfpq_topk",
+    sql=similarity.ivfpq_topk_sql(
+        query_id=7, cells=8, cell_iters=3, nprobe=2,
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=10,
+    ),
+)
+def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full modern ANN serving stack — k-means coarse cells
+    restrict the search to the query's 2 nearest cells, PQ asymmetric
+    distance scores the candidates from 4-byte codes (the raw vectors are
+    never touched after quantization). Every stage — both codebook fits
+    (3 Lloyd rounds coarse, 2 per PQ subspace), the cell assignment, the
+    probe, the LUT, and the decimal score sum — is replayed by one
+    generated DuckDB statement. Scan cost ≈ nprobe/cells of the corpus ×
+    m byte-lookups per candidate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, query_id=7, cells=8, cell_iters=3, nprobe=2,
+        m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM, topk=10,
+    )
+
+
 _PQ_RECALL_K = 10
 
 _PQ_RECALL_ORACLE = f"""

@@ -22,6 +22,7 @@ ORACLE_QUERIES = [
     "vec_pq_codes",
     "vec_pq_adc_topk",
     "vec_pq_recall",
+    "vec_ivfpq_topk",
 ]
 
 
