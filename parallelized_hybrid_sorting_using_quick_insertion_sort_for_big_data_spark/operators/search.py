@@ -276,3 +276,86 @@ SELECT {id_col}, {', '.join(f'{n}_rank' for n in names)}, rrf_score,
          AS fused_rank
 FROM fused
 """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top`` terms by smoothed
+    TF-IDF (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing — never
+    divides by zero, never goes negative). Output:
+    (id, term, tf, score, rnk), ties broken by term ascending.
+
+    Scale shape: ONE corpus-sized explode into (doc, term) with map-side
+    partial counts, a term-sized df aggregation re-entering broadcast, and
+    a per-doc window top-k — the inverted-index build cost, paid once.
+    Scores are rounded before ranking so both engines rank identical keys
+    (the BM25 ln-rounding doctrine, search.py header)."""
+    from .text import tokens
+
+    dt = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    df_counts = dt.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        dt.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= top)
+        .select(id_col, "term", "tf", "score", "rnk")
+    )
+
+
+def tfidf_top_terms_sql(
+    top: int = 3, table: str = "documents", round_digits: int = 9
+) -> str:
+    """DuckDB mirror of :func:`tfidf_top_terms` (generated: same tokenizer,
+    smoothing, rounding, ties)."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    return f"""
+WITH dt AS (
+  SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY 1, 2
+),
+dfc AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), {round_digits})
+           AS score
+  FROM tf t JOIN dfc d ON d.term = t.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, rnk FROM (
+  SELECT doc_id, term, tf, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {top}
+"""

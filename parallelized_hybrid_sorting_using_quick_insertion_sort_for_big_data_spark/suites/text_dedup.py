@@ -1374,3 +1374,19 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return _S.phrase_match(docs, _PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-3 terms per document (r08).
+# ---------------------------------------------------------------------------
+
+
+@query("text_tfidf_keywords", sql=_S.tfidf_top_terms_sql(top=3))
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (sklearn idf, rounded before ranking, term-ascending ties). One
+    corpus explode with map-side partial counts + a broadcast term-df
+    relation + a per-doc window top-k — the inverted-index build shape.
+    Every (doc, term, tf, score, rank) row value-hashed by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _S.tfidf_top_terms(docs, top=3)

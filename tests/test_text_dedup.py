@@ -13,6 +13,7 @@ from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.o
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 ORACLE_QUERIES = [
+    "text_tfidf_keywords",
     "text_analysis",
     "text_token_frequency",
     "dedup_exact",
