@@ -549,3 +549,124 @@ SELECT doc_id,
        CAST(len(list_slice(toks, k*{st} + 1, k*{st} + {cs})) AS BIGINT) AS n_tokens
 FROM ks
 """
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    vocab: int = 100,
+    min_support: int = 5,
+    top: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Document-level pointwise mutual information for token pairs:
+    PMI(a,b) = ln(n(a,b)·N / (n(a)·n(b))) over document PRESENCE counts,
+    restricted to the global top-``vocab`` terms by document frequency
+    (ties term-ascending) and pairs seen in ≥ ``min_support`` docs.
+    Output: the ``top`` pairs by (rounded PMI desc, term_a, term_b).
+
+    The vocabulary cap is what makes corpus-level co-occurrence scale: the
+    per-doc pair fan-out is bounded by C(vocab, 2) regardless of document
+    length or corpus size, and the vocabulary relation (100 rows) enters
+    as a broadcast semi-join — the same hot-key discipline as the
+    n-gram-Jaccard doc-freq cap. All counts are integers; the single ln
+    is rounded before ranking (BM25 doctrine)."""
+    dt = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    dfc = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    from pyspark.sql import Window
+
+    wv = Window.orderBy(F.col("df").desc(), F.col("term"))
+    vocab_df = (
+        dfc.withColumn("__r", F.row_number().over(wv))
+        .where(F.col("__r") <= vocab)
+        .select("term", "df")
+    )
+    capped = dt.join(F.broadcast(vocab_df.select("term")), "term").select(
+        id_col, "term"
+    )
+    a = capped.select(F.col(id_col), F.col("term").alias("term_a"))
+    b = capped.select(F.col(id_col), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        .where(F.col("nab") >= min_support)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = (
+        pairs.join(
+            F.broadcast(vocab_df.select(F.col("term").alias("term_a"), F.col("df").alias("na"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(vocab_df.select(F.col("term").alias("term_b"), F.col("df").alias("nb"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "nab",
+            F.round(
+                F.log(
+                    (F.col("nab") * F.col("__n")).cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double")
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    wr = Window.orderBy(F.col("pmi").desc(), F.col("term_a"), F.col("term_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= top)
+        .select("term_a", "term_b", "nab", "pmi", "rnk")
+    )
+
+
+def pmi_cooccurrence_sql(
+    vocab: int = 100,
+    min_support: int = 5,
+    top: int = 20,
+    table: str = "documents",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`pmi_cooccurrence` (generated)."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({toks}) AS term FROM {table}
+),
+dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+vocab AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM dfc
+  ) WHERE r <= {vocab}
+),
+capped AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS nab
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table}),
+scored AS (
+  SELECT p.term_a, p.term_b, p.nab,
+         round(ln(CAST(p.nab * n.n AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE)),
+               {round_digits}) AS pmi
+  FROM pairs p
+  JOIN vocab va ON va.term = p.term_a
+  JOIN vocab vb ON vb.term = p.term_b
+  CROSS JOIN n
+)
+SELECT term_a, term_b, nab, pmi, rnk FROM (
+  SELECT term_a, term_b, nab, pmi,
+         CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS BIGINT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= {top}
+"""

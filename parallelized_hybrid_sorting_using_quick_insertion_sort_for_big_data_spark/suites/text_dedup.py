@@ -1390,3 +1390,19 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every (doc, term, tf, score, rank) row value-hashed by the oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return _S.tfidf_top_terms(docs, top=3)
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence: collocation mining over document presence (r08).
+# ---------------------------------------------------------------------------
+
+
+@query("text_pmi_cooccurrence", sql=T.pmi_cooccurrence_sql())
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token pairs by document-level PMI, vocabulary capped at the
+    100 highest-df terms (broadcast semi-join — the fan-out bound that
+    makes corpus co-occurrence scale), min support 5 docs. Integer counts
+    end to end, one rounded ln before ranking; the generated oracle
+    replays vocabulary, pairing, and ranking."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.pmi_cooccurrence(docs)
