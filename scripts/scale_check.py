@@ -62,6 +62,11 @@ QUERIES = (
     # per round) and hybrid RRF (both legs linear scans; fusion constant)
     "vec_pq_adc_topk",
     "search_hybrid_rrf",
+    # late-r08 adds over the scaled tables: IVF-PQ (embeddings), TF-IDF
+    # keywords and PMI collocations (documents)
+    "vec_ivfpq_topk",
+    "text_tfidf_keywords",
+    "text_pmi_cooccurrence",
 )
 
 
