@@ -670,3 +670,72 @@ SELECT term_a, term_b, nab, pmi, rnk FROM (
   FROM scored
 ) WHERE rnk <= {top}
 """
+
+
+def hashed_bow_vectors(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The hashing-trick vectorizer (Weinberger et al. 2009): every token
+    hashes to a bucket in [0, dim) and a sign in {-1, +1} (two independent
+    md5 coins — the signed variant that keeps collisions unbiased), and a
+    document's vector is the signed sum of its token counts per bucket.
+    Output: sparse (id, dim_idx, val) rows, nonzero buckets only — ALL
+    BIGINT, so the whole vectorization is exact cross-engine.
+
+    This is the schema-free text→vector bridge: no vocabulary to build,
+    no fit stage, stable under corpus growth (a token's bucket never
+    changes), which is why it is the standard featurizer for streaming /
+    100 TB settings. Shape: one corpus explode with map-side partial
+    counts, one (id, bucket) aggregation — no broadcast, no state."""
+    from .. import operators  # noqa: F401  (package-relative md5 helpers live in sampling)
+
+    term = F.col("term")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(term, F.lit("fh"))), 1, 8), 16, 10)
+        .cast("long") % dim
+    )
+    sign = (
+        F.conv(F.substring(F.md5(F.concat(term, F.lit("fhsign"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    ) * 2 - 1
+    dt = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return (
+        dt.select(
+            F.col(id_col),
+            bucket.alias("dim_idx"),
+            (sign * F.col("tf")).alias("__sv"),
+        )
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("__sv").cast("bigint").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
+
+def hashed_bow_sql(dim: int = 32, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`hashed_bow_vectors` (generated, same md5
+    coins and sign convention)."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    bucket = "CAST('0x' || substr(md5(term || 'fh'), 1, 8) AS BIGINT) % " + str(dim)
+    sign = (
+        "(CAST('0x' || substr(md5(term || 'fhsign'), 1, 8) AS BIGINT) % 2) * 2 - 1"
+    )
+    return f"""
+WITH dt AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest({toks}) AS term FROM {table}
+  ) GROUP BY doc_id, term
+),
+sv AS (
+  SELECT doc_id, {bucket} AS dim_idx, ({sign}) * tf AS v FROM dt
+)
+SELECT doc_id, dim_idx, CAST(sum(v) AS BIGINT) AS val
+FROM sv GROUP BY doc_id, dim_idx
+HAVING sum(v) <> 0
+"""

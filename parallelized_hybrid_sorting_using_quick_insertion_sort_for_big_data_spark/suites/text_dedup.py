@@ -1406,3 +1406,20 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays vocabulary, pairing, and ranking."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.pmi_cooccurrence(docs)
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: the schema-free text -> vector bridge (r08).
+# ---------------------------------------------------------------------------
+
+
+@query("text_hashed_bow", sql=T.hashed_bow_sql(dim=32))
+def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick vectorization of the whole corpus into 32
+    buckets: two independent md5 coins per token (bucket + sign), signed
+    token-count sums per (doc, bucket), nonzero buckets emitted as sparse
+    BIGINT rows — the no-vocabulary featurizer whose assignments never
+    change as the corpus grows. Every value exact against the generated
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.hashed_bow_vectors(docs, dim=32)

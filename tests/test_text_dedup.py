@@ -15,6 +15,7 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 ORACLE_QUERIES = [
     "text_tfidf_keywords",
     "text_pmi_cooccurrence",
+    "text_hashed_bow",
     "text_analysis",
     "text_token_frequency",
     "dedup_exact",
