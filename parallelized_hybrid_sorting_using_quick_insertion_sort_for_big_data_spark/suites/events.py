@@ -1238,3 +1238,127 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 9).alias("z"),
         (F.abs(z) > F.lit(_AB_Z)).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. Poisson bootstrap (r08): the scalable bootstrap — instead of
+#     resampling n rows with replacement (a sequential operation), every
+#     row gets an independent Poisson(1) weight per replicate, which at
+#     large n is distributionally equivalent (Chamandy et al., "Estimating
+#     Uncertainty for Massive Data Streams", Google 2012) and embarrassingly
+#     parallel. Determinism: the weight is the integer inverse-CDF of an
+#     md5-uniform coin — cumulative Poisson(1) thresholds pre-scaled to the
+#     sampling module's 1e6 bucket space, so BOTH engines draw the exact
+#     same integer weight for every (row, replicate).
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 32  # replicates; lo/hi = 2nd / 31st order statistic ~ (p5, p95)
+_BOOT_CDF = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999]
+
+_BOOT_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' || CAST(r AS VARCHAR)"
+    " || 'boot'), 1, 8) AS BIGINT) % 1000000"
+)
+_BOOT_W_SQL = " + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_CDF)
+
+_BOOT_ORACLE = f"""
+WITH rep AS (
+  SELECT event_type, value, r, {_BOOT_BUCKET_SQL} AS u
+  FROM events, (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r)
+),
+w AS (SELECT event_type, value, r, {_BOOT_W_SQL} AS w FROM rep),
+means AS (
+  SELECT event_type, r,
+         round(CAST(sum(w * CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+               / sum(w), 9) AS m
+  FROM w GROUP BY event_type, r HAVING sum(w) > 0
+),
+ci AS (
+  SELECT event_type,
+         (list(m ORDER BY m))[2] AS boot_lo,
+         (list(m ORDER BY m))[{_BOOT_R - 1}] AS boot_hi
+  FROM means GROUP BY event_type
+),
+pt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(*), 9)
+           AS point_mean
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n, p.point_mean, c.boot_lo, c.boot_hi
+FROM pt p JOIN ci c ON c.event_type = p.event_type
+"""
+
+
+@query("events_bootstrap_ci", sql=_BOOT_ORACLE)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean value per event
+    type: 32 replicates, each row weighted by the deterministic integer
+    Poisson(1) draw of its (event_id, replicate) md5 coin, replicate means
+    decimal-exact, CI = the 2nd/31st order statistics (~p5/p95). ONE pass
+    over a 32x row fan-out (pipelined explode, map-side partial sums) +
+    one tiny per-type reduction — the bootstrap that actually runs at
+    100 TB, where resample-with-replacement cannot. Every replicate mean
+    and both interval ends replay exactly in the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    rep = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "value",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit("|"),
+                            F.col("r").cast("string"),
+                            F.lit("boot"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+        ).alias("u"),
+    )
+    w_expr = None
+    for t in _BOOT_CDF:
+        term = (F.col("u") >= t).cast("long")
+        w_expr = term if w_expr is None else w_expr + term
+    means = (
+        rep.select("event_type", "value", "r", w_expr.alias("w"))
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("value").cast("decimal(27,8)")).alias("__s"),
+            F.sum("w").alias("__w"),
+        )
+        .where(F.col("__w") > 0)
+        .select(
+            "event_type",
+            F.round(F.col("__s").cast("double") / F.col("__w"), 9).alias("m"),
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.element_at(F.array_sort(F.collect_list("m")), 2).alias("boot_lo"),
+        F.element_at(F.array_sort(F.collect_list("m")), _BOOT_R - 1).alias("boot_hi"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,8)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("point_mean"),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n", "point_mean", "boot_lo", "boot_hi"
+    )
