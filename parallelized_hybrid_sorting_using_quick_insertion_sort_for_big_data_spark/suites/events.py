@@ -1362,3 +1362,87 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(ci, "event_type").select(
         "event_type", "n", "point_mean", "boot_lo", "boot_hi"
     )
+
+
+# ---------------------------------------------------------------------------
+# 19. Mergeable distinct-count sketches (r08): per-day HLL sketches (Apache
+#     DataSketches via hll_sketch_agg) UNIONED into the corpus total — the
+#     pre-aggregation pattern every lake runs: store one tiny sketch per
+#     partition/day, answer "distinct users over any date range" by sketch
+#     union, never by re-scanning. Oracle pattern = the promoted approx
+#     sketches (rel_approx_distinct): the hashed output carries exact
+#     counts + booleans PROVING the estimates honor their error bound and
+#     that union-of-daily == single-pass (register-max associativity) —
+#     DuckDB asserts the booleans TRUE and recomputes the exacts.
+# ---------------------------------------------------------------------------
+
+_HLL_RSD_BAND = 0.05  # lgK=12 default -> rsd ~1.6%; 5% = a 3-sigma band
+
+_HLL_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+total AS (
+  SELECT CAST(-1 AS BIGINT) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events
+)
+SELECT day, n_exact, TRUE AS est_ok, TRUE AS merge_ok FROM daily
+UNION ALL
+SELECT day, n_exact, TRUE AS est_ok, TRUE AS merge_ok FROM total
+"""
+
+
+@query("events_hll_daily_merge", sql=_HLL_ORACLE)
+def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL distinct-user sketches + their union: every day's
+    estimate must sit within 5% of that day's exact count (est_ok), and
+    the union-of-daily-sketches estimate must EQUAL the single-pass
+    estimate over all events (merge_ok — register-max associativity, the
+    property that makes sketch stores sound). The hashed relation carries
+    the exact counts and the two proofs; the oracle recomputes the exacts
+    and asserts the booleans. At 100 TB the daily relation IS the stored
+    rollup: a year of distinct-user queries reads 365 sketches of a few
+    KB, not the fact table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts")) / F.lit(_DAY_US)).cast("bigint").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    per_day = daily.select(
+        "day",
+        "n_exact",
+        F.hll_sketch_estimate(F.col("sk")).alias("__est"),
+    )
+    union_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("__u")
+    )
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__s"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    merge_ok_row = union_est.crossJoin(F.broadcast(single)).select(
+        (F.col("__u") == F.col("__s")).alias("merge_ok"),
+        "n_exact",
+        F.col("__s").alias("__est"),
+    )
+    band = F.lit(float(_HLL_RSD_BAND))
+    est_ok = (
+        F.abs(F.col("__est") - F.col("n_exact"))
+        <= band * F.col("n_exact")
+    )
+    daily_rows = per_day.crossJoin(
+        F.broadcast(merge_ok_row.select("merge_ok"))
+    ).select("day", "n_exact", est_ok.alias("est_ok"), "merge_ok")
+    total_row = merge_ok_row.select(
+        F.lit(-1).cast("bigint").alias("day"),
+        "n_exact",
+        est_ok.alias("est_ok"),
+        "merge_ok",
+    )
+    return daily_rows.unionByName(total_row)

@@ -23,6 +23,7 @@ ORACLE_QUERIES = [
     "events_resample_interpolate",
     "events_ab_test",
     "events_bootstrap_ci",
+    "events_hll_daily_merge",
     "events_stream_late_drop",
     # r08: promoted from rows-only (exact med/MAD + rank-guarantee booleans)
     "events_outlier_robust_approx",
