@@ -1308,3 +1308,132 @@ SELECT t.doc_id, t.n_segs,
        coalesce(r.cleaned_text, '') AS cleaned_text
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-Neighborhood Method (SNM)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    key_len: int = 24,
+    window: int = 10,
+    n: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-Neighborhood Method near-duplicate detection (Hernández &
+    Stolfo, SIGMOD'95) — the dedup family whose candidate generator IS a
+    distributed total sort, i.e. the reference repo's core primitive
+    (QuickInsertionSort.c:sort pipeline) repurposed as a blocking strategy:
+
+      1. blocking key: the first ``key_len`` chars of the
+         alphanumeric-normalized text (near-identical docs normalize to the
+         same prefix and become sort-adjacent);
+      2. TOTAL SORT by (key, id) with a materialized global rank — the
+         engine's own range-exchange sort (:func:`..operators.sorting.ranked`,
+         no single-partition window, scales to any corpus);
+      3. candidate pairs = every pair within ``window`` positions of the
+         sorted order — generated as an EQUI-join on rank via
+         ``explode(sequence(1, window))`` (never a range/cross join:
+         exactly n·window candidates, linear in the corpus);
+      4. verify with exact char-n-gram Jaccard, computed only for the
+         candidate pairs.
+
+    Output: (id_a, id_b, rank_gap, jaccard) with id_a the lower-ranked doc,
+    jaccard ≥ threshold.
+
+    100 TB shape: the sort is one range exchange (the same machinery as the
+    flagship sort query); candidates are O(corpus × window) regardless of
+    key skew — SNM's classic advantage over blocking-key equi-joins, where
+    one hot block goes quadratic. The Jaccard verify touches only candidate
+    docs' shingles (two equi-joins on id, one on shingle)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .sorting import ranked
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, key_len
+    )
+    keyed = ranked(
+        docs.select(F.col(id_col), key.alias("__key")),
+        ["__key", id_col],
+        rank_col="__rnk",
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("__rnk").alias("__ra"))
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("__rnk").alias("__rb"))
+    cand = (
+        a.select(
+            "id_a",
+            "__ra",
+            F.explode(F.sequence(F.lit(1), F.lit(window))).alias("rank_gap"),
+        )
+        .withColumn("__rb", F.col("__ra") + F.col("rank_gap"))
+        .join(b, "__rb")
+        .select("id_a", "id_b", F.col("rank_gap").cast("bigint").alias("rank_gap"))
+    )
+    sh = shingles(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "rank_gap")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__shared").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "rank_gap", "jaccard")
+    )
+
+
+def sorted_neighborhood_oracle_sql(
+    key_len: int = 24,
+    window: int = 10,
+    n: int = 8,
+    threshold: float = 0.3,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of :func:`sorted_neighborhood_pairs`: same normalized
+    prefix key, same (key, doc_id) total order (row_number — fine at oracle
+    scale), same window-bounded candidates, same n-gram Jaccard verify."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, trim(lower(text)) AS t,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, {key_len}) AS key
+  FROM {table}
+),
+keyed AS (
+  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk FROM d
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rnk - a.rnk AS rank_gap
+  FROM keyed a JOIN keyed b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {window}
+),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{n - 1}, 1))) AS i FROM d),
+sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {n}) AS shingle FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, c.rank_gap, count(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT s.id_a, s.id_b, s.rank_gap,
+       CAST(s.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.n_shared) AS jaccard
+FROM shared s
+JOIN sizes za ON s.id_a = za.doc_id
+JOIN sizes zb ON s.id_b = zb.doc_id
+WHERE CAST(s.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.n_shared) >= {threshold}
+"""

@@ -194,3 +194,37 @@ def scd2_asof(dim: DataFrame, ts_us: int) -> DataFrame:
         (F.col("valid_from_us") <= F.lit(ts_us))
         & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > F.lit(ts_us)))
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log to materialize the CURRENT table
+    state: for every key, the change with the highest sequence wins; a
+    winning delete removes the key entirely (Debezium/Delta-CDF apply
+    semantics).
+
+    Implemented as ONE grouped aggregate — ``max_by(struct(*), struct(seq))``
+    — not a row_number window: the aggregate gets map-side partial
+    combining (each task pre-reduces its keys to one candidate row before
+    the shuffle), so a hot key that received millions of updates ships ONE
+    row per task instead of funnelling its whole history through a single
+    window partition. That asymmetry is the difference between "works" and
+    "works on the key that every bot hammered" at 100 TB.
+
+    ``seq_cols`` must totally order each key's changes (e.g. (ts, log
+    offset)); ties are undefined exactly as in any CDC consumer.
+    """
+    row = F.struct(*[F.col(c) for c in changes.columns])
+    seq = F.struct(*[F.col(c) for c in seq_cols])
+    latest = changes.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max_by(row, seq).alias("__last")
+    )
+    survivors = latest.where(F.col(f"__last.{op_col}") != delete_op)
+    return survivors.select(
+        *[F.col(f"__last.{c}").alias(c) for c in changes.columns]
+    )

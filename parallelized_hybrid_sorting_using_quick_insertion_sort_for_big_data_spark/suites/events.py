@@ -1542,3 +1542,48 @@ def pipeline_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", feat["user_id"], "ts_us", "segment", "n_7d", "mean_7d"
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (r08): change-log -> current-state materialization. The events
+# table is read as a Debezium-style log on a per-user profile row: every
+# non-error event upserts the profile, an 'error' event is the tombstone.
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_ORACLE = """
+WITH log AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+latest AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM log
+)
+SELECT event_id, ts, user_id, event_type, value, op
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("pipeline_cdc_apply", sql=_CDC_APPLY_ORACLE)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log apply: per user, the highest-(ts, event_id) change wins and
+    a winning tombstone ('error' -> op D) deletes the key. ONE max_by
+    grouped aggregate (map-side partial combining — a hot key ships one
+    candidate per task), not a row_number window; the oracle states the
+    same semantics as a window for readability."""
+    from ..operators import scd as _SCD
+
+    log = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return _SCD.cdc_apply(log, key_cols=["user_id"], seq_cols=["ts", "event_id"])

@@ -1813,3 +1813,69 @@ def rel_equifreq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("hi"),
         _dsum(F.col("v")).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. Group-wise OLS regression (r08) from the same decimal-exact power sums
+#     as rel_moment_stats: native regr_slope/regr_intercept/regr_r2 fold
+#     doubles in partition order (engine- and order-dependent low bits);
+#     exact Σ moments + one shared IEEE combination are portable.
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       round((sxy - sx*sy/n) / (sxx - sx*sx/n), 9) AS slope,
+       round(sy/n - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * (sx/n), 6) AS intercept,
+       round(((sxy - sx*sy/n) * (sxy - sx*sy/n)) / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 9) AS r2
+FROM m
+"""
+
+
+@query("rel_groupwise_regression", sql=_REGR_ORACLE)
+def rel_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) least-squares fit of extendedprice on
+    quantity — slope/intercept/r² derived from decimal-exact power sums
+    (the portable form of SQL:2016 regr_slope/regr_intercept/regr_r2; see
+    rel_moment_stats for why the native fold isn't hash-stable). One
+    partial-agg shuffle; the fit math is per-group constant work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d194 = "decimal(19,4)"
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,8)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,8)")).cast("double").alias("sy"),
+        F.sum(F.col("l_quantity").cast(d194) * F.col("l_extendedprice").cast(d194))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("l_quantity").cast(d194) * F.col("l_quantity").cast(d194))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("l_extendedprice").cast(d194) * F.col("l_extendedprice").cast(d194))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(sy / n - slope * (sx / n), 6).alias("intercept"),
+        F.round(
+            ((sxy - sx * sy / n) * (sxy - sx * sy / n))
+            / ((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            9,
+        ).alias("r2"),
+    )

@@ -1423,3 +1423,34 @@ def text_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return T.hashed_bow_vectors(docs, dim=32)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-Neighborhood Method dedup (r08): the dedup tier whose candidate
+# generator IS the engine's distributed total sort — the reference repo's
+# core primitive (QuickInsertionSort.c) repurposed as a blocking strategy.
+# ---------------------------------------------------------------------------
+
+_SNM_KEY_LEN = 24
+_SNM_WINDOW = 10
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    sql=dedup.sorted_neighborhood_oracle_sql(
+        key_len=_SNM_KEY_LEN, window=_SNM_WINDOW, n=_NGRAM_N, threshold=0.3
+    ),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood near-dup pairs: total-sort the corpus by a
+    normalized 24-char prefix key (the engine's range-exchange sort with
+    materialized global rank — no single-partition window), take every
+    pair within 10 sort positions as a candidate (equi-join on rank via
+    explode(sequence), exactly n·window candidates even under key skew —
+    SNM's classic advantage over hot-block equi-joins), verify with exact
+    char-8-gram Jaccard ≥ 0.3. Oracle replays key, order, window, and
+    verify in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.sorted_neighborhood_pairs(
+        docs, key_len=_SNM_KEY_LEN, window=_SNM_WINDOW, n=_NGRAM_N, threshold=0.3
+    )

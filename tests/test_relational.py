@@ -55,6 +55,9 @@ REL_QUERIES = [
     # oracles (engine-invariant exacts + guarantee booleans)
     "rel_approx_quantiles",
     "rel_approx_distinct",
+    # r08 late adds
+    "rel_groupwise_regression",
+    "pipeline_cdc_apply",
 ]
 
 

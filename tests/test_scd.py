@@ -37,3 +37,35 @@ def test_asof_boundary_semantics(spark):
         k for k in before if k % 7 != 0 and k % 11 != 0 and k < 1_000_000
     )[0]
     assert at[untouched] == before[untouched]
+
+
+def test_cdc_apply_semantics(spark):
+    """Crafted CDC log: latest-op-wins per key, a winning tombstone deletes
+    the key, a re-insert AFTER a delete resurrects it, and keys never
+    interfere. Also oracle parity for the registered query."""
+    import __spark_entry__ as E
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.scd import (
+        cdc_apply,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    log = spark.createDataFrame(
+        [
+            # k=1: plain update chain — last U wins
+            (1, 1, "U", "a"), (1, 2, "U", "b"), (1, 3, "U", "c"),
+            # k=2: delete wins (arrives last)
+            (2, 1, "U", "x"), (2, 2, "D", None),
+            # k=3: delete then re-insert — resurrected with the new value
+            (3, 1, "U", "old"), (3, 2, "D", None), (3, 3, "U", "new"),
+            # k=4: only a delete — never materializes
+            (4, 1, "D", None),
+        ],
+        "k int, seq int, op string, v string",
+    )
+    got = {r["k"]: r["v"] for r in cdc_apply(log, ["k"], ["seq"]).collect()}
+    assert got == {1: "c", 3: "new"}
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert_matches_oracle(
+        qs["pipeline_cdc_apply"](spark, SF_DIR), oracles["pipeline_cdc_apply"], SF_DIR
+    )

@@ -28,6 +28,7 @@ ORACLE_QUERIES = [
     "dedup_segment_rewrite",
     "text_zipf_slope",
     "text_phrase_search",
+    "dedup_sorted_neighborhood",
 ]
 
 
@@ -762,3 +763,38 @@ def test_phrase_match_semantics(spark):
     assert got("a a") == {2: 3}
     assert got("b c b") == {3: 1}
     assert got("zz qq") == {}
+
+
+def test_sorted_neighborhood_sound_and_catches_planted_dups(spark, docs):
+    """SNM soundness: every emitted pair is a TRUE Jaccard-0.3 pair (the
+    verify stage is exact, so SNM ⊆ exact-Jaccard pairs — only recall is
+    windowed away). Recall on planted dups: two verbatim copies of an
+    existing doc normalize to the same prefix key, sort adjacent, and MUST
+    be caught."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup,
+    )
+
+    snm = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            docs.select("doc_id", "text"), threshold=0.3
+        ).collect()
+    }
+    assert snm, "vacuous: SNM found no pairs at this SF"
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert snm <= exact, f"unsound pairs: {sorted(snm - exact)[:5]}"
+
+    base = docs.select("doc_id", "text").limit(1)
+    planted = docs.select("doc_id", "text").unionAll(
+        base.select((F.col("doc_id") + 90_000).alias("doc_id"), "text")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(planted, threshold=0.3).collect()
+    }
+    src = base.collect()[0]["doc_id"]
+    assert (src, src + 90_000) in got or (src + 90_000, src) in got
