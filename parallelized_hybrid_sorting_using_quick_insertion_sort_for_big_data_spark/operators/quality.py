@@ -165,3 +165,43 @@ def psi_drift(
             F.sum(term).cast("double").alias("psi"),
         )
     )
+
+
+def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency profiling: for each candidate ``det -> dep``,
+    count determinant groups and how many of them map to MORE than one
+    dependent value (the FD's violation count; 0 ⇒ the dependency holds —
+    candidate-key / denormalization discovery, the Metanome/HyFD question
+    asked as a query).
+
+    One stacked pass: every (det, dep) pair becomes (fd, det_val, dep_val)
+    rows via ``stack`` (values cast to string — injective, and only
+    DISTINCT COUNTS are emitted, never the values), then two grouped
+    aggregates. Scale shape: the stack multiplies rows by len(fds) but
+    keeps them narrow (three short columns); both aggregates get map-side
+    partial combining, and nothing is ever collected per-group."""
+    k = len(fds)
+    args: list[Column] = []
+    for det, dep in fds:
+        args.append(F.lit(f"{det}->{dep}"))
+        args.append(F.col(det).cast("string"))
+        args.append(F.col(dep).cast("string"))
+    stacked = df.select(
+        F.stack(F.lit(k), *args).alias("fd", "det_val", "dep_val")
+    )
+    per_group = stacked.groupBy("fd", "det_val").agg(
+        F.countDistinct("dep_val").alias("n_dep")
+    )
+    return (
+        per_group.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.count_if(F.col("n_dep") > 1).alias("n_violating"),
+        )
+        .select(
+            "fd",
+            "n_groups",
+            "n_violating",
+            (F.col("n_violating") == 0).alias("holds"),
+        )
+    )

@@ -1587,3 +1587,63 @@ def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
     )
     return _SCD.cdc_apply(log, key_cols=["user_id"], seq_cols=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (r08): every purchase is credited to the user's
+# most recent STRICTLY-preceding touch event (click/view) — the marketing-
+# attribution primitive. One window per user; purchases with no prior touch
+# stay unattributed (NULL touch columns).
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH touched AS (
+  SELECT event_id, user_id, ts, value, event_type,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN struct_pack(tid := event_id, ttype := event_type,
+                                          tus := epoch_us(ts)) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT event_id, user_id, value,
+       touch.tid AS touch_event_id,
+       touch.ttype AS touch_type,
+       epoch_us(ts) - touch.tus AS gap_us
+FROM touched
+WHERE event_type = 'purchase'
+"""
+
+
+@query("events_attribution", sql=_ATTRIBUTION_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: per purchase, the latest preceding
+    click/view by the same user (ignore-nulls last() over a
+    rows-unbounded-to-minus-one frame — hash-partitioned by user, no
+    global window). Integer-microsecond gap; unattributed purchases keep
+    NULL touch columns."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            F.col("event_id").alias("tid"),
+            F.col("event_type").alias("ttype"),
+            F.unix_micros(F.col("ts")).alias("tus"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn("__touch", F.last(touch, ignorenulls=True).over(w))
+    return touched.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("__touch.tid").alias("touch_event_id"),
+        F.col("__touch.ttype").alias("touch_type"),
+        (F.unix_micros(F.col("ts")) - F.col("__touch.tus")).alias("gap_us"),
+    )

@@ -1879,3 +1879,119 @@ def rel_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 33. Functional-dependency profiling (r08): does det -> dep hold? The data-
+#     profiling primitive behind candidate-key discovery and denormalization
+#     audits, asked over orders as one stacked two-level aggregate.
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),  # PK -> anything: must hold
+    ("o_custkey", "o_orderpriority"),  # expected violated
+    ("o_orderdate", "o_orderstatus"),  # expected violated
+]
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{det}->{dep}' AS fd,
+       count(*) AS n_groups,
+       count(*) FILTER (WHERE n_dep > 1) AS n_violating,
+       count(*) FILTER (WHERE n_dep > 1) = 0 AS holds
+FROM (
+  SELECT CAST({det} AS VARCHAR) AS det_val,
+         count(DISTINCT CAST({dep} AS VARCHAR)) AS n_dep
+  FROM orders GROUP BY 1
+)"""
+    for det, dep in _FD_PAIRS
+)
+
+
+@query("pipeline_fd_profile", sql=_FD_ORACLE)
+def pipeline_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check over orders for three candidate
+    dependencies (the PK one must hold, the two attribute ones must not):
+    one stack pass + two partial-agg shuffles, values never leave the
+    executors — only group/violation counts come back."""
+    from ..operators import quality as _Q
+
+    return _Q.fd_violations(load_table(spark, sf_dir, "orders"), _FD_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# 34. Benford first-digit audit (r08): the classic fabricated-numbers test.
+#     Expected probabilities are hard-coded double literals (log10(1+1/d))
+#     so neither engine's libm is in the hash path; chi-square terms derive
+#     from exact integer counts.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+),
+counted AS (
+  SELECT digit, count(*) AS n_obs,
+         (SELECT count(*) FROM digits) AS n_total
+  FROM digits GROUP BY 1
+)
+SELECT digit, n_obs,
+       {_BENFORD_CASE_SQL} AS expected_p,
+       round(
+         (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+         * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+         / (CAST(n_total AS DOUBLE) * ({_BENFORD_CASE_SQL})), 9) AS chi2_term
+FROM counted
+"""
+
+
+@query("rel_benford_digits", sql=_BENFORD_ORACLE)
+def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice vs Benford's
+    law, with per-digit chi-square terms — the forensic-accounting data
+    audit. One partial-agg shuffle plus a broadcast 1-row total; all
+    randomness-free math happens on exact integer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = digits.agg(F.count(F.lit(1)).alias("n_total"))
+    expected = F.create_map(
+        *[x for d, p in _BENFORD_P.items() for x in (F.lit(d), F.lit(float(p)))]
+    )[F.col("digit")]
+    joined = counted.crossJoin(F.broadcast(total))
+    n_obs_d = F.col("n_obs").cast("double")
+    n_tot_d = F.col("n_total").cast("double")
+    return joined.select(
+        "digit",
+        "n_obs",
+        expected.alias("expected_p"),
+        F.round(
+            (n_obs_d - n_tot_d * expected)
+            * (n_obs_d - n_tot_d * expected)
+            / (n_tot_d * expected),
+            9,
+        ).alias("chi2_term"),
+    )

@@ -30,6 +30,8 @@ ORACLE_QUERIES = [
     "events_outlier_robust_approx",
     "events_psi_drift",
     "events_stream_scd2_enrich",
+    # r08 late adds
+    "events_attribution",
 ]
 
 
@@ -380,3 +382,32 @@ def test_psi_drift_semantics(spark):
         psi += Decimal(str(round((p - q) * lnr, 9)))
     assert float(psi) == out["shifted"]["psi"]
     assert out["shifted"]["n_ref"] == tr and out["shifted"]["n_cur"] == tc
+
+
+def test_attribution_semantics(spark):
+    """Every purchase appears exactly once; a purchase before any touch is
+    unattributed (NULL); attributed touches strictly precede the purchase
+    and are the LATEST preceding click/view of that user."""
+    qs = entrymod.queries()
+    rows = qs["events_attribution"](spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    purchases = [e for e in ev if e["event_type"] == "purchase"]
+    assert len(rows) == len(purchases)
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    for u in by_user:
+        by_user[u].sort(key=lambda e: (e["ts"], e["event_id"]))
+    checked_null = checked_attr = 0
+    for r in rows[:200]:
+        seq = by_user[r["user_id"]]
+        i = next(j for j, e in enumerate(seq) if e["event_id"] == r["event_id"])
+        touches = [e for e in seq[:i] if e["event_type"] in ("click", "view")]
+        if r["touch_event_id"] is None:
+            assert not touches
+            checked_null += 1
+        else:
+            assert touches and touches[-1]["event_id"] == r["touch_event_id"]
+            assert r["gap_us"] > 0 or touches[-1]["ts"] == seq[i]["ts"]
+            checked_attr += 1
+    assert checked_attr > 0

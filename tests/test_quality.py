@@ -70,3 +70,25 @@ def test_registered_audit_matches_oracle(spark):
     rows = {r["check_name"]: r["bad"] for r in got.collect()}
     assert rows["domain_customer_negative_acctbal"] > 0
     assert rows["fk_lineitem_orders"] == 0
+
+
+def test_fd_violations_semantics(spark):
+    """Crafted frame: a holding FD reports 0 violations; a violated FD
+    counts exactly the determinant groups with >1 dependent value; NULL
+    dependents count as a value (cast to string -> distinct)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.quality import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x"), (1, "a", "x"),   # k=1 consistent
+            (2, "b", "x"), (2, "b", "y"),   # k=2 violates k->w
+            (3, "c", None), (3, "c", None), # NULL dep, consistent
+        ],
+        "k int, v string, w string",
+    )
+    out = {r["fd"]: r for r in fd_violations(df, [("k", "v"), ("k", "w")]).collect()}
+    assert out["k->v"]["holds"] and out["k->v"]["n_violating"] == 0
+    assert not out["k->w"]["holds"] and out["k->w"]["n_violating"] == 1
+    assert out["k->v"]["n_groups"] == out["k->w"]["n_groups"] == 3

@@ -58,6 +58,8 @@ REL_QUERIES = [
     # r08 late adds
     "rel_groupwise_regression",
     "pipeline_cdc_apply",
+    "pipeline_fd_profile",
+    "rel_benford_digits",
 ]
 
 
