@@ -1348,19 +1348,53 @@ def sorted_neighborhood_pairs(
     100 TB shape: the sort is one range exchange (the same machinery as the
     flagship sort query); candidates are O(corpus × window) regardless of
     key skew — SNM's classic advantage over blocking-key equi-joins, where
-    one hot block goes quadratic. The Jaccard verify touches only candidate
-    docs' shingles (two equi-joins on id, one on shingle)."""
+    one hot block goes quadratic. The verify computes each doc's DISTINCT
+    shingle set as a per-row array (``transform`` over a substring index —
+    zero shuffles, no explode) and intersects the two arrays per candidate
+    pair with ``array_intersect`` (hash-set, linear per pair). The exploded
+    shared-shingle formulation (see :func:`jaccard_pairs`) was 4× slower
+    here: with candidates already bounded to n·window, expanding every pair
+    by |shingles(a)| rows costs more than shipping each doc's array the ≤2·
+    window times it appears in a pair."""
     from pyspark.storagelevel import StorageLevel
 
+    from ..sources.tables import spread_scan
     from .sorting import ranked
 
+    # ONE pass over the text computes the blocking key AND the per-row
+    # distinct shingle set (same semantics as shingles(): trim + lower,
+    # short docs contribute their whole text) — then persists the slim
+    # (id, key, shingle-array) projection. Everything downstream (the range
+    # partitioner's SAMPLE pass, the rank exchange, both pair-join sides)
+    # reads the persisted projection instead of re-running scan + regex +
+    # shingling; before this, ranked()'s boundary sampling alone recomputed
+    # the text pipeline and dominated the runtime. Per-row CPU work is
+    # widened across cores first (spread_scan — no-op on parallel inputs).
+    docs = spread_scan(docs)
+    t = F.trim(F.lower(F.col(text_col)))
+    # The key is normalized from a bounded 256-char prefix, not the full
+    # text — a megabyte document must not pay a full-body regex for a
+    # 24-char blocking key. Mirrored in the oracle, so parity holds even
+    # for the pathological doc whose first 256 chars contain < key_len
+    # alphanumerics.
     key = F.substring(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, key_len
+        F.regexp_replace(
+            F.substring(F.lower(F.col(text_col)), 1, 256), "[^a-z0-9]", ""
+        ),
+        1,
+        key_len,
     )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+    slim = docs.select(
+        F.col(id_col), key.alias("__key"), sh.alias("__sh"), F.size(sh).alias("__n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keyed = ranked(
-        docs.select(F.col(id_col), key.alias("__key")),
-        ["__key", id_col],
-        rank_col="__rnk",
+        slim.select(F.col(id_col), "__key"), ["__key", id_col], rank_col="__rnk"
     )
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("__rnk").alias("__ra"))
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("__rnk").alias("__rb"))
@@ -1374,19 +1408,29 @@ def sorted_neighborhood_pairs(
         .join(b, "__rb")
         .select("id_a", "id_b", F.col("rank_gap").cast("bigint").alias("rank_gap"))
     )
-    sh = shingles(docs, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    shared = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "rank_gap")
-        .agg(F.count(F.lit(1)).alias("__shared"))
+    pa = slim.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.col("__n").alias("__na"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    pb = slim.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        F.col("__n").alias("__nb"),
+    )
+    # Size-ratio prune BEFORE the per-pair intersect: jaccard(a,b) can never
+    # exceed min(|a|,|b|)/max(|a|,|b|), so pairs failing that bound are
+    # dropped without touching the arrays. Pure pruning — algebraically
+    # implied by the threshold filter below, so the oracle needs no mirror.
+    ratio_ok = (
+        F.least("__na", "__nb").cast("double")
+        >= F.greatest("__na", "__nb").cast("double") * F.lit(threshold)
+    )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .where(ratio_ok)
+        .withColumn("__shared", F.size(F.array_intersect("__sha", "__shb")))
         .withColumn(
             "jaccard",
             F.col("__shared").cast("double")
@@ -1410,7 +1454,7 @@ def sorted_neighborhood_oracle_sql(
     return f"""
 WITH d AS (
   SELECT doc_id, trim(lower(text)) AS t,
-         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, {key_len}) AS key
+         substr(regexp_replace(substr(lower(text), 1, 256), '[^a-z0-9]', '', 'g'), 1, {key_len}) AS key
   FROM {table}
 ),
 keyed AS (

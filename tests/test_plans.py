@@ -664,3 +664,39 @@ def test_segment_rewrite_plan(spark, qs):
     assert not PI.has_cartesian(df)
     for schema in PI.scan_read_schemas(df):
         assert schema.count(":") <= 2, schema
+
+
+def test_sorted_neighborhood_plan(spark, qs):
+    """SNM dedup: candidates come from EQUI-joins only (the rank window is
+    an explode + join on rank — never a range or cartesian join), the total
+    sort is a range exchange (the engine's ranked() machinery), and the
+    verify stage reads the persisted slim projection, not the corpus scan
+    re-run per join side."""
+    df = qs["dedup_sorted_neighborhood"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # the rank-window expansion must be present (explode of the gap sequence)
+    assert "explode" in plan.lower(), plan
+
+
+def test_cdc_apply_is_single_partial_aggregate(spark, qs):
+    """CDC apply must be the max_by grouped-aggregate form: exactly one
+    exchange (the groupBy on the key), with a partial aggregate before it
+    (map-side combine), and NO window (a window would funnel hot keys)."""
+    df = qs["pipeline_cdc_apply"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    PI.assert_max_exchanges(df, 1)
+    assert "Window" not in plan, plan
+    # struct-typed max_by lowers to SortAggregate; the load-bearing fact is
+    # the PARTIAL aggregate before the exchange (map-side combine)
+    assert "partial_max_by" in plan, plan
+
+
+def test_groupwise_regression_single_exchange(spark, qs):
+    """The OLS moments are one grouped aggregate: partial aggregation then
+    a single hash exchange; the fit arithmetic is post-agg projection."""
+    df = qs["rel_groupwise_regression"](spark, SF_DIR)
+    PI.assert_max_exchanges(df, 1)
+    assert PI.codegen_stage_count(df) >= 1
