@@ -94,7 +94,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # with the 3 rows-only queries deferred past oracle-backed ones (their
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
-    # -- never driver-checked (32)
+    # -- never driver-checked (38: the 32 below plus the 6 second-session
+    #    adds — SNM dedup, CDC apply, attribution, group-wise OLS, FD
+    #    profile, Benford audit; each sweep-green and parity-pytest-pinned
+    #    before rotation in)
+    "dedup_sorted_neighborhood",
+    "pipeline_cdc_apply",
+    "events_attribution",
+    "rel_groupwise_regression",
+    "pipeline_fd_profile",
+    "rel_benford_digits",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -141,14 +150,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_scd2_merge",
     "rel_correlated_subquery",
     "rel_cube_orders",
-    "rel_outer_join",
-    "rel_rollup_customers",
-    "rel_scalar_functions",
-    "rel_set_operations",
-    "rel_sql_q3_shipping_priority",
-    "sort_total_lineitem",
-    # (18 more r04/r05-checked names displaced by the late-r08 adds — they
-    # stay sweep-green every round and rotate back in round 9)
+    # (24 more r04/r05-checked names displaced by the r08 adds — they stay
+    # sweep-green every round (LOCAL_VERIFY_r08.txt: 169 queries fails=0),
+    # are parity-pytest-pinned, and rotate back in round 9)
 )
 
 
