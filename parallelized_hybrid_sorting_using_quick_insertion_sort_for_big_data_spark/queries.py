@@ -94,16 +94,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # with the 3 rows-only queries deferred past oracle-backed ones (their
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
-    # -- never driver-checked (38: the 32 below plus the 6 second-session
+    # -- never driver-checked (41: the 32 below plus the 9 second-session
     #    adds — SNM dedup, CDC apply, attribution, group-wise OLS, FD
-    #    profile, Benford audit; each sweep-green and parity-pytest-pinned
-    #    before rotation in)
+    #    profile, Benford audit, chi-square independence, Gini, entropy;
+    #    each sweep-green and parity-pytest-pinned before rotation in)
     "dedup_sorted_neighborhood",
     "pipeline_cdc_apply",
     "events_attribution",
     "rel_groupwise_regression",
     "pipeline_fd_profile",
     "rel_benford_digits",
+    "rel_chisq_independence",
+    "rel_gini_revenue",
+    "events_type_entropy",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -147,10 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_sessionize",
     "events_stream_stream_join",
     "mm_frame_sample",
-    "pipeline_scd2_merge",
-    "rel_correlated_subquery",
-    "rel_cube_orders",
-    # (24 more r04/r05-checked names displaced by the r08 adds — they stay
+    # (27 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt: 169 queries fails=0),
     # are parity-pytest-pinned, and rotate back in round 9)
 )

@@ -1647,3 +1647,58 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__touch.ttype").alias("touch_type"),
         (F.unix_micros(F.col("ts")) - F.col("__touch.tus")).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-mix entropy (r08): Shannon entropy of each cohort's event-type
+# distribution — the diversity statistic behind "is this cohort a bot farm"
+# (near-zero entropy) vs organic traffic. Portability: each p·ln p term is
+# rounded to 9 decimals and summed as an exact DECIMAL (the text_zipf_slope
+# device), so neither engine's float fold order can flap the hash.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH cells AS (
+  SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT cohort, event_type, n, sum(n) OVER (PARTITION BY cohort) AS n_tot
+  FROM cells
+),
+terms AS (
+  SELECT cohort, n_tot,
+         CAST(round((CAST(n AS DOUBLE) / n_tot) * ln(CAST(n AS DOUBLE) / n_tot), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM tot
+)
+SELECT cohort,
+       CAST(any_value(n_tot) AS BIGINT) AS total_events,
+       count(*) AS n_types,
+       CAST(-sum(term) AS DOUBLE) AS entropy
+FROM terms GROUP BY cohort
+"""
+
+
+@query("events_type_entropy", sql=_ENTROPY_ORACLE)
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort Shannon entropy of the event-type mix: one partial-agg
+    shuffle to (cohort, type) counts, marginals and entropy over the tiny
+    post-agg relation. ln goes through round(·, 9) + exact decimal
+    summation — engine-portable, order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n_tot = F.sum("n").over(Window.partitionBy("cohort"))
+    p = F.col("n").cast("double") / F.col("n_tot").cast("double")
+    terms = cells.withColumn("n_tot", n_tot).withColumn(
+        "term", F.round(p * F.log(p), 9).cast("decimal(18,9)")
+    )
+    return terms.groupBy("cohort").agg(
+        F.any_value(F.col("n_tot")).cast("bigint").alias("total_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (-F.sum("term")).cast("double").alias("entropy"),
+    )

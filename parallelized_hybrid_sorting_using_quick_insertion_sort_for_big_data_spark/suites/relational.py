@@ -1995,3 +1995,141 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 35. Chi-square independence test (r08): is order status independent of
+#     priority? Per-cell expected counts and chi-square terms from exact
+#     integer marginals — the categorical counterpart of rel_benford_digits.
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS n_obs
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT status, priority, n_obs,
+         sum(n_obs) OVER (PARTITION BY status) AS n_row,
+         sum(n_obs) OVER (PARTITION BY priority) AS n_col,
+         sum(n_obs) OVER () AS n_total
+  FROM cells
+)
+SELECT status, priority, n_obs,
+       round(CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS expected,
+       round(
+         (CAST(n_obs AS DOUBLE) - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n_total AS DOUBLE))
+         * (CAST(n_obs AS DOUBLE) - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n_total AS DOUBLE))
+         / (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS chi2_term
+FROM margins
+"""
+
+
+@query("rel_chisq_independence", sql=_CHISQ_ORACLE)
+def rel_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square contingency terms for (orderstatus ×
+    orderpriority): one partial-agg shuffle reduces the fact table to the
+    |statuses| × |priorities| cell relation, then marginals come from
+    windows over that TINY post-agg relation (never over facts). All
+    randomness-free math on exact integer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    from pyspark.sql import Window
+
+    n_row = F.sum("n_obs").over(Window.partitionBy("status")).cast("double")
+    n_col = F.sum("n_obs").over(Window.partitionBy("priority")).cast("double")
+    n_tot = F.sum("n_obs").over(
+        Window.partitionBy()
+    ).cast("double")
+    expected = n_row * n_col / n_tot
+    dev = F.col("n_obs").cast("double") - expected
+    return cells.select(
+        "status",
+        "priority",
+        "n_obs",
+        F.round(expected, 9).alias("expected"),
+        F.round(dev * dev / expected, 9).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36. Gini concentration of customer revenue per market segment (r08):
+#     exact rank statistic over integer cents, decimal-exact sums, the
+#     identical IEEE combination both engines.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, c.c_custkey,
+         coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT segment, cents,
+         row_number() OVER (PARTITION BY segment ORDER BY cents, c_custkey) AS i
+  FROM rev
+),
+agg AS (
+  SELECT segment,
+         count(*) AS n,
+         sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+         sum(CAST(i * cents AS DECIMAL(38,0))) AS six
+  FROM ranked GROUP BY 1
+)
+SELECT segment, n,
+       CAST(sx AS DOUBLE) / 100.0 / n AS mean_revenue,
+       round((2.0 * CAST(six AS DOUBLE) - (n + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS gini
+FROM agg
+"""
+
+
+@query("rel_gini_revenue", sql=_GINI_ORACLE)
+def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of lifetime customer revenue within each market
+    segment — the inequality statistic from the rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ) over cents-exact revenues.
+    Customers without orders count as zero-revenue (a Gini that drops them
+    understates concentration). One agg reduces orders to per-customer
+    cents, the customer dim broadcasts, and the per-segment rank runs over
+    the CUSTOMER-sized relation (facts never enter a window). Ties are
+    rank-permutation-invariant in the formula, so the custkey tiebreak is
+    for determinism only. At cluster scale the per-segment window bounds
+    work to the largest segment — the inherent cost of an exact rank
+    statistic; sketch quantiles are the approximate alternative."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("__cents")
+    )
+    rev = (
+        F.broadcast(customer.select("c_custkey", F.col("c_mktsegment").alias("segment")))
+        .join(per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(
+            "segment",
+            "c_custkey",
+            F.coalesce("__cents", F.lit(0)).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx").cast("double"), F.col("six").cast("double")
+    return agg.select(
+        "segment",
+        "n",
+        (sx / F.lit(100.0) / n).alias("mean_revenue"),
+        F.round(
+            (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n.cast("double") * sx), 9
+        ).alias("gini"),
+    )

@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     "events_stream_scd2_enrich",
     # r08 late adds
     "events_attribution",
+    "events_type_entropy",
 ]
 
 

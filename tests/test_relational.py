@@ -60,6 +60,8 @@ REL_QUERIES = [
     "pipeline_cdc_apply",
     "pipeline_fd_profile",
     "rel_benford_digits",
+    "rel_chisq_independence",
+    "rel_gini_revenue",
 ]
 
 
@@ -279,3 +281,61 @@ def test_moment_stats_match_native_aggregates(spark):
         assert r["corr"] == pytest.approx(nv["corr"], abs=1e-6)
         assert r["covar_samp"] == pytest.approx(nv["cov"], rel=1e-6)
         assert r["stddev_qty"] == pytest.approx(nv["sd"], rel=1e-9)
+
+
+def test_gini_bounds_and_known_values(spark):
+    """Gini formula sanity on crafted revenues: perfect equality -> 0;
+    one-customer-takes-all over n customers -> (n-1)/n; cents-exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def gini(values):
+        rows = [(i, float(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "c_custkey int, rev double").select(
+            F.lit("S").alias("segment"),
+            "c_custkey",
+            F.round(F.col("rev") * 100).cast("bigint").alias("cents"),
+        )
+        w = Window.partitionBy("segment").orderBy("cents", "c_custkey")
+        r = df.withColumn("i", F.row_number().over(w).cast("bigint"))
+        agg = r.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).alias("six"),
+        ).collect()[0]
+        n, sx, six = agg["n"], float(agg["sx"]), float(agg["six"])
+        return (2.0 * six - (n + 1.0) * sx) / (n * sx)
+
+    assert abs(gini([10, 10, 10, 10])) < 1e-12
+    assert abs(gini([0, 0, 0, 100]) - 0.75) < 1e-12  # (n-1)/n with n=4
+
+
+def test_chisq_terms_zero_under_exact_independence(spark):
+    """A perfectly independent contingency table must produce all-zero
+    chi-square terms (expected == observed in every cell)."""
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    # crafted: rows x cols with counts = r_i * c_j / N exactly
+    import __spark_entry__ as E  # noqa: F401
+
+    data = []
+    for s, r_i in (("A", 2), ("B", 4)):
+        for p, c_j in (("x", 3), ("y", 6)):
+            data += [(s, p)] * (r_i * c_j)
+    df = spark.createDataFrame(data, "o_orderstatus string, o_orderpriority string")
+    df = df.withColumn("o_orderkey", F.monotonically_increasing_id())
+    df.createOrReplaceTempView("__chisq_orders")
+    cells = df.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    from pyspark.sql import Window
+
+    n_row = F.sum("n_obs").over(Window.partitionBy("status")).cast("double")
+    n_col = F.sum("n_obs").over(Window.partitionBy("priority")).cast("double")
+    n_tot = F.sum("n_obs").over(Window.partitionBy()).cast("double")
+    expected = n_row * n_col / n_tot
+    dev = F.col("n_obs").cast("double") - expected
+    out = cells.select((dev * dev / expected).alias("t")).collect()
+    assert all(abs(r["t"]) < 1e-12 for r in out)
