@@ -107,6 +107,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_chisq_independence",
     "rel_gini_revenue",
     "events_type_entropy",
+    "events_hll_intersection",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -149,10 +150,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "events_stream_sessionize",
     "events_stream_stream_join",
-    "mm_frame_sample",
-    # (27 more r04/r05-checked names displaced by the r08 adds — they stay
-    # sweep-green every round (LOCAL_VERIFY_r08.txt: 169 queries fails=0),
-    # are parity-pytest-pinned, and rotate back in round 9)
+    # (28 more r04/r05-checked names displaced by the r08 adds — they stay
+    # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
+    # the full registry), are parity-pytest-pinned, and rotate back in
+    # round 9)
 )
 
 

@@ -1702,3 +1702,88 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         (-F.sum("term")).cast("double").alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (r08): audience-overlap estimation from stored sketches —
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B) (inclusion-exclusion; unions are
+# exact on sketches, intersections are DERIVED and their error scales with
+# |A|+|B|, not |A∩B| — the honest error model, asserted as a boolean). The
+# promoted-approx pattern: exact counts + guarantee booleans cross the
+# engine boundary, raw estimates stay engine-side.
+# ---------------------------------------------------------------------------
+
+_HLL_IX_BAND = 0.05
+
+_HLL_IX_ORACLE = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+ix AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS exact_ix
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ix.type_a, ix.type_b,
+       sa.n AS n_a, sb.n AS n_b, ix.exact_ix,
+       TRUE AS ix_ok
+FROM ix
+JOIN sizes sa ON sa.event_type = ix.type_a
+JOIN sizes sb ON sb.event_type = ix.type_b
+"""
+
+
+@query("events_hll_intersection", sql=_HLL_IX_ORACLE)
+def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-audience overlap for every event-type pair, estimated from
+    per-type HLL sketches via inclusion-exclusion and PROVEN against the
+    exact intersection: ix_ok ⇔ |est_ix − exact| ≤ 5%·(|A|+|B|). At scale
+    the per-type sketches are the stored artifact — any pair's overlap is
+    answered from two KB-sized sketches + one union, never the fact
+    table."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("ska"), F.col("n").alias("n_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("skb"), F.col("n").alias("n_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    est_ix = (
+        F.hll_sketch_estimate("ska")
+        + F.hll_sketch_estimate("skb")
+        - F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    )
+    tu = ev.distinct()
+    exact_ix = (
+        tu.alias("x")
+        .join(
+            tu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_ix"))
+    )
+    band = F.lit(float(_HLL_IX_BAND))
+    return (
+        pairs.join(exact_ix, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "exact_ix",
+            (
+                F.abs(est_ix - F.col("exact_ix").cast("double"))
+                <= band * (F.col("n_a") + F.col("n_b")).cast("double")
+            ).alias("ix_ok"),
+        )
+    )

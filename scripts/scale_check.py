@@ -67,6 +67,10 @@ QUERIES = (
     "vec_ivfpq_topk",
     "text_tfidf_keywords",
     "text_pmi_cooccurrence",
+    # second-session r08 add over documents: SNM — the sort-as-candidate-
+    # generator dedup; expected ~n·log n (one range exchange) + linear
+    # window verify
+    "dedup_sorted_neighborhood",
 )
 
 

@@ -33,6 +33,7 @@ ORACLE_QUERIES = [
     # r08 late adds
     "events_attribution",
     "events_type_entropy",
+    "events_hll_intersection",
 ]
 
 
