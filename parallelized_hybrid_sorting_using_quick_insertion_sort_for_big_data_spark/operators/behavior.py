@@ -166,3 +166,60 @@ def cohort_retention(
             ),
         )
     )
+
+
+def copurchase_similarity(
+    baskets: DataFrame,
+    entity_col: str = "cust",
+    item_col: str = "part",
+    min_support: int = 5,
+    max_basket: int = 256,
+) -> DataFrame:
+    """Item-item co-occurrence similarity from (entity, item) baskets —
+    the recommender primitive ("customers who bought A also bought B"):
+    cosine(a, b) = n_ab / sqrt(n_a · n_b) over co-occurrence counts.
+
+    Scale discipline (the DIMSUM problem): an entity holding k items emits
+    C(k, 2) candidate pairs, so ONE bot basket with 10^5 items would emit
+    5·10^9 pairs. ``max_basket`` drops entities above the cap BEFORE the
+    self-join (the same hot-key pruning as the Jaccard stop-shingle cap —
+    a basket that large carries ~zero similarity signal per pair anyway);
+    ``min_support`` prunes the long tail after counting. Everything is an
+    equi-join on the entity plus grouped counts — no cross join, map-side
+    partials throughout."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col)
+    capped = (
+        baskets.withColumn("__bk", F.count(F.lit(1)).over(w))
+        .where(F.col("__bk") <= max_basket)
+        .drop("__bk")
+    )
+    sizes = capped.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_i"))
+    a = capped.select(F.col(entity_col).alias("__e"), F.col(item_col).alias("part_a"))
+    b = capped.select(F.col(entity_col).alias("__e"), F.col(item_col).alias("part_b"))
+    co = (
+        a.join(b, "__e")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    sa = sizes.select(F.col(item_col).alias("part_a"), F.col("n_i").alias("n_a"))
+    sb = sizes.select(F.col(item_col).alias("part_b"), F.col("n_i").alias("n_b"))
+    return (
+        co.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                9,
+            ).alias("cosine"),
+        )
+    )

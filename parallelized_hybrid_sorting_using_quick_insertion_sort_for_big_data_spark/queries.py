@@ -108,6 +108,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_gini_revenue",
     "events_type_entropy",
     "events_hll_intersection",
+    "rel_copurchase_similarity",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -149,8 +150,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_incremental_minhash",
     "events_stream_sessionize",
-    "events_stream_stream_join",
-    # (28 more r04/r05-checked names displaced by the r08 adds — they stay
+    # (29 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
     # the full registry), are parity-pytest-pinned, and rotate back in
     # round 9)

@@ -2133,3 +2133,53 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n.cast("double") * sx), 9
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 37. Co-purchase item similarity (r08): the recommender co-occurrence
+#     primitive over customer baskets, with the DIMSUM-style hot-basket cap.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_ORACLE = """
+WITH basket0 AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+capped AS (
+  SELECT cust, part FROM (
+    SELECT cust, part, count(*) OVER (PARTITION BY cust) AS bk FROM basket0
+  ) WHERE bk <= 256
+),
+sizes AS (SELECT part, count(*) AS n_i FROM capped GROUP BY 1),
+co AS (
+  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT co.part_a, co.part_b, co.n_ab, sa.n_i AS n_a, sb.n_i AS n_b,
+       round(CAST(co.n_ab AS DOUBLE) / sqrt(CAST(sa.n_i * sb.n_i AS DOUBLE)), 9) AS cosine
+FROM co
+JOIN sizes sa ON sa.part = co.part_a
+JOIN sizes sb ON sb.part = co.part_b
+"""
+
+
+@query("rel_copurchase_similarity", sql=_COPURCHASE_ORACLE)
+def rel_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over distinct customer baskets (orders ⋈
+    lineitem), min support 5, hot baskets above 256 items dropped BEFORE
+    the pair join (mirrored in the oracle). sqrt is IEEE-correctly-rounded
+    so the cosine is engine-portable without a decimal detour."""
+    from ..operators import behavior as _B
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    return _B.copurchase_similarity(
+        baskets, entity_col="cust", item_col="part", min_support=5, max_basket=256
+    )

@@ -194,3 +194,39 @@ def test_transition_matrix_semantics(spark):
         sums[r["from_type"]] += r["p_transition"]
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values()), dict(sums)
     assert not PI.has_cartesian(out)
+
+
+def test_copurchase_hot_basket_cap_and_cosine(spark):
+    """A basket above the cap is dropped BEFORE pair generation (its items
+    emit no pairs and don't count toward item sizes); cosine matches the
+    hand formula on a crafted corpus."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.behavior import (
+        copurchase_similarity,
+    )
+
+    rows = []
+    # 6 normal customers all buy {1, 2}; 3 of them also buy 3
+    for c in range(6):
+        rows += [(c, 1), (c, 2)]
+    for c in range(3):
+        rows.append((c, 3))
+    # one bot basket with 10 items incl. 1 and 2 — must be dropped at cap 8
+    rows += [(99, i) for i in range(1, 11)]
+    baskets = spark.createDataFrame(rows, "cust int, part int")
+    out = {
+        (r["part_a"], r["part_b"]): r
+        for r in copurchase_similarity(
+            baskets, min_support=2, max_basket=8
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["n_ab"] == 6 and r12["n_a"] == 6 and r12["n_b"] == 6  # bot excluded
+    assert abs(r12["cosine"] - 1.0) < 1e-9
+    r13 = out[(1, 3)]
+    assert r13["n_ab"] == 3
+    assert abs(r13["cosine"] - round(3 / math.sqrt(6 * 3), 9)) < 1e-12
+    # no pair involving a bot-only item survives
+    assert not any(a > 3 or b > 3 for a, b in out)

@@ -62,6 +62,7 @@ REL_QUERIES = [
     "rel_benford_digits",
     "rel_chisq_independence",
     "rel_gini_revenue",
+    "rel_copurchase_similarity",
 ]
 
 
