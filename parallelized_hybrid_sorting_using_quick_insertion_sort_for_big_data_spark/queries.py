@@ -94,10 +94,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # with the 3 rows-only queries deferred past oracle-backed ones (their
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
-    # -- never driver-checked (41: the 32 below plus the 9 second-session
-    #    adds — SNM dedup, CDC apply, attribution, group-wise OLS, FD
-    #    profile, Benford audit, chi-square independence, Gini, entropy;
-    #    each sweep-green and parity-pytest-pinned before rotation in)
+    # -- never driver-checked (44: the 32 below plus the 12 second-session
+    #    adds — SNM dedup, CDC apply, attribution (batch + streaming),
+    #    group-wise OLS, FD profile, Benford audit, chi-square
+    #    independence, Gini, entropy, HLL intersection, co-purchase
+    #    similarity; each sweep-green and parity-pytest-pinned before
+    #    rotation in)
     "dedup_sorted_neighborhood",
     "pipeline_cdc_apply",
     "events_attribution",
@@ -109,6 +111,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_type_entropy",
     "events_hll_intersection",
     "rel_copurchase_similarity",
+    "events_stream_attribution",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -149,8 +152,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- oldest-checked refill (last driver row r04)
     "dedup_exact",
     "dedup_incremental_minhash",
-    "events_stream_sessionize",
-    # (29 more r04/r05-checked names displaced by the r08 adds — they stay
+    # (30 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
     # the full registry), are parity-pytest-pinned, and rotate back in
     # round 9)

@@ -1787,3 +1787,18 @@ def events_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ix_ok"),
         )
     )
+
+
+@query("events_stream_attribution", sql=_ATTRIBUTION_ORACLE)
+def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-touch attribution: the order-sensitive stateful
+    operator (applyInPandasWithState carrying each user's latest touch
+    across micro-batches) over a 3-chunk time-ordered replay, fully
+    drained. Shares the batch query's oracle — a drained stream must
+    equal the batch window exactly, which is the strongest check a
+    stateful operator can get."""
+    from ..streaming import stateful as S
+
+    return S.run_attribution_stream(
+        spark, f"{sf_dir}/events.parquet", n_chunks=3
+    )

@@ -34,6 +34,7 @@ ORACLE_QUERIES = [
     "events_attribution",
     "events_type_entropy",
     "events_hll_intersection",
+    "events_stream_attribution",
 ]
 
 
@@ -413,3 +414,30 @@ def test_attribution_semantics(spark):
             assert r["gap_us"] > 0 or touches[-1]["ts"] == seq[i]["ts"]
             checked_attr += 1
     assert checked_attr > 0
+
+
+def test_stream_attribution_equals_batch_and_carries_state(spark):
+    """The fully-drained streaming attributor must equal the batch window
+    exactly, AND at least one purchase must be attributed to a touch from
+    an EARLIER micro-batch (proving the state actually carries — not just
+    within-batch windowing)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    qs = entrymod.queries()
+    stream = {tuple(r) for r in qs["events_stream_attribution"](spark, SF_DIR).collect()}
+    batch = {tuple(r) for r in qs["events_attribution"](spark, SF_DIR).collect()}
+    assert stream == batch and len(stream) > 0
+
+    # replay the staging ntile to find each event's chunk
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    w = Window.orderBy("ts", "event_id")
+    chunks = {
+        r["event_id"]: r["c"]
+        for r in src.select("event_id", F.ntile(3).over(w).alias("c")).collect()
+    }
+    crossing = [
+        t for t in stream
+        if t[3] is not None and chunks[t[3]] < chunks[t[0]]
+    ]
+    assert crossing, "no attribution crossed a micro-batch boundary — vacuous"
