@@ -2183,3 +2183,70 @@ def rel_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _B.copurchase_similarity(
         baskets, entity_col="cust", item_col="part", min_support=5, max_basket=256
     )
+
+
+# ---------------------------------------------------------------------------
+# 38. Winsorized / trimmed statistics (r08): the robust-mean pair every
+#     metrics pipeline needs when a fat tail poisons the plain mean. Two
+#     passes: exact p05/p95 per group (the rel_percentiles device), then the
+#     thresholds broadcast back for clip-and-aggregate. Thresholds are
+#     rounded to 6 decimals on BOTH sides so the clip comparisons use
+#     identical constants in both engines.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH th AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+         round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       count(*) AS n,
+       any_value(th.p05) AS p05,
+       any_value(th.p95) AS p95,
+       count(*) FILTER (WHERE l.l_extendedprice < th.p05) AS n_clip_lo,
+       count(*) FILTER (WHERE l.l_extendedprice > th.p95) AS n_clip_hi,
+       round(CAST(sum(CAST(least(greatest(l.l_extendedprice, th.p05), th.p95)
+                           AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS winsorized_mean,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(27,8)))
+                    FILTER (WHERE l.l_extendedprice BETWEEN th.p05 AND th.p95) AS DOUBLE)
+             / count(*) FILTER (WHERE l.l_extendedprice BETWEEN th.p05 AND th.p95),
+             6) AS trimmed_mean
+FROM lineitem l JOIN th ON l.l_returnflag = th.l_returnflag
+GROUP BY 1
+"""
+
+
+@query("rel_winsorized_stats", sql=_WINSOR_ORACLE)
+def rel_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clip-at-p05/p95) and trimmed (drop-outside) means of
+    extendedprice per returnflag: pass 1 computes exact percentiles per
+    group (a group-count-sized relation), pass 2 broadcasts the thresholds
+    back and clips inside the scan — one fact shuffle total, decimal-exact
+    sums. At 100 TB swap the exact percentile for percentile_approx and
+    keep the identical clip pass."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pct = F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))")
+    th = li.groupBy("l_returnflag").agg(
+        F.round(pct[0], 6).alias("p05"), F.round(pct[1], 6).alias("p95")
+    )
+    j = li.join(F.broadcast(th), "l_returnflag")
+    v = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("p05")), F.col("p95"))
+    inside = v.between(F.col("p05"), F.col("p95"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value(F.col("p05")).alias("p05"),
+        F.any_value(F.col("p95")).alias("p95"),
+        F.count_if(v < F.col("p05")).alias("n_clip_lo"),
+        F.count_if(v > F.col("p95")).alias("n_clip_hi"),
+        F.round(
+            F.sum(clipped.cast("decimal(27,8)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("winsorized_mean"),
+        F.round(
+            F.sum(F.when(inside, v).cast("decimal(27,8)")).cast("double")
+            / F.count_if(inside),
+            6,
+        ).alias("trimmed_mean"),
+    )

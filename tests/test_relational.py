@@ -63,6 +63,7 @@ REL_QUERIES = [
     "rel_chisq_independence",
     "rel_gini_revenue",
     "rel_copurchase_similarity",
+    "rel_winsorized_stats",
 ]
 
 
