@@ -113,6 +113,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_copurchase_similarity",
     "events_stream_attribution",
     "rel_winsorized_stats",
+    "events_stream_hll_daily",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -150,9 +151,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_approx_distinct",
     "events_outlier_robust_approx",
     "vec_semantic_dedup",
-    # -- oldest-checked refill (last driver row r04)
-    "dedup_exact",
-    # (31 more r04/r05-checked names displaced by the r08 adds — they stay
+    # (32 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
     # the full registry), are parity-pytest-pinned, and rotate back in
     # round 9)

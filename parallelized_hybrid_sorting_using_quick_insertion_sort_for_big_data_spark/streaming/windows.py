@@ -580,3 +580,102 @@ def stream_scd2_enrich(
         if staged is not None:
             shutil.rmtree(staged, ignore_errors=True)
     return read_sink(spark, out_dir, agg.schema)
+
+
+def stream_hll_daily(
+    spark: SparkSession,
+    events_parquet: str,
+    day_us: int,
+    n_chunks: int = 3,
+    band: float = 0.05,
+) -> DataFrame:
+    """Per-day HLL distinct-user sketches built INCREMENTALLY across
+    micro-batches (update-mode streaming aggregation — the sketch IS the
+    state), proving the property that makes sketch stores streamable:
+    register-max is associative and commutative, so the drained streaming
+    sketch must equal the batch-built sketch EXACTLY, however the rows
+    were batched (chunking here is order-free ``event_id % n`` — no
+    time-ordering needed, unlike the attribution state).
+
+    Output per day: (day, n_exact, est_ok, stream_eq_batch); day = -1 is
+    the corpus row, where stream_eq_batch asserts the union of the
+    drained daily sketches equals the single-pass batch estimate."""
+    from .sink import drain_stream_to_parquet, read_sink, stream_shuffle_partitions
+
+    name = f"phsqis_shll_{uuid.uuid4().hex[:8]}"
+    stage_dir = os.path.join(tempfile.gettempdir(), name + "_src")
+    os.makedirs(stage_dir, exist_ok=True)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(events_parquet)
+    src.withColumn("__c", F.pmod(F.col("event_id"), F.lit(n_chunks))).repartition(
+        n_chunks, "__c"
+    ).drop("__c").write.mode("overwrite").parquet(stage_dir)
+
+    events = normalize_event_ts(
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    day = (F.unix_micros(F.col("ts")) / F.lit(day_us)).cast("bigint").alias("day")
+    agg = events.select(day, "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_seen"),  # monotone per day → picks last update
+    )
+    from pyspark.sql import types as T
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("day", T.LongType()),
+            T.StructField("sk", T.BinaryType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    try:
+        with stream_shuffle_partitions(spark):
+            out_dir = drain_stream_to_parquet(agg, name, output_mode="update")
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    updates = read_sink(spark, out_dir, sink_schema)
+    finals = updates.groupBy("day").agg(
+        F.max_by(F.col("sk"), F.col("n_seen")).alias("sk")
+    )
+
+    ev = normalize_event_ts(spark.read.parquet(events_parquet)).select(
+        day, "user_id"
+    )
+    batch_daily = ev.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__best"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    bandc = F.lit(float(band))
+    daily_rows = (
+        finals.withColumn("__sest", F.hll_sketch_estimate("sk"))
+        .join(batch_daily, "day")
+        .select(
+            "day",
+            "n_exact",
+            (
+                F.abs(F.col("__sest") - F.col("n_exact"))
+                <= bandc * F.col("n_exact")
+            ).alias("est_ok"),
+            (F.col("__sest") == F.col("__best")).alias("stream_eq_batch"),
+        )
+    )
+    union_est = finals.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__u")
+    )
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__s"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    total_row = union_est.crossJoin(F.broadcast(single)).select(
+        F.lit(-1).cast("bigint").alias("day"),
+        "n_exact",
+        (F.abs(F.col("__u") - F.col("n_exact")) <= bandc * F.col("n_exact")).alias(
+            "est_ok"
+        ),
+        (F.col("__u") == F.col("__s")).alias("stream_eq_batch"),
+    )
+    return daily_rows.unionAll(total_row)

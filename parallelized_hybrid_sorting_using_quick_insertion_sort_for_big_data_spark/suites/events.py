@@ -1802,3 +1802,32 @@ def events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_attribution_stream(
         spark, f"{sf_dir}/events.parquet", n_chunks=3
     )
+
+
+_STREAM_HLL_ORACLE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+),
+total AS (
+  SELECT CAST(-1 AS BIGINT) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events
+)
+SELECT day, n_exact, TRUE AS est_ok, TRUE AS stream_eq_batch FROM daily
+UNION ALL
+SELECT day, n_exact, TRUE AS est_ok, TRUE AS stream_eq_batch FROM total
+"""
+
+
+@query("events_stream_hll_daily", sql=_STREAM_HLL_ORACLE)
+def events_stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-day HLL rollup: the sketch accumulates as update-mode
+    state across 3 micro-batches; the drained result must estimate within
+    5% of each day's exact distinct count AND equal the batch-built sketch
+    exactly (register-max associativity — the streamability theorem,
+    asserted per day and for the union row day = -1)."""
+    return W.stream_hll_daily(
+        spark, f"{sf_dir}/events.parquet", day_us=_DAY_US, n_chunks=3
+    )

@@ -35,6 +35,7 @@ ORACLE_QUERIES = [
     "events_type_entropy",
     "events_hll_intersection",
     "events_stream_attribution",
+    "events_stream_hll_daily",
 ]
 
 
