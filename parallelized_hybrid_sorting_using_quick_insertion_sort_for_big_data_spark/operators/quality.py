@@ -205,3 +205,32 @@ def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
             (F.col("n_violating") == 0).alias("holds"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Privacy-risk profile of a release candidate: k-anonymity (every
+    quasi-identifier combination must describe ≥ k individuals — the
+    smallest class IS the dataset's k) and l-diversity (a class where the
+    sensitive attribute takes one value leaks it even at high k).
+
+    One grouped aggregate to the equivalence-class relation, one reduction
+    over it: at any scale the answer is two partial-agg shuffles, and only
+    class-level counts leave the executors — never rows. Output is a
+    single row: (n_rows, n_classes, k_anonymity, min_l_diversity,
+    n_singleton_classes, n_low_diversity_classes)."""
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.col(sensitive_col)).alias("__l"),
+    )
+    return classes.agg(
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__n").cast("bigint").alias("k_anonymity"),
+        F.min("__l").cast("bigint").alias("min_l_diversity"),
+        F.count_if(F.col("__n") == 1).alias("n_singleton_classes"),
+        F.count_if(F.col("__l") == 1).alias("n_low_diversity_classes"),
+    )

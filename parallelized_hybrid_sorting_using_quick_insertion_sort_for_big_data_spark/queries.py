@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_stream_attribution",
     "rel_winsorized_stats",
     "events_stream_hll_daily",
+    "pipeline_k_anonymity",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -146,10 +147,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_twophase_share",
     "text_bigram_fluency",
     "text_vocab_growth",
-    # -- implementation changed in round 8
+    # -- implementation changed in round 8 (events_outlier_robust_approx
+    #    also changed but is parity-pytest-pinned every round and yields
+    #    its slot to a never-checked query)
     "rel_approx_quantiles",
     "rel_approx_distinct",
-    "events_outlier_robust_approx",
     "vec_semantic_dedup",
     # (32 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over

@@ -2250,3 +2250,44 @@ def rel_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 39. k-anonymity / l-diversity privacy audit (r08): can this table be
+#     released? The governance question as two partial-agg shuffles.
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS n,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_classes,
+       CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(min(l) AS BIGINT) AS min_l_diversity,
+       count(*) FILTER (WHERE n = 1) AS n_singleton_classes,
+       count(*) FILTER (WHERE l = 1) AS n_low_diversity_classes
+FROM classes
+"""
+
+
+@query("pipeline_k_anonymity", sql=_KANON_ORACLE)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of customer under quasi-identifiers (nation, market
+    segment) with l-diversity of the coarse balance bucket as the
+    sensitive attribute: the smallest equivalence class is the dataset's
+    k; a class with one sensitive value leaks it at any k. Class counts
+    only — rows never leave the executors."""
+    from ..operators import quality as _Q
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    )
+    return _Q.k_anonymity(
+        cust, quasi_cols=["c_nationkey", "c_mktsegment"], sensitive_col="bal_bucket"
+    )

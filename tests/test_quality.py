@@ -92,3 +92,22 @@ def test_fd_violations_semantics(spark):
     assert out["k->v"]["holds"] and out["k->v"]["n_violating"] == 0
     assert not out["k->w"]["holds"] and out["k->w"]["n_violating"] == 1
     assert out["k->v"]["n_groups"] == out["k->w"]["n_groups"] == 3
+
+
+def test_k_anonymity_crafted(spark):
+    """Known-answer check: a singleton class drives k to 1; a class whose
+    sensitive attribute is constant drives min-l to 1 even at high k."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators.quality import (
+        k_anonymity,
+    )
+
+    rows = (
+        [("X", "u", i) for i in range(5)]        # class (X,u): n=5, l=5
+        + [("X", "v", 7), ("X", "v", 7), ("X", "v", 7)]  # n=3, l=1 (leaky)
+        + [("Y", "u", 1)]                        # singleton: n=1, l=1
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    out = k_anonymity(df, ["q1", "q2"], "s").collect()[0]
+    assert out["n_rows"] == 9 and out["n_classes"] == 3
+    assert out["k_anonymity"] == 1 and out["n_singleton_classes"] == 1
+    assert out["min_l_diversity"] == 1 and out["n_low_diversity_classes"] == 2

@@ -64,6 +64,7 @@ REL_QUERIES = [
     "rel_gini_revenue",
     "rel_copurchase_similarity",
     "rel_winsorized_stats",
+    "pipeline_k_anonymity",
 ]
 
 
