@@ -700,3 +700,23 @@ def test_groupwise_regression_single_exchange(spark, qs):
     df = qs["rel_groupwise_regression"](spark, SF_DIR)
     PI.assert_max_exchanges(df, 1)
     assert PI.codegen_stage_count(df) >= 1
+
+
+def test_winsorized_broadcasts_thresholds_back(spark, qs):
+    """The percentile-threshold relation (group-count-sized) must broadcast
+    back onto the fact scan — the clip must never shuffle the fact table a
+    second time. One exchange total (the final groupBy)."""
+    df = qs["rel_winsorized_stats"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df)
+
+
+def test_copurchase_no_cartesian_and_capped(spark, qs):
+    """Co-purchase pairs must come from the entity equi-join only (no
+    cartesian/nested loop), with the hot-basket Window cap upstream of the
+    pair join."""
+    df = qs["rel_copurchase_similarity"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan  # the basket-size cap
