@@ -115,6 +115,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_winsorized_stats",
     "events_stream_hll_daily",
     "pipeline_k_anonymity",
+    "rel_yoy_revenue",
+    "rel_rfm_segmentation",
     "events_ab_test",
     "events_bootstrap_ci",
     "events_hll_daily_merge",
@@ -147,11 +149,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_twophase_share",
     "text_bigram_fluency",
     "text_vocab_growth",
-    # -- implementation changed in round 8 (events_outlier_robust_approx
-    #    also changed but is parity-pytest-pinned every round and yields
-    #    its slot to a never-checked query)
-    "rel_approx_quantiles",
-    "rel_approx_distinct",
+    # -- implementation changed in round 8 (the three promoted approx
+    #    sketches also changed but are parity-pytest-pinned every round
+    #    and yield their slots to never-checked queries)
     "vec_semantic_dedup",
     # (32 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over

@@ -2291,3 +2291,138 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _Q.k_anonymity(
         cust, quasi_cols=["c_nationkey", "c_mktsegment"], sensitive_col="bal_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# 40. Period-over-period revenue (r08): the BI staple — monthly revenue with
+#     month-over-month and year-over-year deltas from lag windows over the
+#     MONTH-sized post-agg relation (≤ a few hundred rows at any corpus
+#     size; the facts are reduced first, so the global window is free).
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(27,8))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT y, m, revenue,
+       round(100.0 * (revenue - lag(revenue, 1) OVER w)
+             / lag(revenue, 1) OVER w, 9) AS mom_pct,
+       round(100.0 * (revenue - lag(revenue, 12) OVER w)
+             / lag(revenue, 12) OVER w, 9) AS yoy_pct
+FROM monthly
+WINDOW w AS (ORDER BY y, m)
+"""
+
+
+@query("rel_yoy_revenue", sql=_YOY_ORACLE)
+def rel_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with MoM and YoY percentage deltas: one partial-agg
+    shuffle reduces orders to (year, month) rows, then lag(1)/lag(12)
+    windows run over that tiny relation (first periods stay NULL).
+    Decimal-exact revenue; identical ratio expression both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,8)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("y", "m")
+    prev1 = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        F.round(F.lit(100.0) * (F.col("revenue") - prev1) / prev1, 9).alias("mom_pct"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev12) / prev12, 9).alias("yoy_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 41. RFM customer segmentation (r08): recency / frequency / monetary
+#     quintile scores + a rule-based segment label.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(epoch_us(o_orderdate)) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS monetary_cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT custkey,
+         CAST(((SELECT max(epoch_us(o_orderdate)) FROM orders) - last_us)
+              // 86400000000 AS BIGINT) AS recency_days,
+         frequency,
+         CAST(monetary_cents AS BIGINT) AS monetary_cents,
+         ntile(5) OVER (ORDER BY last_us, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+  FROM per_cust
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+@query("rel_rfm_segmentation", sql=_RFM_ORACLE)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (relative to
+    the corpus max date — a broadcast scalar), order count, and cents-exact
+    spend; quintile scores via ntile with custkey tiebreaks (deterministic
+    in both engines) and a rule-based segment label. The ntile windows run
+    over the CUSTOMER-sized relation; at 10^8-customer scale swap ntile for
+    percentile thresholds + a broadcast join (the rel_winsorized_stats
+    device) — the exact ntile form is the checked query."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("monetary_cents"),
+    )
+    max_us = orders.agg(F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("__mx"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(max_us))
+        .select(
+            "custkey",
+            ((F.col("__mx") - F.col("last_us")) / F.lit(86400000000)).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            F.col("monetary_cents").cast("bigint").alias("monetary_cents"),
+            F.ntile(5).over(Window.orderBy("last_us", "custkey")).alias("r_score"),
+            F.ntile(5).over(Window.orderBy("frequency", "custkey")).alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy("monetary_cents", "custkey"))
+            .alias("m_score"),
+        )
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg)

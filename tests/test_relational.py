@@ -65,6 +65,8 @@ REL_QUERIES = [
     "rel_copurchase_similarity",
     "rel_winsorized_stats",
     "pipeline_k_anonymity",
+    "rel_yoy_revenue",
+    "rel_rfm_segmentation",
 ]
 
 
