@@ -187,6 +187,11 @@ def copurchase_similarity(
     ``min_support`` prunes the long tail after counting. Everything is an
     equi-join on the entity plus grouped counts — no cross join, map-side
     partials throughout."""
+    if min_support < 1 or max_basket < 2:
+        raise ValueError(
+            f"min_support >= 1 and max_basket >= 2 required, got "
+            f"{min_support}, {max_basket}"
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(entity_col)

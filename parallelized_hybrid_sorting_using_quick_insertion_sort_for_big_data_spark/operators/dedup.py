@@ -1356,6 +1356,12 @@ def sorted_neighborhood_pairs(
     here: with candidates already bounded to n·window, expanding every pair
     by |shingles(a)| rows costs more than shipping each doc's array the ≤2·
     window times it appears in a pair."""
+    if window < 1 or key_len < 1 or n < 1:
+        raise ValueError(
+            f"window/key_len/n must be >= 1, got {window}, {key_len}, {n}"
+        )
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.storagelevel import StorageLevel
 
     from ..sources.tables import spread_scan

@@ -180,6 +180,8 @@ def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
     aggregates. Scale shape: the stack multiplies rows by len(fds) but
     keeps them narrow (three short columns); both aggregates get map-side
     partial combining, and nothing is ever collected per-group."""
+    if not fds:
+        raise ValueError("fds must list at least one (det, dep) pair")
     k = len(fds)
     args: list[Column] = []
     for det, dep in fds:
@@ -222,6 +224,8 @@ def k_anonymity(
     class-level counts leave the executors — never rows. Output is a
     single row: (n_rows, n_classes, k_anonymity, min_l_diversity,
     n_singleton_classes, n_low_diversity_classes)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
     classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
         F.count(F.lit(1)).alias("__n"),
         F.countDistinct(F.col(sensitive_col)).alias("__l"),

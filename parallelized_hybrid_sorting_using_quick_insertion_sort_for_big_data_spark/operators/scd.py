@@ -219,6 +219,8 @@ def cdc_apply(
     ``seq_cols`` must totally order each key's changes (e.g. (ts, log
     offset)); ties are undefined exactly as in any CDC consumer.
     """
+    if not key_cols or not seq_cols:
+        raise ValueError("key_cols and seq_cols must be non-empty")
     row = F.struct(*[F.col(c) for c in changes.columns])
     seq = F.struct(*[F.col(c) for c in seq_cols])
     latest = changes.groupBy(*[F.col(c) for c in key_cols]).agg(

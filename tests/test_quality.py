@@ -111,3 +111,29 @@ def test_k_anonymity_crafted(spark):
     assert out["n_rows"] == 9 and out["n_classes"] == 3
     assert out["k_anonymity"] == 1 and out["n_singleton_classes"] == 1
     assert out["min_l_diversity"] == 1 and out["n_low_diversity_classes"] == 2
+
+
+def test_new_operator_param_validation(spark):
+    """Bad parameters fail fast with ValueError, before any job runs."""
+    import pytest as _pt
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        behavior as B,
+        dedup as D,
+        quality as Q,
+        scd as S,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with _pt.raises(ValueError):
+        D.sorted_neighborhood_pairs(df, window=0)
+    with _pt.raises(ValueError):
+        D.sorted_neighborhood_pairs(df, threshold=0.0)
+    with _pt.raises(ValueError):
+        S.cdc_apply(df, key_cols=[], seq_cols=["doc_id"])
+    with _pt.raises(ValueError):
+        B.copurchase_similarity(df, min_support=0)
+    with _pt.raises(ValueError):
+        Q.fd_violations(df, [])
+    with _pt.raises(ValueError):
+        Q.k_anonymity(df, [], "text")
