@@ -247,6 +247,206 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     return labels
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over a
+    CANONICAL undirected edge list ``edges(a, b)`` (a < b, distinct,
+    bigint). Returns ``(node, degree, triangles, clustering)`` for every
+    endpoint, triangles = number of triangles the node belongs to,
+    clustering = 2·T / (d·(d−1)) rounded to 9 (0.0 when d < 2).
+
+    The scalable algorithm — DEGREE ORIENTATION (Chiba–Nishizeki /
+    node-iterator++): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, generate wedges only from each node's
+    out-edges, and close them against the oriented edge set. Every
+    triangle then has exactly ONE wedge apex (its minimum node in the
+    (degree, id) total order), so each triangle is produced once, and —
+    the scale property — a node's out-degree is bounded by O(√m) on any
+    graph, so the wedge join emits O(m^1.5) rows worst-case instead of
+    the Σd² of naive adjacency self-joins: the hot-key (celebrity-node)
+    problem is structurally removed rather than sampled away. All steps
+    are equi-joins + grouped counts; no cross join, map-side partials
+    throughout. The DuckDB oracle counts the same triangles via the
+    id-ordered 3-way join (orientation-invariant, exact at test scale).
+    """
+    e = edges.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    lt = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lt, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
+        )
+        .localCheckpoint(eager=True)  # reused by the wedge join AND the closer
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("__dd").alias("__dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("__dd").alias("__dw"))
+    # out-neighbor pair (v, w) ordered by (degree, id) == the orientation
+    # of the closing edge, so one equi-join on (v, w) finishes the triangle
+    wedges = (
+        o1.join(o2, "src")
+        .where(
+            (F.col("__dv") < F.col("__dw"))
+            | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("src", "v", "w")
+    )
+    tri = wedges.join(oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"])
+    per_node = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    joined = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias("triangles"),
+    )
+    return joined.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.col("triangles")
+                / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1.0))),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def triangle_oracle_sql(
+    edges_cte: str,
+    select: str = "SELECT node, degree, triangles, clustering FROM result",
+) -> str:
+    """DuckDB oracle for :func:`triangle_counts` — triangles enumerated by
+    the id-ordered 3-way self-join (each triangle once as a<b<c; the count
+    is orientation-invariant, so this checks the degree-oriented Spark
+    plan's OUTPUT while using the simplest exact formulation). The
+    clustering expression is the identical IEEE sequence
+    ``round(2.0·t / (d·(d−1.0)), 9)``. ``edges_cte`` must define
+    ``edges(a, b)`` with a < b, distinct."""
+    return f"""WITH {edges_cte},
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+),
+result AS (
+  SELECT d.node, d.degree,
+         CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+         CASE WHEN d.degree >= 2
+              THEN round(2.0 * COALESCE(p.t, 0)
+                         / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0)), 9)
+              ELSE 0.0 END AS clustering
+  FROM deg d LEFT JOIN pern p USING (node)
+)
+{select}"""
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_level: int = 4) -> DataFrame:
+    """Multi-source breadth-first search over directed ``edges(src, dst)``
+    from ``seeds(node)``: returns ``(node, level)`` where level is the
+    MINIMUM hop distance from any seed, for every node within
+    ``max_level`` hops. Deterministic by construction (min distance is a
+    pure function of the edge set), so the unrolled DuckDB oracle replays
+    it frontier-for-frontier.
+
+    At 100 TB: the textbook Pregel frontier loop — per round ONE equi-join
+    of the frontier (shrinking/bounded, node-sized) against the edge list
+    plus one distinct and one anti-join against the visited set; the
+    visited relation carries fixed-width bigints only. ``localCheckpoint``
+    per round keeps plan depth constant (pagerank/kmeans device). The
+    frontier join partitions by src — reachability fan-out never
+    re-shuffles the payload, only node ids."""
+    if max_level < 1:
+        raise ValueError(f"max_level must be >= 1, got {max_level}")
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    ).localCheckpoint(eager=True)
+    frontier = (
+        seeds.select(F.col("node").cast("bigint").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels = frontier.withColumn("level", F.lit(0).cast("bigint"))
+    for i in range(1, max_level + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(levels, "node", "left_anti").localCheckpoint(eager=True)
+        levels = levels.unionByName(
+            frontier.withColumn("level", F.lit(i).cast("bigint"))
+        ).localCheckpoint(eager=True)
+    return levels
+
+
+def bfs_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_level: int = 4,
+    select: str = "SELECT node, level FROM {last}",
+) -> str:
+    """Generated DuckDB oracle for :func:`bfs_levels` — one frontier CTE +
+    one visited CTE per hop, from the same constants. ``seeds_cte`` must
+    define ``seeds(node)``; node ids must be non-null (NOT IN semantics)."""
+    parts = [
+        edges_cte,
+        seeds_cte,
+        "f0 AS (SELECT DISTINCT node FROM seeds)",
+        "lv0 AS (SELECT node, CAST(0 AS BIGINT) AS level FROM f0)",
+    ]
+    for i in range(1, max_level + 1):
+        parts.append(
+            f"""f{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN f{i - 1} f ON f.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM lv{i - 1})
+),
+lv{i} AS (
+  SELECT node, level FROM lv{i - 1}
+  UNION ALL SELECT node, CAST({i} AS BIGINT) AS level FROM f{i}
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + select.format(last=f"lv{max_level}")
+
+
 def lpa_oracle_sql(
     edges_cte: str,
     iters: int = 4,

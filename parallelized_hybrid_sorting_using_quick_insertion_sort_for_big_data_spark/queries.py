@@ -94,12 +94,26 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # with the 3 rows-only queries deferred past oracle-backed ones (their
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
-    # -- never driver-checked (44: the 32 below plus the 12 second-session
-    #    adds — SNM dedup, CDC apply, attribution (batch + streaming),
-    #    group-wise OLS, FD profile, Benford audit, chi-square
-    #    independence, Gini, entropy, HLL intersection, co-purchase
-    #    similarity; each sweep-green and parity-pytest-pinned before
-    #    rotation in)
+    # -- never driver-checked. There are now MORE never-checked queries
+    #    than window slots (the third session added 7: triangle counting,
+    #    BFS levels, association rules, embedding decontam, Matryoshka
+    #    recall, cluster-balanced sampling, fertility-by-lang — all
+    #    sweep-green and parity-pytest-pinned before rotation in), so 7
+    #    never-checked-but-parity-pinned names yield their slots and
+    #    rotate in round 9: vec_pq_codes + vec_pq_adc_topk (the PQ family
+    #    keeps vec_ivfpq_topk + vec_pq_recall in-window), text_hashed_bow
+    #    (tfidf/pmi/phrase/zipf stay), events_ab_test +
+    #    events_bootstrap_ci + events_hll_daily_merge (eight other events
+    #    queries stay), and vec_semantic_dedup (HAS a post-GEMM-rebuild
+    #    driver row: CORRECTNESS_r07 green, plus a dedicated parity
+    #    pytest).
+    "graph_triangle_count",
+    "graph_bfs_levels",
+    "rel_association_rules",
+    "decontam_embedding",
+    "vec_matryoshka_recall",
+    "sample_cluster_balanced",
+    "text_fertility_by_lang",
     "dedup_sorted_neighborhood",
     "pipeline_cdc_apply",
     "events_attribution",
@@ -117,22 +131,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_k_anonymity",
     "rel_yoy_revenue",
     "rel_rfm_segmentation",
-    "events_ab_test",
-    "events_bootstrap_ci",
-    "events_hll_daily_merge",
     "graph_lpa_communities",
     "events_psi_drift",
     "events_resample_interpolate",
     "events_stream_scd2_enrich",
     "search_hybrid_rrf",
-    "text_hashed_bow",
     "text_phrase_search",
     "text_pmi_cooccurrence",
     "text_tfidf_keywords",
     "text_zipf_slope",
     "vec_ivfpq_topk",
-    "vec_pq_adc_topk",
-    "vec_pq_codes",
     "vec_pq_recall",
     "dedup_containment",
     "dedup_segment_rewrite",
@@ -149,10 +157,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_twophase_share",
     "text_bigram_fluency",
     "text_vocab_growth",
-    # -- implementation changed in round 8 (the three promoted approx
-    #    sketches also changed but are parity-pytest-pinned every round
-    #    and yield their slots to never-checked queries)
-    "vec_semantic_dedup",
     # (32 more r04/r05-checked names displaced by the r08 adds — they stay
     # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
     # the full registry), are parity-pytest-pinned, and rotate back in

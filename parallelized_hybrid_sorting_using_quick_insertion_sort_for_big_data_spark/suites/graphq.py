@@ -93,6 +93,110 @@ _LPA_ITERS = 4
 _LPA_ORACLE = graph.lpa_oracle_sql(_EDGES_CTE, iters=_LPA_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient — over the PART
+# co-purchase projection (the trade graph is bipartite, hence triangle-free
+# by construction): parts are linked when ≥5 distinct customers bought both,
+# hot baskets >256 items dropped before the pair join (the same DIMSUM cap
+# as rel_copurchase_similarity, mirrored in the oracle).
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_EDGES_CTE = """basket0 AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+capped AS (
+  SELECT cust, part FROM (
+    SELECT cust, part, count(*) OVER (PARTITION BY cust) AS bk FROM basket0
+  ) WHERE bk <= 256
+),
+edges AS (
+  SELECT a.part AS a, b.part AS b
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)"""
+
+_TRIANGLE_ORACLE = graph.triangle_oracle_sql(_COPURCHASE_EDGES_CTE)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) part-part co-purchase edges, min co-support 5,
+    basket cap 256 — the undirected projection the triangle query runs on.
+    One fact-sized distinct + one entity-keyed pair join (capped), then
+    grouped counts: the DIMSUM shape, no cross join anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust")
+    capped = (
+        baskets.withColumn("__bk", F.count(F.lit(1)).over(w))
+        .where(F.col("__bk") <= 256)
+        .drop("__bk")
+    )
+    a = capped.select(F.col("cust").alias("__e"), F.col("part").alias("a"))
+    b = capped.select(F.col("cust").alias("__e"), F.col("part").alias("b"))
+    return (
+        a.join(b, "__e")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 5)
+        .select("a", "b")
+    )
+
+
+@query("graph_triangle_count", sql=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    part co-purchase graph — THE graph-quality statistic components/LPA
+    can't see (a chain and a clique have identical components; only
+    triangles tell them apart). Spark runs the degree-oriented
+    wedge-closure algorithm (O(m^1.5) bound, hot-node-proof — see
+    operators/graph.py:triangle_counts); the oracle re-counts every
+    triangle independently via the id-ordered 3-way join. Output is
+    node-sized: (node, degree, triangles, clustering)."""
+    return graph.triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS levels over the trade graph: minimum hop distance from a
+# fixed seed set (customers 1–5) within 4 hops. Bipartite structure means
+# odd levels are suppliers, even levels customers — reachability itself is
+# what's being checked.
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_LEVEL = 4
+_SEEDS_CTE = "seeds AS (SELECT c_custkey AS node FROM customer WHERE c_custkey <= 5)"
+_BFS_ORACLE = graph.bfs_oracle_sql(_EDGES_CTE, _SEEDS_CTE, max_level=_BFS_MAX_LEVEL)
+
+
+@query("graph_bfs_levels", sql=_BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS from customers 1–5 over the trade graph: (node,
+    level) = minimum hop distance, 4 unrolled frontier rounds, every
+    frontier value-checked by the generated hop-per-CTE DuckDB oracle.
+    The fourth Pregel workload next to PageRank/LPA/components —
+    reachability with distance, the shape behind influence radii, fraud
+    rings, and link-graph crawl-depth audits. Per round: one frontier ⋈
+    edges equi-join + distinct + anti-join against visited; all relations
+    node-sized bigints, lineage cut per round."""
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 5)
+        .select(F.col("c_custkey").alias("node"))
+    )
+    return graph.bfs_levels(
+        _trade_edges(spark, sf_dir), seeds, max_level=_BFS_MAX_LEVEL
+    )
+
+
 @query("graph_lpa_communities", sql=_LPA_ORACLE)
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities over the trade graph —

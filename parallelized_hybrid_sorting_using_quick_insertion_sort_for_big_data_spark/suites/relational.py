@@ -2426,3 +2426,103 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("regular"))
     )
     return scored.withColumn("segment", seg)
+
+
+# ---------------------------------------------------------------------------
+# 41. Association rules (market-basket): support / confidence / lift over
+#     the same capped customer baskets as rel_copurchase_similarity — the
+#     directional complement (cosine is symmetric; confidence and lift are
+#     not: "A→B strong, B→A weak" is exactly what a recommender needs).
+#     All three metrics are single IEEE expressions over exact bigint
+#     counts, identical operand order both engines, rounded to 9.
+# ---------------------------------------------------------------------------
+
+_ASSOC_ORACLE = """
+WITH basket0 AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+capped AS (
+  SELECT cust, part FROM (
+    SELECT cust, part, count(*) OVER (PARTITION BY cust) AS bk FROM basket0
+  ) WHERE bk <= 256
+),
+nc AS (SELECT count(DISTINCT cust) AS n_c FROM capped),
+sizes AS (SELECT part, count(*) AS n_i FROM capped GROUP BY part),
+co AS (
+  SELECT a.part AS ante, b.part AS cons, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part <> b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT co.ante, co.cons, co.n_ab,
+       CAST(sa.n_i AS BIGINT) AS n_ante, CAST(sb.n_i AS BIGINT) AS n_cons,
+       round(CAST(co.n_ab AS DOUBLE) / nc.n_c, 9) AS support,
+       round(CAST(co.n_ab AS DOUBLE) / sa.n_i, 9) AS confidence,
+       round(CAST(co.n_ab AS DOUBLE) * nc.n_c
+             / (CAST(sa.n_i AS DOUBLE) * sb.n_i), 9) AS lift
+FROM co
+JOIN sizes sa ON sa.part = co.ante
+JOIN sizes sb ON sb.part = co.cons
+CROSS JOIN nc
+"""
+
+
+@query("rel_association_rules", sql=_ASSOC_ORACLE)
+def rel_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules over capped customer baskets: for
+    every ordered part pair bought together by ≥5 customers, support
+    (joint frequency), confidence (P(cons|ante)) and lift (observed /
+    expected-under-independence). Same DIMSUM basket cap (256) as the
+    cosine query, mirrored in the oracle; the ONE driver-side scalar
+    (distinct-customer count) rides a broadcast 1-row cross join — at
+    corpus scale nothing but the entity-keyed pair join touches fact rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    w = Window.partitionBy("cust")
+    capped = (
+        baskets.withColumn("__bk", F.count(F.lit(1)).over(w))
+        .where(F.col("__bk") <= 256)
+        .drop("__bk")
+    )
+    nc = capped.agg(F.countDistinct("cust").alias("n_c"))
+    sizes = capped.groupBy("part").agg(F.count(F.lit(1)).alias("n_i"))
+    a = capped.select(F.col("cust").alias("__e"), F.col("part").alias("ante"))
+    b = capped.select(F.col("cust").alias("__e"), F.col("part").alias("cons"))
+    co = (
+        a.join(b, "__e")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    sa = sizes.select(F.col("part").alias("ante"), F.col("n_i").alias("n_ante"))
+    sb = sizes.select(F.col("part").alias("cons"), F.col("n_i").alias("n_cons"))
+    return (
+        co.join(sa, "ante")
+        .join(sb, "cons")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "ante",
+            "cons",
+            "n_ab",
+            F.col("n_ante").cast("bigint").alias("n_ante"),
+            F.col("n_cons").cast("bigint").alias("n_cons"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_c"), 9).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_ante"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_c")
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                9,
+            ).alias("lift"),
+        )
+    )

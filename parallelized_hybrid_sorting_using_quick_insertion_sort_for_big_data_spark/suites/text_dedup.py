@@ -1454,3 +1454,86 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, key_len=_SNM_KEY_LEN, window=_SNM_WINDOW, n=_NGRAM_N, threshold=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (r08): the per-language corpus statistics
+# a tokenizer-training run reads first — docs, token mass, tokens/doc,
+# chars/token (fertility), and type-token ratio (lexical diversity). All
+# counts are exact bigints over the shared TOKEN_RE; the three ratios are
+# single IEEE divisions of exact integers, identical operand order both
+# engines, rounded to 9.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = f"""
+WITH tok AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM tok GROUP BY lang
+),
+types AS (
+  SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS n_types FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS t
+    FROM documents
+  ) GROUP BY lang
+)
+SELECT a.lang, a.n_docs, a.total_tokens, ty.n_types,
+       round(CAST(a.total_tokens AS DOUBLE) / a.n_docs, 9) AS tokens_per_doc,
+       round(CAST(a.total_chars AS DOUBLE) / greatest(a.total_tokens, 1), 9)
+         AS chars_per_token,
+       round(CAST(ty.n_types AS DOUBLE) / greatest(a.total_tokens, 1), 9)
+         AS type_token_ratio
+FROM agg a JOIN types ty ON ty.lang = a.lang
+"""
+
+
+@query("text_fertility_by_lang", sql=_FERTILITY_ORACLE)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility statistics: exact doc/token/char
+    masses plus tokens-per-doc, chars-per-token and type-token ratio. Two
+    lang-keyed aggregations (one over per-doc counts — map-side partials;
+    one over exploded tokens for the distinct-type count, the only
+    token-sized shuffle) joined on the lang-sized result. The numbers that
+    decide per-language vocab allocation before a BPE train
+    (operators/bpe.py) and flag languages whose fertility makes them
+    token-expensive."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    toks = docs.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    types = (
+        docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").cast("bigint").alias("n_types"))
+    )
+    return agg.join(types, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_types",
+        F.round(F.col("total_tokens").cast("double") / F.col("n_docs"), 9).alias(
+            "tokens_per_doc"
+        ),
+        F.round(
+            F.col("total_chars").cast("double") / F.greatest(F.col("total_tokens"), F.lit(1)),
+            9,
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_types").cast("double") / F.greatest(F.col("total_tokens"), F.lit(1)),
+            9,
+        ).alias("type_token_ratio"),
+    )

@@ -643,3 +643,224 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
     )
     return _search.rrf_fuse({"bm25": lex, "dense": den})
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination: max cosine of every corpus vector against
+# a broadcast benchmark set (label 0 = "the eval set, embedded"), plus
+# planted exact contaminants (10 benchmark vectors re-inserted under shifted
+# ids, sim exactly 1.0) so the query demonstrably catches real leakage. The
+# semantic complement to decontam_ngram_overlap: n-gram overlap misses
+# paraphrases; embedding cosine catches them. τ=0.40 sits above the random
+# background (p99 ≈ 0.43 max-sim at sf0.01) and below the planted 1.0s.
+# ---------------------------------------------------------------------------
+
+_DECON_T = 0.40
+_DECON_SHIFT = 2_000_000
+
+_DECON_EMB_ORACLE = f"""
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE label = 0
+),
+corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label <> 0
+  UNION ALL
+  SELECT vec_id + {_DECON_SHIFT} AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 0 AND vec_id % 5 = 0
+)
+SELECT c.vec_id,
+       max(round(list_cosine_similarity(c.v, b.bv), 9)) AS max_sim,
+       max(round(list_cosine_similarity(c.v, b.bv), 9)) >= {_DECON_T} AS contaminated
+FROM corpus c CROSS JOIN bench b
+GROUP BY c.vec_id
+"""
+
+
+@query("decontam_embedding", sql=_DECON_EMB_ORACLE)
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-based benchmark decontamination: per corpus vector, the
+    max cosine against the broadcast benchmark set and a contamination
+    flag at τ=0.40. Norms are computed ONCE per row on each side (never
+    per pair); the pair stage is corpus ⨯ broadcast(bench) with a map-side
+    max — the decontam shape (the benchmark is small BY DEFINITION, so the
+    corpus is never shuffled, exactly like the n-gram variant). Max over
+    ROUNDED sims keeps the aggregate order-independent across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = (
+        emb.where(F.col("label") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("bv"))
+        .withColumn("__bn", similarity.norm(F.col("bv")))
+    )
+    corpus = (
+        emb.where(F.col("label") != 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.where((F.col("label") == 0) & (F.col("vec_id") % 5 == 0)).select(
+                (F.col("vec_id") + _DECON_SHIFT).alias("vec_id"), "embedding"
+            )
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("__cn", similarity.norm(F.col("v")))
+    )
+    sim = F.round(
+        similarity.dot(F.col("v"), F.col("bv")) / (F.col("__cn") * F.col("__bn")), 9
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", sim.alias("__s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("__s").alias("max_sim"),
+            (F.max("__s") >= F.lit(_DECON_T)).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation recall: top-k by the 16-dim PREFIX of each
+# 64-dim embedding vs the full-dim exact top-k — the measurement behind the
+# standard "truncate the embedding to cut ANN cost 4×" decision. Both
+# rankings and their intersection are recomputed independently by the
+# oracle, per query.
+# ---------------------------------------------------------------------------
+
+_MRL_K = 10
+_MRL_DIM = 16
+_MRL_QMOD = 50
+
+_MRL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:{_MRL_DIM}] AS DOUBLE[]) AS vp
+  FROM embeddings WHERE vec_id % {_MRL_QMOD} = 0
+),
+c AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         CAST(embedding[1:{_MRL_DIM}] AS DOUBLE[]) AS vp
+  FROM embeddings
+),
+full_rnk AS (
+  SELECT q.q_id, c.vec_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(q.v, c.v), 9) DESC, c.vec_id
+         ) AS rnk
+  FROM q JOIN c ON q.q_id <> c.vec_id
+),
+pre_rnk AS (
+  SELECT q.q_id, c.vec_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round(list_cosine_similarity(q.vp, c.vp), 9) DESC, c.vec_id
+         ) AS rnk
+  FROM q JOIN c ON q.q_id <> c.vec_id
+),
+hits AS (
+  SELECT f.q_id, count(*) AS n_hit
+  FROM (SELECT q_id, vec_id FROM full_rnk WHERE rnk <= {_MRL_K}) f
+  JOIN (SELECT q_id, vec_id FROM pre_rnk WHERE rnk <= {_MRL_K}) p
+    USING (q_id, vec_id)
+  GROUP BY f.q_id
+)
+SELECT q.q_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {_MRL_K}, 9) AS recall
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits h USING (q_id)
+"""
+
+
+@query("vec_matryoshka_recall", sql=_MRL_ORACLE)
+def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of 16-dim-prefix cosine ranking vs the full
+    64-dim exact ranking (Matryoshka truncation quality). Both rankings
+    run the broadcast-queries top-k device (brute_force_topk); the prefix
+    side slices BEFORE casting, identically to the oracle's
+    ``embedding[1:16]``. At corpus scale the full-dim side is the one you
+    sample; the prefix side is the 4×-cheaper production candidate — this
+    query IS the measurement that justifies the swap."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_full = emb.where(F.col("vec_id") % _MRL_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_pre = emb.where(F.col("vec_id") % _MRL_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.slice(F.col("embedding"), 1, _MRL_DIM).alias("q_emb"),
+    )
+    c_pre = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_DIM).alias("embedding")
+    )
+    fullk = similarity.brute_force_topk(q_full, emb, k=_MRL_K).select("q_id", "vec_id")
+    prek = similarity.brute_force_topk(q_pre, c_pre, k=_MRL_K).select("q_id", "vec_id")
+    hits = fullk.join(prek, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("__h")
+    )
+    qids = q_full.select("q_id").distinct()
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce(F.col("__h"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double") / F.lit(_MRL_K), 9
+        ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling: k-means cells as diversity strata, per-cell cap
+# by lowest md5 — "don't let one dense embedding cluster dominate the
+# training mix", the diversity-preserving counterpart of per-source mixture
+# sampling (operators/sampling.py). The whole chain — 2 Lloyd rounds, final
+# assignment, capped keep — is ONE oracle-checked statement via the
+# generated unrolled-CTE kmeans oracle.
+# ---------------------------------------------------------------------------
+
+_CB_K = 8
+_CB_ITERS = 2
+_CB_CAP = 40
+
+_CLUSTER_BALANCED_ORACLE = f"""
+WITH {similarity.kmeans_ctes_sql(k=_CB_K, iters=_CB_ITERS)},
+final_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cell
+           ) AS rn
+    FROM e, c{_CB_ITERS} c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS BIGINT) AS rnk
+  FROM final_assign
+)
+SELECT vec_id, cell, rnk FROM ranked WHERE rnk <= {_CB_CAP}
+"""
+
+
+@query("sample_cluster_balanced", sql=_CLUSTER_BALANCED_ORACLE)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced corpus sample: fit the k-means codebook (2
+    deterministic Lloyd rounds, k=8), assign every vector map-side against
+    the broadcast packed codebook (zero corpus shuffle — ivf_assign), then
+    keep at most 40 per cell by lowest md5(vec_id) — the engine's standard
+    unbiased deterministic coin. Dense clusters are trimmed, sparse ones
+    survive whole: the embedding-space analogue of stratified sampling
+    when no stratum column exists. One (cell)-keyed window over the
+    node-sized assignment is the only shuffle after the fit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, k=_CB_K, iters=_CB_ITERS)
+    assigned = similarity.ivf_assign(emb, cents).select("vec_id", "cell")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _CB_CAP)
+        .select("vec_id", "cell", "rnk")
+    )

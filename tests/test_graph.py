@@ -178,3 +178,106 @@ def test_lpa_oracle_matches_and_known_graph(spark):
     }
     assert labels[0] == labels[1] == 0
     assert labels[10] == labels[11] == labels[12]
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + BFS (r08 third session)
+# ---------------------------------------------------------------------------
+
+CANON_SCHEMA = StructType(
+    [StructField("a", LongType()), StructField("b", LongType())]
+)
+NODE_SCHEMA = StructType([StructField("node", LongType())])
+
+
+def test_triangle_counts_two_triangles_sharing_an_edge(spark):
+    # {1,2,3} and {2,3,4} share edge (2,3); hand-derived counts:
+    # deg: 1→2, 2→3, 3→3, 4→2; tri: 1→1, 2→2, 3→2, 4→1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], CANON_SCHEMA
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in graph.triangle_counts(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (3, 2, round(4.0 / 6.0, 9)),
+        3: (3, 2, round(4.0 / 6.0, 9)),
+        4: (2, 1, 1.0),
+    }
+
+
+def test_triangle_counts_triangle_free_and_isolated_degree(spark):
+    # a path graph has zero triangles; degree-1 endpoints get clustering 0.0
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], CANON_SCHEMA)
+    rows = graph.triangle_counts(edges).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    got = {r["node"]: r["clustering"] for r in rows}
+    assert got == {1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_triangle_counts_clique_k4(spark):
+    # K4: every node in C(3,2)=3 triangles, clustering exactly 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], CANON_SCHEMA
+    )
+    for r in graph.triangle_counts(edges).collect():
+        assert (r["degree"], r["triangles"], r["clustering"]) == (3, 3, 1.0)
+
+
+def test_triangle_parity_vs_oracle(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()["graph_triangle_count"](spark, SF_DIR),
+        E.oracle_sql()["graph_triangle_count"],
+        SF_DIR,
+    )
+
+
+def test_bfs_levels_path_graph_and_horizon(spark):
+    # undirected path 0-1-2-3-4-5, seed {0}: node5 is 5 hops out — beyond
+    # max_level=4, so it must NOT appear
+    und = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    seeds = spark.createDataFrame([(0,)], NODE_SCHEMA)
+    got = {
+        r["node"]: r["level"]
+        for r in graph.bfs_levels(_edges_df(spark, und), seeds, max_level=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_levels_multi_source_takes_min(spark):
+    # seeds {0, 4} on the path: node 2 is 2 hops from both; node 3 is 1 hop
+    # from seed 4 (not 3 hops from seed 0)
+    und = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    seeds = spark.createDataFrame([(0,), (4,)], NODE_SCHEMA)
+    got = {
+        r["node"]: r["level"]
+        for r in graph.bfs_levels(_edges_df(spark, und), seeds, max_level=4).collect()
+    }
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2, 5: 1}
+
+
+def test_bfs_validation_and_disconnected(spark):
+    with pytest.raises(ValueError):
+        graph.bfs_levels(_edges_df(spark, [(0, 1)]),
+                         spark.createDataFrame([(0,)], NODE_SCHEMA), max_level=0)
+    # disconnected component never reached
+    edges = _edges_df(spark, [(0, 1), (1, 0), (7, 8), (8, 7)])
+    seeds = spark.createDataFrame([(0,)], NODE_SCHEMA)
+    got = {r["node"] for r in graph.bfs_levels(edges, seeds).collect()}
+    assert got == {0, 1}
+
+
+def test_bfs_parity_vs_oracle(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()["graph_bfs_levels"](spark, SF_DIR),
+        E.oracle_sql()["graph_bfs_levels"],
+        SF_DIR,
+    )

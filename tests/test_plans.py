@@ -720,3 +720,75 @@ def test_copurchase_no_cartesian_and_capped(spark, qs):
     assert not PI.has_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan  # the basket-size cap
+
+
+# ---------------------------------------------------------------------------
+# r08 third-session adds
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_all_equijoins_no_cartesian(spark, qs):
+    """Degree-oriented triangle counting must be pure equi-joins: no
+    cartesian/nested loop anywhere (the whole point of the orientation is
+    to avoid enumerating non-wedge pairs)."""
+    df = qs["graph_triangle_count"](spark, SF_DIR)
+    assert not PI.has_cartesian(df), PI.formatted_plan(df)
+
+
+def test_bfs_levels_no_cartesian(spark, qs):
+    """Every BFS round is frontier ⋈ edges + anti-join vs visited — all
+    equi-joins over bigint ids."""
+    df = qs["graph_bfs_levels"](spark, SF_DIR)
+    assert not PI.has_cartesian(df), PI.formatted_plan(df)
+
+
+def test_association_rules_single_scalar_nested_loop(spark, qs):
+    """The only nested-loop allowed is the broadcast 1-row distinct-customer
+    scalar; the pair stage itself must be the entity equi-join with the
+    Window basket cap upstream."""
+    df = qs["rel_association_rules"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "Window" in plan, plan  # the basket-size cap
+
+
+def test_decontam_embedding_broadcasts_benchmark(spark, qs):
+    """The benchmark side must be broadcast (the corpus never shuffles for
+    the pair stage): exactly one nested-loop — the corpus × broadcast(bench)
+    expansion — and no cartesian product. The only exchange is the final
+    per-vector max aggregation."""
+    df = qs["decontam_embedding"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    PI.assert_max_exchanges(df, 2)
+
+
+def test_cluster_balanced_assignment_stays_mapside(spark, qs):
+    """ivf_assign's packed-codebook form must not shuffle the corpus: the
+    plan carries broadcasts (codebook) and the single cell-keyed Window for
+    the cap — never a cartesian."""
+    df = qs["sample_cluster_balanced"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE nested loop: the corpus × broadcast 1-row packed codebook
+    # (ivf_assign's deliberate shuffle-free design, similarity.py)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_matryoshka_recall_both_legs_broadcast(spark, qs):
+    """Both ranking legs broadcast the 10-query side; the corpus is scanned,
+    never cartesian-joined against itself."""
+    df = qs["vec_matryoshka_recall"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # two nested loops — one per ranking leg, each broadcasting the
+    # 10-query side against the streamed corpus (brute_force_topk design)
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_fertility_two_aggregations_no_cartesian(spark, qs):
+    df = qs["text_fertility_by_lang"](spark, SF_DIR)
+    assert not PI.has_cartesian(df), PI.formatted_plan(df)

@@ -67,6 +67,8 @@ REL_QUERIES = [
     "pipeline_k_anonymity",
     "rel_yoy_revenue",
     "rel_rfm_segmentation",
+    # r08 third-session adds
+    "rel_association_rules",
 ]
 
 
@@ -344,3 +346,21 @@ def test_chisq_terms_zero_under_exact_independence(spark):
     dev = F.col("n_obs").cast("double") - expected
     out = cells.select((dev * dev / expected).alias("t")).collect()
     assert all(abs(r["t"]) < 1e-12 for r in out)
+
+
+def test_association_rules_metric_identities(spark):
+    """support is symmetric in the pair, confidence is not; lift is
+    symmetric (lift(a→b) == lift(b→a) by construction) and equals
+    confidence/expected; all metrics in their legal ranges."""
+    rows = entrymod.queries()["rel_association_rules"](spark, SF_DIR).collect()
+    assert rows
+    by_pair = {(r["ante"], r["cons"]): r for r in rows}
+    for (a, b), r in by_pair.items():
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+        mirror = by_pair.get((b, a))
+        if mirror is not None:
+            assert mirror["support"] == r["support"]
+            assert mirror["n_ab"] == r["n_ab"]
+            assert abs(mirror["lift"] - r["lift"]) <= 1e-9

@@ -29,6 +29,8 @@ ORACLE_QUERIES = [
     "text_zipf_slope",
     "text_phrase_search",
     "dedup_sorted_neighborhood",
+    # r08 third-session adds
+    "text_fertility_by_lang",
 ]
 
 

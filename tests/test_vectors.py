@@ -23,6 +23,10 @@ ORACLE_QUERIES = [
     "vec_pq_adc_topk",
     "vec_pq_recall",
     "vec_ivfpq_topk",
+    # r08 third-session adds
+    "decontam_embedding",
+    "vec_matryoshka_recall",
+    "sample_cluster_balanced",
 ]
 
 
@@ -458,3 +462,37 @@ def test_semantic_dedup_rounding_margin(spark):
         )
         checked += len(s)
     assert checked > 100, "vacuous: too few in-cell pairs checked"
+
+
+def test_decontam_embedding_catches_planted_contaminants(spark):
+    """Every planted copy (shifted id >= 2M, an exact benchmark vector)
+    must flag contaminated with max_sim exactly 1.0; the background
+    corpus (random near-orthogonal vectors) must be mostly clean."""
+    rows = entrymod.queries()["decontam_embedding"](spark, SF_DIR).collect()
+    planted = [r for r in rows if r["vec_id"] >= 2_000_000]
+    assert planted and all(r["contaminated"] and r["max_sim"] == 1.0 for r in planted)
+    background = [r for r in rows if r["vec_id"] < 2_000_000]
+    clean = sum(not r["contaminated"] for r in background)
+    assert clean > len(background) * 0.5
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark):
+    rows = entrymod.queries()["vec_matryoshka_recall"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hit"] <= 10
+        assert r["recall"] == round(r["n_hit"] / 10, 9)
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark):
+    rows = entrymod.queries()["sample_cluster_balanced"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    per_cell = Counter(r["cell"] for r in rows)
+    assert per_cell and max(per_cell.values()) <= 40
+    # ranks are 1..n_kept within each cell (dense, no gaps)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["rnk"])
+    for ranks in by_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
