@@ -447,6 +447,163 @@ lv{i} AS (
     return "WITH " + ",\n".join(parts) + "\n" + select.format(last=f"lv{max_level}")
 
 
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """Iterative k-core peel over SYMMETRIC ``edges(src, dst)``: each round
+    drops every node whose current degree is < k, then removes edges
+    touching dropped nodes; after ``rounds`` peels, returns the surviving
+    nodes with their within-subgraph degree ``(node, degree)``. With
+    enough rounds this is exactly the k-core (the maximal subgraph of
+    min-degree ≥ k); a FIXED round count keeps the computation a pure
+    function of (edges, k, rounds) so the unrolled DuckDB oracle replays
+    every peel. Callers pick rounds ≥ the graph's peel depth (test-scale
+    convergence is pytest-pinned; pathological chains need O(n) peels —
+    at scale you run until a cheap O(1)-row fixed-point check passes,
+    same device as connected components' convergence checksum).
+
+    At 100 TB: per round one degree aggregation plus two node-keyed
+    semi-joins — fixed-width bigint relations, monotonically shrinking;
+    lineage cut per round (pagerank device)."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k >= 1 and rounds >= 1 required, got k={k}, rounds={rounds}")
+    live = edges.select(
+        F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            live.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        live = (
+            live.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return live.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def kcore_oracle_sql(
+    sym_edges_cte: str,
+    k: int = 3,
+    rounds: int = 4,
+    select: str = "SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM {last} GROUP BY src",
+) -> str:
+    """Generated DuckDB oracle for :func:`kcore` — one (degree-filter,
+    edge-filter) CTE pair per peel round. ``sym_edges_cte`` must define a
+    symmetric relation ``e0(src, dst)``."""
+    parts = [sym_edges_cte]
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f"""k{i} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k}
+),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{i} a ON a.node = e.src
+  JOIN k{i} b ON b.node = e.dst
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + select.format(last=f"e{rounds}")
+
+
+def adamic_adar(
+    edges: DataFrame, hub_cap: int = 64, min_common: int = 2
+) -> DataFrame:
+    """Adamic–Adar link prediction over CANONICAL undirected ``edges(a, b)``
+    (a < b, distinct): for every NON-edge pair (id_a, id_b) sharing
+    ≥ ``min_common`` neighbors, the score Σ_u 1/ln(deg(u)) over common
+    neighbors u — the classic "which links are missing" ranking, rarer
+    shared neighbors weighing more.
+
+    Scale discipline: a common neighbor of degree d emits C(d, 2) wedge
+    pairs, so ONE celebrity hub would emit quadratically — wedge centers
+    with degree > ``hub_cap`` are excluded (documented precision trade:
+    a mega-hub's AA weight 1/ln(d) is near-zero anyway; the same hot-key
+    cap as the Jaccard stop-shingle and DIMSUM basket caps). Engine
+    portability: each center's weight is round(1/ln(d), 9) — the single
+    rounded transcendental absorbs cross-engine libm ulps (zipf device) —
+    summed exactly in DECIMAL(38,9), cast back to double.
+
+    Everything is equi-joins + grouped sums: wedge join on the center,
+    anti-join against the edge set, no cross join anywhere."""
+    if hub_cap < 2 or min_common < 1:
+        raise ValueError(
+            f"hub_cap >= 2 and min_common >= 1 required, got {hub_cap}, {min_common}"
+        )
+    e = edges.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    ).localCheckpoint(eager=True)
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("n")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+    centers = deg.where((F.col("__d") >= 2) & (F.col("__d") <= hub_cap)).select(
+        "u", F.round(F.lit(1.0) / F.log(F.col("__d").cast("double")), 9).alias("__w")
+    )
+    adj = sym.join(centers, "u")
+    lhs = adj.select("u", F.col("n").alias("id_a"), "__w")
+    rhs = adj.select("u", F.col("n").alias("id_b"))
+    wedges = lhs.join(rhs, "u").where(F.col("id_a") < F.col("id_b"))
+    non_edges = wedges.join(
+        e.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+        ["id_a", "id_b"],
+        "left_anti",
+    )
+    return (
+        non_edges.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.col("__w").cast("decimal(38,9)")).alias("__s"),
+        )
+        .where(F.col("n_common") >= min_common)
+        .select(
+            "id_a", "id_b", "n_common", F.col("__s").cast("double").alias("aa_score")
+        )
+    )
+
+
+def adamic_adar_oracle_sql(
+    edges_cte: str,
+    hub_cap: int = 64,
+    min_common: int = 2,
+    select: str = "SELECT id_a, id_b, n_common, aa_score FROM result",
+) -> str:
+    """DuckDB oracle for :func:`adamic_adar` — identical wedge/cap/anti-join
+    construction; the per-center weight is the same single rounded
+    transcendental and the sum runs in DECIMAL(38,9). ``edges_cte`` must
+    define ``edges(a, b)`` with a < b, distinct."""
+    return f"""WITH {edges_cte},
+sym AS (
+  SELECT a AS u, b AS n FROM edges UNION ALL SELECT b AS u, a AS n FROM edges
+),
+centers AS (
+  SELECT u, round(1.0 / ln(CAST(count(*) AS DOUBLE)), 9) AS w
+  FROM sym GROUP BY u HAVING count(*) >= 2 AND count(*) <= {hub_cap}
+),
+adj AS (SELECT s.u, s.n, c.w FROM sym s JOIN centers c ON c.u = s.u),
+wedges AS (
+  SELECT l.n AS id_a, r.n AS id_b, l.w
+  FROM adj l JOIN adj r ON l.u = r.u AND l.n < r.n
+),
+non_edges AS (
+  SELECT w.id_a, w.id_b, w.w FROM wedges w
+  LEFT JOIN edges e ON e.a = w.id_a AND e.b = w.id_b
+  WHERE e.a IS NULL
+),
+result AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS aa_score
+  FROM non_edges GROUP BY id_a, id_b
+  HAVING count(*) >= {min_common}
+)
+{select}"""
+
+
 def lpa_oracle_sql(
     edges_cte: str,
     iters: int = 4,

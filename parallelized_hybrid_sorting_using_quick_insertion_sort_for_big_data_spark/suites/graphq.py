@@ -197,6 +197,51 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k, unrolled peels) and Adamic–Adar link
+# prediction — both over the part co-purchase projection (cores and shared
+# neighborhoods need a non-bipartite graph).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_KCORE_SYM_CTE = f"""{_COPURCHASE_EDGES_CTE},
+e0 AS (
+  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges
+)"""
+_KCORE_ORACLE = graph.kcore_oracle_sql(_KCORE_SYM_CTE, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@query("graph_kcore", sql=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph after 4 unrolled peel rounds (test-
+    scale convergence pytest-pinned, so this IS the true 3-core here): the
+    density filter that strips hairs and chains off a graph before
+    community/centrality work, and the classic "engaged subgraph" cut.
+    Per round: one degree agg + two semi-joins over shrinking bigint
+    relations, every peel value-checked by the generated unrolled oracle."""
+    canon = _copurchase_edges(spark, sf_dir)
+    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return graph.kcore(sym, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_AA_ORACLE = graph.adamic_adar_oracle_sql(_COPURCHASE_EDGES_CTE)
+
+
+@query("graph_adamic_adar", sql=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the co-purchase graph: for every
+    non-linked part pair sharing ≥2 neighbors, Σ 1/ln(deg) over the shared
+    neighbors — "parts that should co-sell but don't yet", the
+    completion-suggestion primitive. Hub centers above degree 64 are
+    capped out BEFORE the wedge join (the engine's standard hot-key
+    discipline); the weight sum is decimal-exact with ONE rounded
+    transcendental per center (zipf portability device)."""
+    return graph.adamic_adar(_copurchase_edges(spark, sf_dir))
+
+
 @query("graph_lpa_communities", sql=_LPA_ORACLE)
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities over the trade graph —

@@ -281,3 +281,99 @@ def test_bfs_parity_vs_oracle(spark):
         E.oracle_sql()["graph_bfs_levels"],
         SF_DIR,
     )
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    # triangle {1,2,3} with pendant chain 3-4-5: the 2-core is the triangle
+    canon = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    sym = [(a, b) for a, b in canon] + [(b, a) for a, b in canon]
+    got = {
+        r["node"]: r["degree"]
+        for r in graph.kcore(_edges_df(spark, sym), k=2, rounds=4).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k4_survives_k3_and_validation(spark):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    sym = k4 + [(b, a) for a, b in k4]
+    got = {
+        r["node"]: r["degree"]
+        for r in graph.kcore(_edges_df(spark, sym), k=3, rounds=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # a chain has no 2-core at all: peel must empty it (needs >= n/2 rounds)
+    chain = [(i, i + 1) for i in range(5)]
+    symc = chain + [(b, a) for a, b in chain]
+    assert graph.kcore(_edges_df(spark, symc), k=2, rounds=5).count() == 0
+    with pytest.raises(ValueError):
+        graph.kcore(_edges_df(spark, sym), k=0)
+    with pytest.raises(ValueError):
+        graph.kcore(_edges_df(spark, sym), k=2, rounds=0)
+
+
+def test_kcore_converged_at_testdata_rounds(spark):
+    """4 peel rounds reach the fixed point on the sf0.001 co-purchase graph
+    — one more round changes nothing, so graph_kcore IS the true 3-core."""
+    import __spark_entry__ as E
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        graphq,
+    )
+    from tests.conftest import SF_DIR
+
+    canon = graphq._copurchase_edges(spark, SF_DIR)
+    sym = canon.selectExpr("a as src", "b as dst").unionByName(
+        canon.selectExpr("b as src", "a as dst")
+    )
+    at4 = {tuple(r) for r in graph.kcore(sym, k=3, rounds=4).collect()}
+    at5 = {tuple(r) for r in graph.kcore(sym, k=3, rounds=5).collect()}
+    assert at4 == at5 and at4
+
+
+def test_kcore_parity_vs_oracle(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()["graph_kcore"](spark, SF_DIR),
+        E.oracle_sql()["graph_kcore"],
+        SF_DIR,
+    )
+
+
+def test_adamic_adar_square_hand_check(spark):
+    # 4-cycle 1-2-3-4-1: non-edges (1,3) and (2,4), each with two common
+    # neighbors of degree 2 -> score = 2 * round(1/ln 2, 9)
+    import math
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], CANON_SCHEMA
+    )
+    rows = graph.adamic_adar(edges, min_common=1).collect()
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["aa_score"]) for r in rows}
+    w = round(1.0 / math.log(2.0), 9)
+    assert got == {(1, 3): (2, 2 * w), (2, 4): (2, 2 * w)}
+
+
+def test_adamic_adar_hub_cap_and_existing_edges_excluded(spark):
+    # star center 0 with 5 leaves: all leaf pairs share only the center;
+    # with hub_cap=4 the center is excluded -> NO predictions at all
+    star = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(star, CANON_SCHEMA)
+    assert graph.adamic_adar(edges, hub_cap=4, min_common=1).count() == 0
+    # triangle: every pair IS an edge -> anti-join leaves nothing
+    tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], CANON_SCHEMA)
+    assert graph.adamic_adar(tri, min_common=1).count() == 0
+    with pytest.raises(ValueError):
+        graph.adamic_adar(edges, hub_cap=1)
+
+
+def test_adamic_adar_parity_vs_oracle(spark):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()["graph_adamic_adar"](spark, SF_DIR),
+        E.oracle_sql()["graph_adamic_adar"],
+        SF_DIR,
+    )

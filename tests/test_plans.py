@@ -792,3 +792,20 @@ def test_matryoshka_recall_both_legs_broadcast(spark, qs):
 def test_fertility_two_aggregations_no_cartesian(spark, qs):
     df = qs["text_fertility_by_lang"](spark, SF_DIR)
     assert not PI.has_cartesian(df), PI.formatted_plan(df)
+
+
+def test_kcore_semi_joins_no_cartesian(spark, qs):
+    """Every peel round is one degree agg + two LeftSemi joins — no
+    cartesian/nested loop; the plan is checkpoint-rooted so depth stays
+    constant in the round count."""
+    df = qs["graph_kcore"](spark, SF_DIR)
+    assert not PI.has_cartesian(df), PI.formatted_plan(df)
+
+
+def test_adamic_adar_wedge_equijoin_no_cartesian(spark, qs):
+    """Wedges come from the center equi-join only, candidates leave via a
+    LeftAnti against the edge set — no cartesian/nested loop."""
+    df = qs["graph_adamic_adar"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert not PI.has_cartesian(df), plan
+    assert "LeftAnti" in PI.formatted_plan(df)
