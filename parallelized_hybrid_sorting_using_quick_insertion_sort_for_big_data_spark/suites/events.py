@@ -1831,3 +1831,59 @@ def events_stream_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.stream_hll_daily(
         spark, f"{sf_dir}/events.parquet", day_us=_DAY_US, n_chunks=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k (r08): the live-dashboard query — "top event
+# types per hour, updating as data streams in". The aggregation runs as the
+# REAL watermarked streaming job (bounded per-window state); the rank over
+# finalized windows is a batch window function over the DRAINED sink —
+# Structured Streaming forbids ranking inside the stream (unsupported
+# operation), so agg-in-stream + rank-on-sink IS the production topology.
+# ---------------------------------------------------------------------------
+
+_STOPK_K = 3
+
+_STREAM_TOPK_ORACLE = f"""
+WITH agg AS (
+  SELECT
+    make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) * 1000000)
+      AS win_start,
+    event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT win_start, event_type, n_events,
+         CAST(row_number() OVER (
+           PARTITION BY win_start ORDER BY n_events DESC, event_type
+         ) AS BIGINT) AS rnk
+  FROM agg
+)
+SELECT win_start, event_type, n_events, rnk FROM r WHERE rnk <= {_STOPK_K}
+"""
+
+
+@query("events_stream_windowed_topk", sql=_STREAM_TOPK_ORACLE)
+def events_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 1-hour tumbling window, the aggregation
+    executed as a real readStream → watermark → writeStream job (drained
+    synchronously) and the per-window rank applied to the finalized sink.
+    Ties break on event_type — deterministic, mirrored by the oracle's
+    ORDER BY n_events DESC, event_type. At scale the sink rank partitions
+    by window over window-sized rows (never events); the stream side keeps
+    only watermark-bounded per-window counters."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    drained = W.stream_tumbling_agg(
+        spark, f"{sf_dir}/events.parquet", schema, window="1 hour", watermark="2 hours"
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        drained.select("win_start", "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= _STOPK_K)
+    )

@@ -36,6 +36,8 @@ ORACLE_QUERIES = [
     "events_hll_intersection",
     "events_stream_attribution",
     "events_stream_hll_daily",
+    # r08 third-session adds
+    "events_stream_windowed_topk",
 ]
 
 
