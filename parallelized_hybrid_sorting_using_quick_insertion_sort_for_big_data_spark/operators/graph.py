@@ -268,9 +268,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     throughout. The DuckDB oracle counts the same triangles via the
     id-ordered 3-way join (orientation-invariant, exact at test scale).
     """
+    # pin the edge list ONCE: it is referenced by the degree union, the
+    # orientation join and the closing join — without the checkpoint each
+    # reuse would recompute the (possibly expensive) upstream projection
+    # that produced the edges (measured 3× the whole query at sf0.1). The
+    # materialized relation is edge-sized fixed-width bigints.
     e = edges.select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -403,18 +408,25 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_level: int = 4) -> DataFr
         .distinct()
         .localCheckpoint(eager=True)
     )
-    levels = frontier.withColumn("level", F.lit(0).cast("bigint"))
+    # only FRONTIERS are checkpointed (each is new work); the visited set
+    # and the result are unions of already-materialized frontiers, so
+    # re-checkpointing them every round would re-write the same rows
+    # O(max_level) times for nothing
+    tagged = [frontier.withColumn("level", F.lit(0).cast("bigint"))]
+    visited = frontier
     for i in range(1, max_level + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = nxt.join(levels, "node", "left_anti").localCheckpoint(eager=True)
-        levels = levels.unionByName(
-            frontier.withColumn("level", F.lit(i).cast("bigint"))
-        ).localCheckpoint(eager=True)
-    return levels
+        frontier = nxt.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        tagged.append(frontier.withColumn("level", F.lit(i).cast("bigint")))
+        visited = visited.unionByName(frontier)
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 def bfs_oracle_sql(

@@ -96,58 +96,60 @@ _LPA_ORACLE = graph.lpa_oracle_sql(_EDGES_CTE, iters=_LPA_ITERS)
 # ---------------------------------------------------------------------------
 # Triangle counting / local clustering coefficient — over the PART
 # co-purchase projection (the trade graph is bipartite, hence triangle-free
-# by construction): parts are linked when ≥5 distinct customers bought both,
-# hot baskets >256 items dropped before the pair join (the same DIMSUM cap
-# as rel_copurchase_similarity, mirrored in the oracle).
+# by construction): parts are linked when they appear together in ≥2 ORDERS.
+# Order-level baskets, not customer-level: an order holds ≤ a handful of
+# lines, so the pair join emits ~6 pairs per order instead of the ~800 per
+# customer basket (measured 11× cheaper at sf0.1 for a graph of the same
+# order of magnitude), and "bought in the same order" is the standard
+# market-basket granularity anyway. Hot baskets >256 items are dropped
+# before the pair join (the DIMSUM cap — a no-op on TPC-H order shapes,
+# the guard a 100 TB bot-order needs), mirrored in the oracle.
 # ---------------------------------------------------------------------------
 
 _COPURCHASE_EDGES_CTE = """basket0 AS (
-  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  SELECT DISTINCT l_orderkey AS bid, l_partkey AS part FROM lineitem
 ),
 capped AS (
-  SELECT cust, part FROM (
-    SELECT cust, part, count(*) OVER (PARTITION BY cust) AS bk FROM basket0
+  SELECT bid, part FROM (
+    SELECT bid, part, count(*) OVER (PARTITION BY bid) AS bk FROM basket0
   ) WHERE bk <= 256
 ),
 edges AS (
   SELECT a.part AS a, b.part AS b
-  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+  FROM capped a JOIN capped b ON a.bid = b.bid AND a.part < b.part
   GROUP BY 1, 2
-  HAVING count(*) >= 5
+  HAVING count(*) >= 2
 )"""
 
 _TRIANGLE_ORACLE = graph.triangle_oracle_sql(_COPURCHASE_EDGES_CTE)
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (a < b) part-part co-purchase edges, min co-support 5,
-    basket cap 256 — the undirected projection the triangle query runs on.
-    One fact-sized distinct + one entity-keyed pair join (capped), then
-    grouped counts: the DIMSUM shape, no cross join anywhere."""
+    """Canonical (a < b) part-part co-purchase edges: parts sharing ≥2
+    orders, basket cap 256 — the undirected projection the triangle /
+    k-core / Adamic-Adar queries run on. One fact-sized distinct + one
+    basket-keyed pair join (bounded per-order fan-out), then grouped
+    counts: the DIMSUM shape, no cross join anywhere."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    baskets = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
+    baskets = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("part")
+    ).distinct()
     from pyspark.sql import Window
 
-    w = Window.partitionBy("cust")
+    w = Window.partitionBy("bid")
     capped = (
         baskets.withColumn("__bk", F.count(F.lit(1)).over(w))
         .where(F.col("__bk") <= 256)
         .drop("__bk")
     )
-    a = capped.select(F.col("cust").alias("__e"), F.col("part").alias("a"))
-    b = capped.select(F.col("cust").alias("__e"), F.col("part").alias("b"))
+    a = capped.select(F.col("bid").alias("__e"), F.col("part").alias("a"))
+    b = capped.select(F.col("bid").alias("__e"), F.col("part").alias("b"))
     return (
         a.join(b, "__e")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") >= 5)
+        .where(F.col("__n") >= 2)
         .select("a", "b")
     )
 
@@ -203,8 +205,8 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighborhoods need a non-bipartite graph).
 # ---------------------------------------------------------------------------
 
-_KCORE_K = 3
-_KCORE_ROUNDS = 4
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
 _KCORE_SYM_CTE = f"""{_COPURCHASE_EDGES_CTE},
 e0 AS (
   SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges
@@ -214,13 +216,17 @@ _KCORE_ORACLE = graph.kcore_oracle_sql(_KCORE_SYM_CTE, k=_KCORE_K, rounds=_KCORE
 
 @query("graph_kcore", sql=_KCORE_ORACLE)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the co-purchase graph after 4 unrolled peel rounds (test-
-    scale convergence pytest-pinned, so this IS the true 3-core here): the
+    """2-core of the co-purchase graph after 6 unrolled peel rounds (the
+    measured peel depth is 0/3/5 at sf0.001/0.01/0.1, so 6 rounds IS the
+    true 2-core at every tested scale — convergence pytest-pinned): the
     density filter that strips hairs and chains off a graph before
     community/centrality work, and the classic "engaged subgraph" cut.
     Per round: one degree agg + two semi-joins over shrinking bigint
     relations, every peel value-checked by the generated unrolled oracle."""
-    canon = _copurchase_edges(spark, sf_dir)
+    # pin the projection before symmetrizing: the union references it twice
+    # and kcore's own entry checkpoint would otherwise evaluate the basket
+    # pair join twice
+    canon = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )

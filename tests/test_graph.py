@@ -313,21 +313,33 @@ def test_kcore_k4_survives_k3_and_validation(spark):
 
 
 def test_kcore_converged_at_testdata_rounds(spark):
-    """4 peel rounds reach the fixed point on the sf0.001 co-purchase graph
-    — one more round changes nothing, so graph_kcore IS the true 3-core."""
-    import __spark_entry__ as E
+    """The registered round count reaches the fixed point on BOTH the
+    sf0.001 and sf0.01 co-purchase graphs — one more round changes nothing,
+    so graph_kcore IS the true 2-core at the scales the harness checks
+    (measured peel depths 0 and 3; the registered 6 covers sf0.1's 5 too)."""
     from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
         graphq,
     )
     from tests.conftest import SF_DIR
 
-    canon = graphq._copurchase_edges(spark, SF_DIR)
-    sym = canon.selectExpr("a as src", "b as dst").unionByName(
-        canon.selectExpr("b as src", "a as dst")
-    )
-    at4 = {tuple(r) for r in graph.kcore(sym, k=3, rounds=4).collect()}
-    at5 = {tuple(r) for r in graph.kcore(sym, k=3, rounds=5).collect()}
-    assert at4 == at5 and at4
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        canon = graphq._copurchase_edges(spark, sf).localCheckpoint(eager=True)
+        sym = canon.selectExpr("a as src", "b as dst").unionByName(
+            canon.selectExpr("b as src", "a as dst")
+        )
+        at_n = {
+            tuple(r)
+            for r in graph.kcore(
+                sym, k=graphq._KCORE_K, rounds=graphq._KCORE_ROUNDS
+            ).collect()
+        }
+        at_n1 = {
+            tuple(r)
+            for r in graph.kcore(
+                sym, k=graphq._KCORE_K, rounds=graphq._KCORE_ROUNDS + 1
+            ).collect()
+        }
+        assert at_n == at_n1 and at_n, sf
 
 
 def test_kcore_parity_vs_oracle(spark):
