@@ -2486,6 +2486,10 @@ def rel_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("cust")
+    # NOT checkpointed: every reference (scalar count, item sizes, both
+    # pair-join legs) hash-partitions by cust, so Catalyst/AQE reuses the
+    # one exchange; an eager checkpoint here measured 2× SLOWER (it breaks
+    # the exchange reuse and the codegen pipeline into the pair join)
     capped = (
         baskets.withColumn("__bk", F.count(F.lit(1)).over(w))
         .where(F.col("__bk") <= 256)
