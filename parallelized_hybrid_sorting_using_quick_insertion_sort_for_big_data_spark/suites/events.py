@@ -1887,3 +1887,90 @@ def events_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= _STOPK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly (r08): hourly event counts vs the event type's
+# HOUR-OF-DAY baseline — the "is this Tuesday-3am spike abnormal for 3am"
+# question that a plain global z-score gets wrong by construction. Counts
+# are exact bigints; mu/sigma come from decimal-exact power sums combined
+# in one fixed IEEE expression and rounded to 6 (the moment-stats device),
+# so both engines compare against identical constants.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_K = 2.0
+
+_SEASONAL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, hour_bucket % 24 AS hod,
+         round(CAST(sum(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+           AS mu,
+         round(sqrt(greatest(
+           CAST(sum(CAST(n_events AS DECIMAL(19,0)) * n_events) AS DOUBLE) / count(*)
+           - (CAST(sum(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) / count(*))
+             * (CAST(sum(CAST(n_events AS DECIMAL(38,0))) AS DOUBLE) / count(*)),
+           0.0)), 6) AS sigma
+  FROM hourly GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour_bucket, h.n_events, b.mu, b.sigma
+FROM hourly h
+JOIN base b ON b.event_type = h.event_type AND b.hod = h.hour_bucket % 24
+WHERE b.sigma > 0
+  AND abs(CAST(h.n_events AS DOUBLE) - b.mu) > {_SEASONAL_K} * b.sigma
+"""
+
+
+@query("events_seasonal_anomaly", sql=_SEASONAL_ORACLE)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour buckets whose event count deviates >2σ from that event type's
+    hour-of-day baseline. Two stacked aggregations (facts → hourly counts →
+    per-(type, hod) moments) and a broadcast-sized join back onto the
+    hourly relation — the events themselves shuffle exactly once. The
+    seasonal complement to events_outlier_robust (value outliers) and
+    events_psi_drift (distribution drift): this one catches volume
+    anomalies that are only anomalous FOR THEIR TIME OF DAY."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).alias(
+                "hour_bucket"
+            ),
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    cnt = F.count(F.lit(1))
+    s1 = F.sum(F.col("n_events").cast("decimal(38,0)")).cast("double")
+    s2 = F.sum(F.col("n_events").cast("decimal(19,0)") * F.col("n_events")).cast(
+        "double"
+    )
+    mu_raw = s1 / cnt
+    base = (
+        hourly.groupBy("event_type", (F.col("hour_bucket") % 24).alias("hod"))
+        .agg(
+            F.round(mu_raw, 6).alias("mu"),
+            F.round(
+                F.sqrt(F.greatest(s2 / cnt - mu_raw * mu_raw, F.lit(0.0))), 6
+            ).alias("sigma"),
+        )
+        .withColumnRenamed("event_type", "__bt")  # disambiguate the self-join
+    )
+    joined = hourly.join(
+        F.broadcast(base),
+        (F.col("__bt") == F.col("event_type"))
+        & (F.col("hod") == F.col("hour_bucket") % 24),
+    )
+    return joined.where(
+        (F.col("sigma") > 0)
+        & (
+            F.abs(F.col("n_events").cast("double") - F.col("mu"))
+            > F.lit(_SEASONAL_K) * F.col("sigma")
+        )
+    ).select("event_type", "hour_bucket", "n_events", "mu", "sigma")

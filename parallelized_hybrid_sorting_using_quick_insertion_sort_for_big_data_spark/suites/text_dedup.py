@@ -1537,3 +1537,91 @@ def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("type_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (r08): the one-row corpus summary that heads every dataset
+# release — doc/lang/source counts, token and char mass, exact-duplicate
+# count and rate, median tokens per doc. Every number is either an exact
+# bigint or one rounded IEEE expression over exact aggregates; the
+# fingerprint is the shared exact-dedup key (operators/text.py), so the
+# dup figures agree with dedup_exact by construction.
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(len(regexp_extract_all(lower(text), '{T.TOKEN_RE}')) AS BIGINT)
+           AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {T.FINGERPRINT_SQL.format(t='text')} AS fp
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(quantile_cont(CAST(n_tok AS DOUBLE), 0.5), 6) AS median_tokens
+  FROM t
+),
+d AS (
+  SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS dup_docs
+  FROM (SELECT fp, count(*) AS c FROM t GROUP BY fp) WHERE c > 1
+)
+SELECT a.n_docs, a.n_langs, a.n_sources, a.total_tokens, a.total_chars,
+       a.median_tokens, d.dup_docs,
+       round(CAST(d.dup_docs AS DOUBLE) / a.n_docs, 9) AS dup_rate
+FROM agg a CROSS JOIN d
+"""
+
+
+@query("pipeline_dataset_card", sql=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus masses, diversity counts, exact-dup
+    figures and the median document length in tokens (exact interpolated
+    percentile — swap percentile_approx at warehouse scale, documented in
+    rel_percentiles). One pass computes the per-doc relation; the dup
+    count is a fingerprint hash-agg (bodies never shuffle); the two 1-row
+    aggregates meet in a broadcast cross join."""
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    )
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.expr("percentile(CAST(n_tok AS DOUBLE), 0.5D)"), 6).alias(
+            "median_tokens"
+        ),
+    )
+    d = (
+        t.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("dup_docs")
+        )
+    )
+    return agg.crossJoin(F.broadcast(d)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "total_chars",
+        "median_tokens",
+        "dup_docs",
+        F.round(F.col("dup_docs").cast("double") / F.col("n_docs"), 9).alias(
+            "dup_rate"
+        ),
+    )

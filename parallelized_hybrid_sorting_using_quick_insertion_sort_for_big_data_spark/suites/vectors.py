@@ -864,3 +864,97 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _CB_CAP)
         .select("vec_id", "cell", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift per label (r08): split the corpus into two deterministic
+# halves (vec_id parity — stand-ins for "last week's embeddings vs this
+# week's"), compute each label's decimal-exact mean vector per half, and
+# report the cosine between the two half-means. Drift monitoring for
+# embedding pipelines: a re-trained/re-versioned encoder shifts class
+# centroids long before top-k quality visibly degrades.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH half AS (
+  SELECT vec_id, label, vec_id % 2 AS part, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+comps AS (
+  SELECT label, part, i,
+         round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS c
+  FROM (SELECT label, part, unnest(generate_series(1, len(v))) AS i, v FROM half)
+  GROUP BY 1, 2, 3
+),
+means AS (
+  SELECT label, part, list(c ORDER BY i) AS mv FROM comps GROUP BY 1, 2
+),
+counts AS (SELECT label, part, CAST(count(*) AS BIGINT) AS n FROM half GROUP BY 1, 2)
+SELECT m0.label, c0.n AS n_a, c1.n AS n_b,
+       round(list_cosine_similarity(m0.mv, m1.mv), 9) AS centroid_cosine
+FROM means m0
+JOIN means m1 ON m1.label = m0.label AND m0.part = 0 AND m1.part = 1
+JOIN counts c0 ON c0.label = m0.label AND c0.part = 0
+JOIN counts c1 ON c1.label = m1.label AND c1.part = 1
+"""
+
+
+@query("vec_label_drift", sql=_DRIFT_ORACLE)
+def vec_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the two vec_id-parity halves:
+    (label, n_a, n_b, centroid_cosine). Means are the kmeans-update device
+    (per-dimension decimal-exact mean rounded to 9 — order-independent
+    across engines and partitionings); the final cosine is the sequential
+    fold vs DuckDB's list_cosine_similarity, rounded to 9. One (label,
+    part, dim) partial-sum shuffle; everything after is label-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("part"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    comps = (
+        half.select("label", "part", F.posexplode("v").alias("dim_idx", "e"))
+        .groupBy("label", "part", "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.col("e").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("c")
+        )
+    )
+    means = (
+        comps.groupBy("label", "part")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "c"))).alias("__cs"))
+        .select(
+            "label", "part", F.transform("__cs", lambda s: s["c"]).alias("mv")
+        )
+    )
+    counts = half.groupBy("label", "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m0 = means.where(F.col("part") == 0).select("label", F.col("mv").alias("mv0"))
+    m1 = means.where(F.col("part") == 1).select(
+        F.col("label").alias("__l1"), F.col("mv").alias("mv1")
+    )
+    c0 = counts.where(F.col("part") == 0).select(
+        F.col("label").alias("__l2"), F.col("n").alias("n_a")
+    )
+    c1 = counts.where(F.col("part") == 1).select(
+        F.col("label").alias("__l3"), F.col("n").alias("n_b")
+    )
+    return (
+        m0.join(m1, m0["label"] == m1["__l1"])
+        .join(c0, m0["label"] == c0["__l2"])
+        .join(c1, m0["label"] == c1["__l3"])
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(similarity.cosine(F.col("mv0"), F.col("mv1")), 9).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

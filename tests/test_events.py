@@ -38,6 +38,7 @@ ORACLE_QUERIES = [
     "events_stream_hll_daily",
     # r08 third-session adds
     "events_stream_windowed_topk",
+    "events_seasonal_anomaly",
 ]
 
 

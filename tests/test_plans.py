@@ -809,3 +809,27 @@ def test_adamic_adar_wedge_equijoin_no_cartesian(spark, qs):
     plan = PI.simple_plan(df)
     assert not PI.has_cartesian(df), plan
     assert "LeftAnti" in PI.formatted_plan(df)
+
+
+def test_seasonal_anomaly_one_fact_shuffle(spark, qs):
+    """Facts shuffle once (the hourly count); the baseline join is a
+    broadcast of the (type, hod)-sized relation."""
+    df = qs["events_seasonal_anomaly"](spark, SF_DIR)
+    assert PI.has_broadcast_join(df)
+    assert not PI.has_cartesian(df)
+
+
+def test_label_drift_one_component_shuffle(spark, qs):
+    """The (label, part, dim) partial-sum aggregation is the only
+    vector-sized shuffle; the half-mean joins are label-sized."""
+    df = qs["vec_label_drift"](spark, SF_DIR)
+    assert not PI.has_cartesian(df)
+
+
+def test_dataset_card_fingerprint_agg_no_text_shuffle(spark, qs):
+    """The dup count is a fingerprint hash-agg; the two 1-row aggregates
+    meet in a single broadcast nested loop (the scalar pattern)."""
+    df = qs["pipeline_dataset_card"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -31,6 +31,7 @@ ORACLE_QUERIES = [
     "dedup_sorted_neighborhood",
     # r08 third-session adds
     "text_fertility_by_lang",
+    "pipeline_dataset_card",
 ]
 
 

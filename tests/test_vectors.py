@@ -27,6 +27,7 @@ ORACLE_QUERIES = [
     "decontam_embedding",
     "vec_matryoshka_recall",
     "sample_cluster_balanced",
+    "vec_label_drift",
 ]
 
 
