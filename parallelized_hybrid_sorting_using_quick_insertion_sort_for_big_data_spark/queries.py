@@ -95,18 +95,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle-exact twins carry the value check). All 50 verified in the
     # local full sweep before commit.
     # -- never driver-checked. There are now MORE never-checked queries
-    #    than window slots (the third session added 7: triangle counting,
-    #    BFS levels, association rules, embedding decontam, Matryoshka
-    #    recall, cluster-balanced sampling, fertility-by-lang — all
-    #    sweep-green and parity-pytest-pinned before rotation in), so 7
-    #    never-checked-but-parity-pinned names yield their slots and
-    #    rotate in round 9: vec_pq_codes + vec_pq_adc_topk (the PQ family
-    #    keeps vec_ivfpq_topk + vec_pq_recall in-window), text_hashed_bow
+    #    than window slots (the third session added 13: triangle counting,
+    #    BFS levels, k-core, Adamic-Adar, association rules, embedding
+    #    decontam, Matryoshka recall, cluster-balanced sampling,
+    #    fertility-by-lang, streaming windowed top-k, seasonal anomaly,
+    #    label drift, dataset card — all sweep-green and
+    #    parity-pytest-pinned), so the FIRST 7 rotate in now and 7
+    #    never-checked-but-parity-pinned names yield their slots:
+    #    vec_pq_codes + vec_pq_adc_topk (the PQ family keeps
+    #    vec_ivfpq_topk + vec_pq_recall in-window), text_hashed_bow
     #    (tfidf/pmi/phrase/zipf stay), events_ab_test +
     #    events_bootstrap_ci + events_hll_daily_merge (eight other events
     #    queries stay), and vec_semantic_dedup (HAS a post-GEMM-rebuild
     #    driver row: CORRECTNESS_r07 green, plus a dedicated parity
-    #    pytest).
+    #    pytest). The 6 later third-session adds (graph_kcore,
+    #    graph_adamic_adar, events_stream_windowed_topk,
+    #    events_seasonal_anomaly, vec_label_drift, pipeline_dataset_card)
+    #    wait for the round-9 rotation — each has a per-round parity
+    #    pytest until then.
     "graph_triangle_count",
     "graph_bfs_levels",
     "rel_association_rules",

@@ -71,6 +71,18 @@ QUERIES = (
     # generator dedup; expected ~n·log n (one range exchange) + linear
     # window verify
     "dedup_sorted_neighborhood",
+    # third-session r08 adds over the scaled tables: embedding decontam
+    # (corpus × broadcast bench — linear), Matryoshka recall (two
+    # broadcast top-k legs — linear), cluster-balanced sampling (Lloyd
+    # rounds linear + one window), label drift ((label, part, dim)
+    # partial sums — linear), fertility (two lang-keyed aggs — linear),
+    # dataset card (one pass + fingerprint agg — linear)
+    "decontam_embedding",
+    "vec_matryoshka_recall",
+    "sample_cluster_balanced",
+    "vec_label_drift",
+    "text_fertility_by_lang",
+    "pipeline_dataset_card",
 )
 
 
