@@ -45,3 +45,19 @@ def test_driver_window_is_exactly_the_priority_prefix():
     unresolved = [n for n in Q._DRIVER_PRIORITY if n not in Q.REGISTRY]
     assert not unresolved, unresolved
     assert list(Q.REGISTRY)[: Q._DRIVER_WINDOW] == list(Q._DRIVER_PRIORITY)
+
+
+def test_rows_only_set_is_exactly_the_documented_three():
+    """Every queries() entry must carry a DuckDB oracle except the three
+    documented partitioner-dependent LSH fast paths (each pinned by an
+    oracle-exact portable twin + property tests). A new query landing
+    without an oracle is a coverage regression, not a choice this guard
+    lets happen silently."""
+    import __spark_entry__ as E
+
+    rows_only = set(E.queries()) - set(E.oracle_sql())
+    assert rows_only == {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "vec_lsh_near_dup",
+    }, rows_only
