@@ -1974,3 +1974,121 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_SEASONAL_K) * F.col("sigma")
         )
     ).select("event_type", "hour_bucket", "n_events", "mu", "sigma")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (r08): has a metric's DAILY LEVEL shifted, and
+# since when — the classic sequential drift detector, reformulated for SQL:
+# the recursive S_t = max(0, S_{t-1} + dev_t) equals
+# cumsum(dev)_t − running_min(cumsum(dev))_t, which is two window functions
+# over exact DECIMAL partial sums — no recursion, no transcendentals, every
+# intermediate bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 3.0  # flag when S exceeds 3 daily standard deviations
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         round(CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / count(*), 6) AS mu,
+         round(sqrt(greatest(
+           CAST(sum(CAST(x AS DECIMAL(27,6)) * CAST(x AS DECIMAL(27,6))) AS DOUBLE)
+             / count(*)
+           - (CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / count(*))
+             * (CAST(sum(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / count(*)),
+           0.0)), 6) AS sigma
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.x, s.mu, s.sigma,
+         CAST(round(d.x - s.mu, 6) AS DECIMAL(27,6)) AS dv
+  FROM daily d JOIN stats s ON s.event_type = d.event_type
+),
+cum AS (
+  SELECT event_type, day, x, mu, sigma,
+         sum(dv) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cs
+  FROM dev
+),
+run AS (
+  SELECT event_type, day, x, mu, sigma, cs,
+         min(cs) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS rm
+  FROM cum
+)
+SELECT event_type, day, x, CAST(cs - rm AS DOUBLE) AS s_stat,
+       CAST(cs - rm AS DOUBLE) > {H} * sigma AS changepoint
+FROM run
+""".replace("{H}", str(_CUSUM_H))
+
+
+@query("events_cusum_changepoint", sql=_CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over each event type's daily value totals: s_stat =
+    cumsum(dev) − running_min(cumsum(dev)) (the standard non-recursive
+    identity for max(0, S+dev)), flagged when it exceeds 3 daily σ. All
+    running state is exact DECIMAL — window sums are order-deterministic
+    under the (event_type, day) sort, so both engines carry bit-identical
+    intermediates and the flag can't flap. One fact shuffle (the daily
+    agg); the windows run over the day-sized relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias("day"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,8)")).cast("double"), 6
+            ).alias("x")
+        )
+    )
+    cnt = F.count(F.lit(1))
+    s1 = F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+    s2 = F.sum(
+        F.col("x").cast("decimal(27,6)") * F.col("x").cast("decimal(27,6)")
+    ).cast("double")
+    mu_raw = s1 / cnt
+    stats = (
+        daily.groupBy("event_type")
+        .agg(
+            F.round(mu_raw, 6).alias("mu"),
+            F.round(
+                F.sqrt(F.greatest(s2 / cnt - mu_raw * mu_raw, F.lit(0.0))), 6
+            ).alias("sigma"),
+        )
+        .withColumnRenamed("event_type", "__st")
+    )
+    dev = daily.join(
+        F.broadcast(stats), F.col("__st") == F.col("event_type")
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        "mu",
+        "sigma",
+        F.round(F.col("x") - F.col("mu"), 6).cast("decimal(27,6)").alias("dv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dev.withColumn("cs", F.sum("dv").over(w))
+    run = cum.withColumn("rm", F.min("cs").over(w))
+    s_stat = (F.col("cs") - F.col("rm")).cast("double")
+    return run.select(
+        "event_type",
+        "day",
+        "x",
+        s_stat.alias("s_stat"),
+        (s_stat > F.lit(_CUSUM_H) * F.col("sigma")).alias("changepoint"),
+    )

@@ -39,6 +39,7 @@ ORACLE_QUERIES = [
     # r08 third-session adds
     "events_stream_windowed_topk",
     "events_seasonal_anomaly",
+    "events_cusum_changepoint",
 ]
 
 
@@ -445,3 +446,38 @@ def test_stream_attribution_equals_batch_and_carries_state(spark):
         if t[3] is not None and chunks[t[3]] < chunks[t[0]]
     ]
     assert crossing, "no attribution crossed a micro-batch boundary — vacuous"
+
+
+def test_cusum_identity_and_flag_consistency(spark):
+    """The window reformulation must behave like max(0, S+dev): s_stat is
+    never negative, resets happen (some day returns to 0 after a positive
+    run — the running-min catches up), flags fire on this data (64 at
+    sf0.001, so the threshold path is exercised, not vacuous), and every
+    flagged day has strictly positive s_stat. Exact values are pinned by
+    the DuckDB parity test; this one pins the SEMANTICS of the identity."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["events_cusum_changepoint"](spark, SF_DIR).collect()
+    assert rows
+    flagged = 0
+    by_type = {}
+    for r in rows:
+        assert r["s_stat"] >= 0.0
+        if r["changepoint"]:
+            flagged += 1
+            assert r["s_stat"] > 0.0
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert flagged > 0
+    # at least one series returns to 0 after being positive: the
+    # running-min reset behavior that distinguishes CUSUM from a plain
+    # cumulative sum
+    saw_reset = False
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["day"])
+        was_pos = False
+        for r in rs:
+            if was_pos and r["s_stat"] == 0.0:
+                saw_reset = True
+            was_pos = was_pos or r["s_stat"] > 0.0
+    assert saw_reset
