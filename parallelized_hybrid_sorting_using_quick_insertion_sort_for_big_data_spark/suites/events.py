@@ -2092,3 +2092,128 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_stat.alias("s_stat"),
         (s_stat > F.lit(_CUSUM_H) * F.col("sigma")).alias("changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier retention curve (r08): per-user observed lifetime in days
+# (first event → last event), RIGHT-CENSORED for users still active near
+# the corpus end (last event within 3 days of the global max — they
+# haven't churned, we just stopped observing). The product-limit estimator
+# Π(1 − d/n) rides the engine's ln-sum device: one rounded transcendental
+# per day, summed exactly in DECIMAL(18,9) by an ordered window — the
+# output is log-survival (exp is the caller's one-liner; keeping the hash
+# surface transcendental-free beyond the per-term round).
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 3
+
+_KM_ORACLE = f"""
+WITH life AS (
+  SELECT user_id,
+         CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400) AS BIGINT) AS dur,
+         (SELECT max(ts) FROM events) AS gmax,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT user_id, dur,
+         CASE WHEN epoch(gmax) - epoch(last_ts) < {_KM_CENSOR_DAYS} * 86400
+              THEN 1 ELSE 0 END AS censored
+  FROM life
+),
+n_total AS (SELECT count(*) AS n FROM obs),
+per_day AS (
+  SELECT dur AS day,
+         CAST(sum(1 - censored) AS BIGINT) AS d_events,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM obs GROUP BY dur
+),
+risk AS (
+  SELECT day, d_events, n_censored,
+         CAST((SELECT n FROM n_total)
+              - COALESCE(sum(d_events + n_censored) OVER (
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS n_risk
+  FROM per_day
+),
+terms AS (
+  SELECT day, d_events, n_censored, n_risk,
+         CAST(round(ln(nullif(1.0 - CAST(d_events AS DOUBLE) / n_risk, 0.0)), 9)
+              AS DECIMAL(18,9)) AS term
+  FROM risk WHERE n_risk > 0
+)
+SELECT day, n_risk, d_events, n_censored,
+       CASE WHEN d_events < n_risk
+            THEN CAST(sum(term) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            ELSE NULL END AS log_survival
+FROM terms
+"""
+
+
+@query("events_survival_retention", sql=_KM_ORACLE)
+def events_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit retention over user lifetimes with
+    right-censoring (active within 3 days of corpus end = still alive).
+    n_risk comes from one ordered prefix-sum window (never a per-day
+    re-scan); each day contributes ONE rounded ln term summed exactly in
+    decimal — the zipf/entropy portability device — so both engines carry
+    identical curve values. One user-keyed fact aggregation, then
+    day-sized windows: the retention curve costs a groupBy at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    life = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("__f"),
+        F.max(F.unix_micros("ts")).alias("__l"),
+    )
+    gmax = life.agg(F.max("__l").alias("__g"))
+    obs = life.crossJoin(F.broadcast(gmax)).select(
+        F.floor((F.col("__l") - F.col("__f")) / F.lit(86_400_000_000)).alias("dur"),
+        F.when(
+            F.col("__g") - F.col("__l") < F.lit(_KM_CENSOR_DAYS * 86_400_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("__n"))
+    per_day = obs.groupBy(F.col("dur").alias("day")).agg(
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("d_events"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(n_total)).select(
+        "day",
+        "d_events",
+        "n_censored",
+        (
+            F.col("__n")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("n_censored")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    term = F.round(
+        F.log(
+            F.nullif(
+                F.lit(1.0) - F.col("d_events").cast("double") / F.col("n_risk"),
+                F.lit(0.0),
+            )
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    terms = risk.where(F.col("n_risk") > 0).withColumn("term", term)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return terms.select(
+        "day",
+        "n_risk",
+        "d_events",
+        "n_censored",
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.sum("term").over(w_cum).cast("double"),
+        ).alias("log_survival"),
+    )

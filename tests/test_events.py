@@ -40,6 +40,7 @@ ORACLE_QUERIES = [
     "events_stream_windowed_topk",
     "events_seasonal_anomaly",
     "events_cusum_changepoint",
+    "events_survival_retention",
 ]
 
 
@@ -481,3 +482,25 @@ def test_cusum_identity_and_flag_consistency(spark):
                 saw_reset = True
             was_pos = was_pos or r["s_stat"] > 0.0
     assert saw_reset
+
+
+def test_survival_curve_monotone_and_accounted(spark):
+    """KM invariants: n_risk strictly decreases over days, the risk set
+    drains exactly by deaths+censored, and log-survival is non-increasing
+    (survival never goes up)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["events_survival_retention"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["day"])
+    assert rows
+    prev = None
+    prev_ls = 0.0
+    for r in rows:
+        assert r["d_events"] + r["n_censored"] <= r["n_risk"]
+        if prev is not None:
+            assert r["n_risk"] == prev["n_risk"] - prev["d_events"] - prev["n_censored"]
+        if r["log_survival"] is not None:
+            assert r["log_survival"] <= prev_ls + 1e-12
+            prev_ls = r["log_survival"]
+        prev = r
