@@ -2449,11 +2449,16 @@ capped AS (
 ),
 nc AS (SELECT count(DISTINCT cust) AS n_c FROM capped),
 sizes AS (SELECT part, count(*) AS n_i FROM capped GROUP BY part),
-co AS (
-  SELECT a.part AS ante, b.part AS cons, count(*) AS n_ab
-  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part <> b.part
+co_canon AS (
+  SELECT a.part AS pa, b.part AS pb, count(*) AS n_ab
+  FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
   GROUP BY 1, 2
   HAVING count(*) >= 5
+),
+co AS (
+  SELECT pa AS ante, pb AS cons, n_ab FROM co_canon
+  UNION ALL
+  SELECT pb AS ante, pa AS cons, n_ab FROM co_canon
 )
 SELECT co.ante, co.cons, co.n_ab,
        CAST(sa.n_i AS BIGINT) AS n_ante, CAST(sb.n_i AS BIGINT) AS n_cons,
@@ -2497,14 +2502,26 @@ def rel_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nc = capped.agg(F.countDistinct("cust").alias("n_c"))
     sizes = capped.groupBy("part").agg(F.count(F.lit(1)).alias("n_i"))
-    a = capped.select(F.col("cust").alias("__e"), F.col("part").alias("ante"))
-    b = capped.select(F.col("cust").alias("__e"), F.col("part").alias("cons"))
-    co = (
+    a = capped.select(F.col("cust").alias("__e"), F.col("part").alias("pa"))
+    b = capped.select(F.col("cust").alias("__e"), F.col("part").alias("pb"))
+    # count each unordered pair ONCE (a < b halves the pair join — the
+    # whole cost of this query) and mirror the ~support-filtered aggregate
+    # instead: the union runs over pair-count rows, not fact-pair rows
+    co_canon = (
         a.join(b, "__e")
-        .where(F.col("ante") != F.col("cons"))
-        .groupBy("ante", "cons")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 5)
+        # pinned: the mirror union references this twice, and unlike the
+        # fact-sized `capped` relation (see above) this is ~1k aggregated
+        # rows — a free checkpoint that guarantees the pair join runs once
+        .localCheckpoint(eager=True)
+    )
+    co = co_canon.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "n_ab"
+    ).unionByName(
+        co_canon.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "n_ab")
     )
     sa = sizes.select(F.col("part").alias("ante"), F.col("n_i").alias("n_ante"))
     sb = sizes.select(F.col("part").alias("cons"), F.col("n_i").alias("n_cons"))
