@@ -2217,3 +2217,94 @@ def events_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term").over(w_cum).cast("double"),
         ).alias("log_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU + stickiness (r08): the product-analytics headline. Exact
+# trailing-window distinct counts via the CONTRIBUTION trick: each (user,
+# active-day) row is exploded to the W days whose trailing window it
+# supports (7 for WAU, 30 for MAU), then distinct-counted per day — the
+# explode factor is the window length, a constant, so the exact form stays
+# linear at any scale (the HLL daily-merge query is the sketch variant of
+# exactly this shape).
+# ---------------------------------------------------------------------------
+
+_DAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+  FROM events
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM (SELECT unnest(generate_series(day, day + 6)) AS d, user_id FROM du)
+  GROUP BY d
+),
+mau AS (
+  SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM (SELECT unnest(generate_series(day, day + 29)) AS d, user_id FROM du)
+  GROUP BY d
+)
+SELECT dau.day, dau.dau, w.wau, m.mau,
+       round(CAST(dau.dau AS DOUBLE) / m.mau, 9) AS stickiness
+FROM dau
+JOIN wau w ON w.day = dau.day
+JOIN mau m ON m.day = dau.day
+JOIN bounds b ON dau.day BETWEEN b.lo AND b.hi
+"""
+
+
+@query("events_dau_wau_mau", sql=_DAU_ORACLE)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7-day / trailing-30-day active users per day, plus
+    DAU/MAU stickiness. One (day, user) distinct from facts, then two
+    bounded explodes (7 and 30 rows per active-day — constants) and
+    day-keyed distinct counts; output restricted to observed days so
+    every window is fully defined by the data. The exact twin of the
+    register-merge HLL rollup (events_hll_daily_merge) — run this while
+    exact distincts fit, switch to the sketch when they don't."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    du = (
+        ev.select(
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 3 aggregations + bounds
+    )
+    bounds = du.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d"),
+            "user_id",
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .withColumnRenamed("d", "__wd")
+    )
+    mau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 29)).alias("d"),
+            "user_id",
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+        .withColumnRenamed("d", "__md")
+    )
+    return (
+        dau.join(wau, F.col("__wd") == F.col("day"))
+        .join(mau, F.col("__md") == F.col("day"))
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("day").between(F.col("lo"), F.col("hi")))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 9).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -2547,3 +2547,81 @@ def rel_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 42. Pareto / ABC classification: rank parts by revenue, classify by
+#     cumulative share (A ≤ 70%, B ≤ 90%, C = rest) — the inventory-
+#     management classic ("which 20% of parts make 80% of revenue").
+#     Revenue is cents-exact; the cumulative share is a ratio of exact
+#     bigints computed AFTER the ordered window, so the class boundaries
+#     cannot flap between engines.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS DECIMAL(38,0))) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+ranked AS (
+  SELECT partkey, cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, partkey) AS BIGINT) AS rnk,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, partkey
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM rev
+)
+SELECT r.partkey, r.cents, r.rnk,
+       round(CAST(r.cum_cents AS DOUBLE) / t.total, 9) AS cum_share,
+       CASE WHEN CAST(r.cum_cents AS DOUBLE) / t.total <= 0.70 THEN 'A'
+            WHEN CAST(r.cum_cents AS DOUBLE) / t.total <= 0.90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r CROSS JOIN tot t
+"""
+
+
+@query("rel_pareto_abc", sql=_PARETO_ORACLE)
+def rel_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of parts by cents-exact revenue: global ordered
+    rank + cumulative share + A/B/C class at 70/90% boundaries. The window
+    runs over the PART-sized aggregate (facts reduce first — the global
+    window is never fact-sized); the grand total rides one broadcast
+    scalar. Class comparisons use the identical unrounded IEEE ratio on
+    both engines; exact-integer cumulative sums make ties impossible to
+    mis-order (rank tiebreak on partkey)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+            ).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("partkey"))
+    ranked = rev.select(
+        "partkey",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_cents"),
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "partkey",
+        "cents",
+        "rnk",
+        F.round(share, 9).alias("cum_share"),
+        F.when(share <= 0.70, F.lit("A"))
+        .when(share <= 0.90, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

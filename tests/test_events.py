@@ -41,6 +41,7 @@ ORACLE_QUERIES = [
     "events_seasonal_anomaly",
     "events_cusum_changepoint",
     "events_survival_retention",
+    "events_dau_wau_mau",
 ]
 
 
@@ -504,3 +505,17 @@ def test_survival_curve_monotone_and_accounted(spark):
             assert r["log_survival"] <= prev_ls + 1e-12
             prev_ls = r["log_survival"]
         prev = r
+
+
+def test_dau_wau_mau_ordering_invariants(spark):
+    """WAU >= DAU, MAU >= WAU on every day (a trailing window can only add
+    users), and stickiness = dau/mau in (0, 1]."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["events_dau_wau_mau"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert 0 < r["stickiness"] <= 1
+        assert r["stickiness"] == round(r["dau"] / r["mau"], 9)

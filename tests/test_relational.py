@@ -69,6 +69,7 @@ REL_QUERIES = [
     "rel_rfm_segmentation",
     # r08 third-session adds
     "rel_association_rules",
+    "rel_pareto_abc",
 ]
 
 
@@ -364,3 +365,18 @@ def test_association_rules_metric_identities(spark):
             assert mirror["support"] == r["support"]
             assert mirror["n_ab"] == r["n_ab"]
             assert abs(mirror["lift"] - r["lift"]) <= 1e-9
+
+
+def test_pareto_abc_class_monotone_and_partitioned(spark):
+    """cum_share is non-decreasing in rank, classes appear in A->B->C order
+    with no interleaving, and the top-ranked part is always class A."""
+    rows = entrymod.queries()["rel_pareto_abc"](spark, SF_DIR).collect()
+    rows.sort(key=lambda r: r["rnk"])
+    assert rows and rows[0]["abc_class"] == "A"
+    order = {"A": 0, "B": 1, "C": 2}
+    prev_share, prev_cls = 0.0, 0
+    for r in rows:
+        assert r["cum_share"] >= prev_share - 1e-12
+        assert order[r["abc_class"]] >= prev_cls
+        prev_share, prev_cls = r["cum_share"], order[r["abc_class"]]
+    assert rows[-1]["cum_share"] == 1.0
