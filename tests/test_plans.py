@@ -833,3 +833,35 @@ def test_dataset_card_fingerprint_agg_no_text_shuffle(spark, qs):
     plan = PI.simple_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_dau_contribution_explode_no_cartesian(spark, qs):
+    """The trailing-window explode is a bounded per-row sequence (7/30
+    rows), never a day-range self-join; the observed-day bounds ride one
+    broadcast scalar."""
+    df = qs["events_dau_wau_mau"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # bounds scalar
+    assert "Generate" in PI.formatted_plan(df)  # the explodes
+
+
+def test_pareto_window_over_part_sized_aggregate(spark, qs):
+    """The global ordered window must sit ABOVE the part-grain aggregate
+    (facts reduce first): exactly one fact-sized exchange (the groupBy),
+    then the single-partition window exchange, plus the broadcast total."""
+    df = qs["rel_pareto_abc"](spark, SF_DIR)
+    plan = PI.simple_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # grand total
+    assert "Window" in plan, plan
+
+
+def test_cusum_and_survival_windows_after_reduction(spark, qs):
+    """Both sequential statistics run their ordered windows over post-agg
+    relations (day-sized), never facts; no cartesian anywhere."""
+    for name in ("events_cusum_changepoint", "events_survival_retention"):
+        df = qs[name](spark, SF_DIR)
+        plan = PI.simple_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Window" in plan, (name, plan)
