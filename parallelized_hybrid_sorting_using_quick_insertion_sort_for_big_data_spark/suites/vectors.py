@@ -958,3 +958,131 @@ def vec_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe ↔ recall sweep (r08): THE production ANN tuning decision —
+# how much recall does each extra probed cell buy — measured in one
+# oracle-checked statement: per query and per nprobe ∈ {1, 2, 4}, the
+# overlap of IVF top-10 with the exact top-10.
+# ---------------------------------------------------------------------------
+
+_NPROBE_VALUES = (1, 2, 4)
+_NPROBE_K = 10
+_NPROBE_QMOD = 50
+
+
+def _nprobe_oracle() -> str:
+    nl = ",\n"
+    blocks, finals = [], []
+    for np_ in _NPROBE_VALUES:
+        blocks.append(f"""ann{np_} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT p.q_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY round(list_cosine_similarity(p.qv, a.v), 9) DESC, a.vec_id
+           ) AS rnk
+    FROM (SELECT q_id, qv, cell FROM prob WHERE pr <= {np_}) p
+    JOIN assign a USING (cell)
+    WHERE a.vec_id <> p.q_id
+  ) WHERE rnk <= {_NPROBE_K}
+),
+hit{np_} AS (
+  SELECT x.q_id, count(*) AS n_hit
+  FROM exact x JOIN ann{np_} a USING (q_id, vec_id) GROUP BY x.q_id
+)""")
+        finals.append(
+            f"SELECT CAST({np_} AS BIGINT) AS nprobe, q.q_id, "
+            f"CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit, "
+            f"round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {_NPROBE_K}, 9) AS recall "
+            f"FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hit{np_} h USING (q_id)"
+        )
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e),
+comp AS (
+  SELECT label, i,
+         round(CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS c
+  FROM ex GROUP BY label, i
+),
+cent AS (SELECT label AS cell, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         round(list_cosine_similarity(e.v, c.cv), 9) AS s
+  FROM e, cent c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {_NPROBE_QMOD} = 0),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c2.vec_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.qv, c2.v), 9) DESC, c2.vec_id
+           ) AS rnk
+    FROM q JOIN e c2 ON c2.vec_id <> q.q_id
+  ) WHERE rnk <= {_NPROBE_K}
+),
+prob AS (
+  SELECT q_id, qv, cell,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round(list_cosine_similarity(qv, cv), 9) DESC, cell
+         ) AS pr
+  FROM q, cent
+),
+{nl.join(blocks)}
+{" UNION ALL ".join(finals)}
+"""
+
+
+@query("vec_ivf_nprobe_recall", sql=_nprobe_oracle())
+def vec_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF serving at nprobe ∈ {1, 2, 4} against the exact
+    top-10, per query — the cost/recall curve that picks production
+    nprobe. All three sweeps share ONE codebook, ONE assignment and ONE
+    exact baseline (the exact leg is computed once and joined three
+    times); each ann leg scans only its probed cells. The oracle rebuilds
+    codebook, assignment, probes, all three rankings and the overlaps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.centroid_vectors(emb)
+    assigned = similarity.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") % _NPROBE_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        similarity.brute_force_topk(queries, emb, k=_NPROBE_K)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)  # shared by all three sweeps
+    )
+    qids = queries.select("q_id").distinct()
+    parts = []
+    for np_ in _NPROBE_VALUES:
+        ann = similarity.ivf_topk(
+            queries, assigned, cents, k=_NPROBE_K, nprobe=np_
+        ).select("q_id", "vec_id")
+        hits = exact.join(ann, ["q_id", "vec_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("__h")
+        )
+        parts.append(
+            qids.join(hits, "q_id", "left").select(
+                F.lit(np_).cast("bigint").alias("nprobe"),
+                "q_id",
+                F.coalesce(F.col("__h"), F.lit(0)).cast("bigint").alias("n_hit"),
+                F.round(
+                    F.coalesce(F.col("__h"), F.lit(0)).cast("double") / F.lit(_NPROBE_K),
+                    9,
+                ).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

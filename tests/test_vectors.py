@@ -28,6 +28,7 @@ ORACLE_QUERIES = [
     "vec_matryoshka_recall",
     "sample_cluster_balanced",
     "vec_label_drift",
+    "vec_ivf_nprobe_recall",
 ]
 
 
@@ -497,3 +498,16 @@ def test_cluster_balanced_sample_caps_every_cell(spark):
         by_cell.setdefault(r["cell"], []).append(r["rnk"])
     for ranks in by_cell.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_nprobe_recall_monotone_in_probes(spark):
+    """More probed cells can only ADD candidates, so per-query recall is
+    non-decreasing in nprobe — the property that makes the sweep a valid
+    tuning curve."""
+    rows = entrymod.queries()["vec_ivf_nprobe_recall"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], {})[r["nprobe"]] = r["recall"]
+    assert by_q
+    for q, rec in by_q.items():
+        assert rec[1] <= rec[2] <= rec[4], (q, rec)
