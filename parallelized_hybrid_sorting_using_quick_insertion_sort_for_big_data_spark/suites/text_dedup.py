@@ -1625,3 +1625,101 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall/precision measurement (r08): the text-side twin of
+# vec_ann_recall — how much of the TRUE near-dup pair set does the
+# sublinear LSH path recover, and how clean is what it returns. Near-dups
+# are planted deterministically (each doc re-appears id-shifted with a
+# 3-char suffix, so true Jaccard sits just below 1.0 and varies with doc
+# length — non-trivially catchable, unlike verbatim copies which collide
+# on every band by construction).
+# ---------------------------------------------------------------------------
+
+_RC_SHIFT = 3_000_000
+
+_RECALL_CORPUS_SQL = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_RC_SHIFT} AS doc_id, text || ' qq' AS text FROM documents
+) corpus"""
+
+_LSH_RECALL_ORACLE = f"""
+WITH d AS (SELECT doc_id, trim(lower(text)) AS t FROM {_RECALL_CORPUS_SQL}),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t)-{_NGRAM_N - 1}, 1))) AS i FROM d),
+sh0 AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {_NGRAM_N}) AS shingle FROM idx),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_MAX_SHINGLE_DF}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON shared.id_a = sa.doc_id
+  JOIN sizes sb ON shared.id_b = sb.doc_id
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {_JACCARD_T}
+),
+lsh AS (
+  SELECT id_a, id_b FROM (
+    {dedup.minhash_lsh_oracle_sql(n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T, seed=42, table=_RECALL_CORPUS_SQL)}
+  )
+),
+counts AS (
+  SELECT (SELECT count(*) FROM jpairs) AS n_exact,
+         (SELECT count(*) FROM lsh) AS n_lsh,
+         (SELECT count(*) FROM jpairs JOIN lsh USING (id_a, id_b)) AS n_hit
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_exact, 1), 9) AS recall,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_lsh, 1), 9) AS est_precision
+FROM counts
+"""
+
+
+@query("dedup_lsh_recall", sql=_LSH_RECALL_ORACLE)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall and precision of the portable MinHash-LSH near-dup path
+    against the exact capped-shingle Jaccard pair set, on a corpus with
+    deterministically planted suffix-perturbed near-dups — one row
+    (n_exact, n_lsh, n_hit, recall, est_precision), every leg and the
+    intersection independently recomputed by the generated oracle. At
+    corpus scale the exact leg runs on a SAMPLE; the measurement shape is
+    identical (the vec_ann_recall disposition)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + _RC_SHIFT).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+        )
+    )
+    exact = dedup.jaccard_pairs(
+        corpus, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(
+        corpus, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T,
+        seed=42, portable=True,
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(F.broadcast(l))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_lsh").cast("bigint").alias("n_lsh"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 9
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_lsh"), F.lit(1)), 9
+            ).alias("est_precision"),
+        )
+    )

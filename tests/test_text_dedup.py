@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     # r08 third-session adds
     "text_fertility_by_lang",
     "pipeline_dataset_card",
+    "dedup_lsh_recall",
 ]
 
 
@@ -801,3 +802,18 @@ def test_sorted_neighborhood_sound_and_catches_planted_dups(spark, docs):
     }
     src = base.collect()[0]["doc_id"]
     assert (src, src + 90_000) in got or (src + 90_000, src) in got
+
+
+def test_lsh_recall_measurement_nondegenerate(spark):
+    """The measurement must exercise both error directions' accounting:
+    planted near-dups found (n_exact >= the 50 planted at sf0.001,
+    n_hit <= min(n_exact, n_lsh)) and ratios in [0, 1]. recall == 1.0 is
+    EXPECTED here (suffix-perturbed pairs keep J near 1, far above the
+    8-band s-curve's 0.5 knee) — the non-trivial number is precision < 1
+    when the estimator over-shoots for some sub-threshold pair."""
+    rows = entrymod.queries()["dedup_lsh_recall"](spark, SF_DIR).collect()
+    (r,) = rows
+    assert r["n_exact"] >= 50
+    assert r["n_hit"] <= min(r["n_exact"], r["n_lsh"])
+    assert 0 <= r["recall"] <= 1 and 0 <= r["est_precision"] <= 1
+    assert r["recall"] == round(r["n_hit"] / max(r["n_exact"], 1), 9)
