@@ -1639,10 +1639,18 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RC_SHIFT = 3_000_000
 
+# 1-in-5 deterministic sample: the measurement needs a representative
+# pair population, not the whole corpus — this is the documented "exact
+# leg runs on a SAMPLE" disposition applied at every scale (unsampled,
+# the doubled-corpus exact+LSH legs measured 45 s at sf0.1; sampled they
+# are seconds, with hundreds of planted pairs still measured at sf0.01).
+_RC_MOD = 5
+
 _RECALL_CORPUS_SQL = f"""(
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id % {_RC_MOD} = 0
   UNION ALL
-  SELECT doc_id + {_RC_SHIFT} AS doc_id, text || ' qq' AS text FROM documents
+  SELECT doc_id + {_RC_SHIFT} AS doc_id, text || ' qq' AS text
+  FROM documents WHERE doc_id % {_RC_MOD} = 0
 ) corpus"""
 
 _LSH_RECALL_ORACLE = f"""
@@ -1691,7 +1699,11 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection independently recomputed by the generated oracle. At
     corpus scale the exact leg runs on a SAMPLE; the measurement shape is
     identical (the vec_ann_recall disposition)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _RC_MOD == 0)
+        .select("doc_id", "text")
+    )
     corpus = docs.unionAll(
         docs.select(
             (F.col("doc_id") + _RC_SHIFT).alias("doc_id"),
