@@ -437,7 +437,11 @@ def bfs_oracle_sql(
 ) -> str:
     """Generated DuckDB oracle for :func:`bfs_levels` — one frontier CTE +
     one visited CTE per hop, from the same constants. ``seeds_cte`` must
-    define ``seeds(node)``; node ids must be non-null (NOT IN semantics)."""
+    define ``seeds(node)``. The visited-set exclusion is ``NOT EXISTS``
+    (not ``NOT IN``): a single NULL node id in a malformed CTE would make
+    NOT IN return no rows and silently empty every later frontier in the
+    oracle only, whereas NOT EXISTS matches Spark's left_anti semantics
+    (ADVICE r08)."""
     parts = [
         edges_cte,
         seeds_cte,
@@ -449,7 +453,7 @@ def bfs_oracle_sql(
             f"""f{i} AS (
   SELECT DISTINCT e.dst AS node
   FROM edges e JOIN f{i - 1} f ON f.node = e.src
-  WHERE e.dst NOT IN (SELECT node FROM lv{i - 1})
+  WHERE NOT EXISTS (SELECT 1 FROM lv{i - 1} v WHERE v.node = e.dst)
 ),
 lv{i} AS (
   SELECT node, level FROM lv{i - 1}

@@ -1980,9 +1980,10 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM changepoint detection (r08): has a metric's DAILY LEVEL shifted, and
 # since when — the classic sequential drift detector, reformulated for SQL:
 # the recursive S_t = max(0, S_{t-1} + dev_t) equals
-# cumsum(dev)_t − running_min(cumsum(dev))_t, which is two window functions
-# over exact DECIMAL partial sums — no recursion, no transcendentals, every
-# intermediate bit-identical across engines.
+# cumsum(dev)_t − min(0, running_min(cumsum(dev))_t) — the zero clamp carries
+# the implicit S_0 = 0 — which is two window functions over exact DECIMAL
+# partial sums: no recursion, no transcendentals, every intermediate
+# bit-identical across engines.
 # ---------------------------------------------------------------------------
 
 _CUSUM_H = 3.0  # flag when S exceeds 3 daily standard deviations
@@ -2018,8 +2019,9 @@ cum AS (
 ),
 run AS (
   SELECT event_type, day, x, mu, sigma, cs,
-         min(cs) OVER (PARTITION BY event_type ORDER BY day
-                       ROWS UNBOUNDED PRECEDING) AS rm
+         least(CAST(0 AS DECIMAL(27,6)),
+               min(cs) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)) AS rm
   FROM cum
 )
 SELECT event_type, day, x, CAST(cs - rm AS DOUBLE) AS s_stat,
@@ -2031,8 +2033,9 @@ FROM run
 @query("events_cusum_changepoint", sql=_CUSUM_ORACLE)
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM over each event type's daily value totals: s_stat =
-    cumsum(dev) − running_min(cumsum(dev)) (the standard non-recursive
-    identity for max(0, S+dev)), flagged when it exceeds 3 daily σ. All
+    cumsum(dev) − min(0, running_min(cumsum(dev))) (the standard
+    non-recursive identity for max(0, S+dev); the zero clamp carries the
+    implicit S_0 = 0 start), flagged when it exceeds 3 daily σ. All
     running state is exact DECIMAL — window sums are order-deterministic
     under the (event_type, day) sort, so both engines carry bit-identical
     intermediates and the flag can't flap. One fact shuffle (the daily
@@ -2083,7 +2086,13 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     cum = dev.withColumn("cs", F.sum("dv").over(w))
-    run = cum.withColumn("rm", F.min("cs").over(w))
+    # The recursion starts at S_0 = 0, so the running min must be clamped at
+    # zero: S_t = cs_t − min(0, min_{k≤t} cs_k). Without the clamp, a series
+    # whose cumulative deviation starts positive (running min > 0) understates
+    # s_stat and misses early changepoints (ADVICE r08, verified numerically).
+    run = cum.withColumn(
+        "rm", F.least(F.lit(0).cast("decimal(27,6)"), F.min("cs").over(w))
+    )
     s_stat = (F.col("cs") - F.col("rm")).cast("double")
     return run.select(
         "event_type",

@@ -1637,6 +1637,10 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on every band by construction).
 # ---------------------------------------------------------------------------
 
+# Planted-row id offset. Must stay far above every real doc_id at every
+# registered scale factor or planted rows silently collide with real ids in
+# BOTH engines (no parity failure) — pinned by
+# test_session.test_planted_row_shifts_clear_real_id_ranges (ADVICE r08).
 _RC_SHIFT = 3_000_000
 
 # 1-in-5 deterministic sample: the measurement needs a representative

@@ -42,6 +42,12 @@ ORACLE_QUERIES = [
     "events_cusum_changepoint",
     "events_survival_retention",
     "events_dau_wau_mau",
+    # r09: recency-guard backfill (test_session) — behavioral tests existed
+    # but no in-session oracle parity pin
+    "events_cohort_retention",
+    "events_funnel",
+    "events_funnel_counts",
+    "events_transition_matrix",
 ]
 
 
@@ -453,10 +459,16 @@ def test_stream_attribution_equals_batch_and_carries_state(spark):
 def test_cusum_identity_and_flag_consistency(spark):
     """The window reformulation must behave like max(0, S+dev): s_stat is
     never negative, resets happen (some day returns to 0 after a positive
-    run — the running-min catches up), flags fire on this data (64 at
-    sf0.001, so the threshold path is exercised, not vacuous), and every
-    flagged day has strictly positive s_stat. Exact values are pinned by
-    the DuckDB parity test; this one pins the SEMANTICS of the identity."""
+    run — the running-min catches up), flags fire on this data (so the
+    threshold path is exercised, not vacuous), and every flagged day has
+    strictly positive s_stat. Exact values are pinned by the DuckDB parity
+    test; this one pins the SEMANTICS of the identity — including a direct
+    replay of the recursion S_t = max(0, S_{t-1} + dev_t) in exact Decimal
+    arithmetic, which catches the missing S_0 = 0 clamp (ADVICE r08): a
+    series whose cumulative deviation starts positive must NOT have its
+    early s_stat understated by an unclamped running min."""
+    from decimal import Decimal
+
     import __spark_entry__ as entrymod
     from tests.conftest import SF_DIR
 
@@ -471,6 +483,26 @@ def test_cusum_identity_and_flag_consistency(spark):
             assert r["s_stat"] > 0.0
         by_type.setdefault(r["event_type"], []).append(r)
     assert flagged > 0
+    # Replay the textbook recursion per series in exact Decimal and demand
+    # bit-level agreement with the window form. dev is recomputed exactly as
+    # the engine does: mu = round(sum(x)/n, 6); dev = round(x − mu, 6).
+    saw_positive_start = False
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["day"])
+        xs = [Decimal(repr(r["x"])) for r in rs]
+        mu = Decimal(repr(round(float(sum(xs)) / len(xs), 6)))
+        s = Decimal(0)
+        for i, r in enumerate(rs):
+            dv = Decimal(repr(round(float(xs[i] - mu), 6)))
+            s = max(Decimal(0), s + dv)
+            assert abs(float(s) - r["s_stat"]) < 1e-9, (
+                f"recursion mismatch at day {r['day']}: {float(s)} vs {r['s_stat']}"
+            )
+        if float(xs[0] - mu) > 0:
+            saw_positive_start = True
+    # the clamp only matters when some series starts with positive deviation
+    # (running min of cs > 0); assert the data actually exercises that path
+    assert saw_positive_start, "no series starts positive — clamp test vacuous"
     # at least one series returns to 0 after being positive: the
     # running-min reset behavior that distinguishes CUSUM from a plain
     # cumulative sum
