@@ -82,91 +82,70 @@ _DRIVER_WINDOW = 50
 # block. NEVER assume old rows stay valid across a testdata regeneration
 # (r03 TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 8 WINDOW (50 exactly; pytest-guarded in test_session.py).
-    # Rotation policy (VERDICT r07 item 1 root cause: the r07 window was
-    # never rotated, so 12 queries stayed driver-unchecked): FRONT = every
-    # query with no driver row in ANY round (32 — the judge's 12, the two
-    # early r08 adds, and the 18 late r08 adds: PSI drift, streaming SCD2
-    # enrichment, phrase search, Zipf slope, hybrid RRF, PQ codes, PQ-ADC
-    # top-k, PQ recall, resample+interpolate, A/B z-test, LPA communities, IVF-PQ, TF-IDF keywords, PMI collocations, feature hashing, Poisson-bootstrap CI, mergeable HLL, point-in-time features) + the 4 whose implementation changed this round (the three
-    # promoted approx-sketch oracles and the GEMM-division semantic
-    # dedup); TAIL = oldest-driver-checked first (r04 block, then r05),
-    # with the 3 rows-only queries deferred past oracle-backed ones (their
-    # oracle-exact twins carry the value check). All 50 verified in the
-    # local full sweep before commit.
-    # -- never driver-checked. There are now MORE never-checked queries
-    #    than window slots (the third session added 13: triangle counting,
-    #    BFS levels, k-core, Adamic-Adar, association rules, embedding
-    #    decontam, Matryoshka recall, cluster-balanced sampling,
-    #    fertility-by-lang, streaming windowed top-k, seasonal anomaly,
-    #    label drift, dataset card — all sweep-green and
-    #    parity-pytest-pinned), so the FIRST 7 rotate in now and 7
-    #    never-checked-but-parity-pinned names yield their slots:
-    #    vec_pq_codes + vec_pq_adc_topk (the PQ family keeps
-    #    vec_ivfpq_topk + vec_pq_recall in-window), text_hashed_bow
-    #    (tfidf/pmi/phrase/zipf stay), events_ab_test +
-    #    events_bootstrap_ci + events_hll_daily_merge (eight other events
-    #    queries stay), and vec_semantic_dedup (HAS a post-GEMM-rebuild
-    #    driver row: CORRECTNESS_r07 green, plus a dedicated parity
-    #    pytest). The 6 later third-session adds (graph_kcore,
-    #    graph_adamic_adar, events_stream_windowed_topk,
-    #    events_seasonal_anomaly, vec_label_drift, pipeline_dataset_card)
-    #    wait for the round-9 rotation — each has a per-round parity
-    #    pytest until then.
-    "graph_triangle_count",
-    "graph_bfs_levels",
-    "rel_association_rules",
-    "decontam_embedding",
-    "vec_matryoshka_recall",
-    "sample_cluster_balanced",
-    "text_fertility_by_lang",
-    "dedup_sorted_neighborhood",
-    "pipeline_cdc_apply",
-    "events_attribution",
-    "rel_groupwise_regression",
-    "pipeline_fd_profile",
-    "rel_benford_digits",
-    "rel_chisq_independence",
-    "rel_gini_revenue",
-    "events_type_entropy",
-    "events_hll_intersection",
-    "rel_copurchase_similarity",
-    "events_stream_attribution",
-    "rel_winsorized_stats",
-    "events_stream_hll_daily",
-    "pipeline_k_anonymity",
-    "rel_yoy_revenue",
-    "rel_rfm_segmentation",
-    "graph_lpa_communities",
-    "events_psi_drift",
-    "events_resample_interpolate",
-    "events_stream_scd2_enrich",
-    "search_hybrid_rrf",
-    "text_phrase_search",
-    "text_pmi_cooccurrence",
-    "text_tfidf_keywords",
-    "text_zipf_slope",
-    "vec_ivfpq_topk",
-    "vec_pq_recall",
-    "dedup_containment",
-    "dedup_segment_rewrite",
-    "events_stream_late_drop",
-    "mm_frame_dedup_collapse",
-    "pipeline_data_quality_audit",
-    "pipeline_feature_assembly",
-    "pipeline_leakage_safe_split",
-    "pipeline_pretraining_corpus",
-    "pipeline_scd2_asof",
-    "rel_equifreq_binning",
-    "rel_window_value_functions",
-    "sample_weighted_topk",
-    "skew_twophase_share",
-    "text_bigram_fluency",
-    "text_vocab_growth",
-    # (32 more r04/r05-checked names displaced by the r08 adds — they stay
-    # sweep-green every round (LOCAL_VERIFY_r08.txt addenda: fails=0 over
-    # the full registry), are parity-pytest-pinned, and rotate back in
-    # round 9)
+    # ROUND 9 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # Rotation per VERDICT r08 item 1: FRONT = the 19 queries with no
+    # driver CORRECTNESS row in ANY round (the late-r08 adds — all
+    # sweep-green in LOCAL_VERIFY_r08.txt and parity-pytest-pinned) plus
+    # sort_within_partitions, whose r07 oracle promotion has never had a
+    # driver row (its last row, r05, checked the old rows-only form).
+    # events_cusum_changepoint additionally carries this round's S_0=0
+    # clamp fix (ADVICE r08 medium) — its first driver row checks the
+    # corrected identity on both engines. TAIL = the r04-checked block,
+    # oldest-driver-checked first in CORRECTNESS_r04.json record order
+    # (30 of its 31 names fit; `text_analysis`, the final r04 record,
+    # plus the r05/r07/r08 blocks rotate in round 10). graph_bfs_levels
+    # is NOT re-windowed for its NOT-IN→NOT-EXISTS oracle hardening
+    # (semantics-preserving; locally re-verified hash-green this round).
+    "events_cusum_changepoint",
+    "events_survival_retention",
+    "events_dau_wau_mau",
+    "events_ab_test",
+    "events_bootstrap_ci",
+    "events_hll_daily_merge",
+    "events_stream_windowed_topk",
+    "events_seasonal_anomaly",
+    "graph_kcore",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "rel_pareto_abc",
+    "text_hashed_bow",
+    "pipeline_dataset_card",
+    "dedup_lsh_recall",
+    "vec_pq_codes",
+    "vec_pq_adc_topk",
+    "vec_label_drift",
+    "vec_ivf_nprobe_recall",
+    "sort_within_partitions",
+    "mm_frame_sample",
+    "rel_set_operations",
+    "rel_scalar_functions",
+    "rel_rollup_customers",
+    "rel_distinct_aggregates",
+    "rel_outer_join",
+    "rel_sql_q3_shipping_priority",
+    "rel_percentiles",
+    "rel_histogram",
+    "rel_cube_orders",
+    "rel_pivot_priority_by_year",
+    "rel_window_running_totals",
+    "rel_approx_distinct",
+    "rel_unpivot_part_metrics",
+    "rel_correlated_subquery",
+    "rel_window_rank_functions",
+    "rel_grouping_sets",
+    "pipeline_scd2_merge",
+    "rel_approx_quantiles",
+    "vec_bucketed_near_dup",
+    "events_stream_sessionize",
+    "events_stream_stream_join",
+    "text_minhash_doc_sketch",
+    "dedup_incremental_minhash",
+    "vec_ann_recall",
+    "vec_kmeans_centroids",
+    "vec_kmeans_ivf_topk",
+    "text_winnow_fingerprints",
+    "sort_total_lineitem",
+    "dedup_exact",
 )
 
 

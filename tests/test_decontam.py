@@ -84,3 +84,23 @@ def test_decontam_plan_broadcasts_benchmark(spark):
     df = decontam.contamination_stats(corpus, bench, hash_grams=True)
     assert PI.has_broadcast_join(df)
     assert not PI.has_cartesian(df)
+
+
+# r09 recency-guard backfill (test_session): in-session oracle parity for
+# the decontam queries whose last driver row was r04/r05.
+ORACLE_QUERIES = [
+    "decontam_bloom_membership",
+    "decontam_ngram_overlap",
+]
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)

@@ -190,3 +190,21 @@ def test_token_fuzzy_query_matches_oracle(spark):
     assert_matches_oracle(
         qs["fuzzy_token_match"](spark, SF_DIR), oracles["fuzzy_token_match"], SF_DIR
     )
+
+
+# r09 recency-guard backfill (test_session): list-convention parity pins
+# (fuzzy_token_match already had an inline assert_matches_oracle test; the
+# guard recognizes the list form, and fuzzy_name_match gains its first
+# value-level pin).
+ORACLE_QUERIES = [
+    "fuzzy_name_match",
+    "fuzzy_token_match",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    from tests.conftest import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)

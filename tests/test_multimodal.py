@@ -21,6 +21,8 @@ ORACLE_QUERIES = [
     # (VERDICT r07 item 1) — the oracle is the full cluster-collapse CTE.
     "mm_frame_dedup_collapse",
     "mm_frame_near_dup",
+    # r09 recency-guard backfill
+    "mm_byte_features",
 ]
 
 

@@ -239,3 +239,22 @@ def test_group_reservoir_stable_under_corpus_growth(spark):
     # every dropped member was displaced by a new key, never reshuffled away
     assert len(a) == len(b) == 10
     assert all(x >= 500 for x in b - a)
+
+
+# r09 recency-guard backfill (test_session): in-session oracle parity for
+# the sampling queries whose last driver row was r04/r05.
+ORACLE_QUERIES = [
+    "sample_group_reservoir",
+    "sample_mixture_tokens",
+    "sample_stratified_langs",
+    "sample_train_split",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)

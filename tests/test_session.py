@@ -61,3 +61,98 @@ def test_rows_only_set_is_exactly_the_documented_three():
         "dedup_simhash",
         "vec_lsh_near_dup",
     }, rows_only
+
+
+def test_planted_row_shifts_clear_real_id_ranges():
+    """The recall/decontam measurement queries plant synthetic rows at
+    doc_id + _RC_SHIFT / vec_id + _DECON_SHIFT. If a real id ever reached
+    the shift, planted rows would silently collide with real ids in BOTH
+    engines — corrupting the measurement with no parity failure (ADVICE
+    r08). Pin: at every registered scale factor the max real id stays an
+    order of magnitude below its shift."""
+    import duckdb
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.text_dedup import (
+        _RC_SHIFT,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.vectors import (
+        _DECON_SHIFT,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        max_doc = duckdb.sql(
+            f"SELECT max(doc_id) FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchone()[0]
+        max_vec = duckdb.sql(
+            f"SELECT max(vec_id) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert max_doc * 10 < _RC_SHIFT, (sf, max_doc, _RC_SHIFT)
+        assert max_vec * 10 < _DECON_SHIFT, (sf, max_vec, _DECON_SHIFT)
+
+
+def test_every_query_is_recently_checked_or_parity_pinned():
+    """Registry-honesty guard (VERDICT r08 item 6): the driver window
+    covers only 50 of the registry per round, so every registered query
+    must be pinned by at least one HARD signal — a driver CORRECTNESS
+    row within the last 3 recorded rounds, or membership in some test
+    file's ORACLE_QUERIES parity list (each is consumed by a
+    parametrized test_oracle_parity that replays the query against its
+    DuckDB oracle in-session). The r08 guard checked only oracle
+    PRESENCE; this one checks check-RECENCY, so a query can no longer
+    drift for five rounds between value checks without a test failing."""
+    import ast
+    import json
+    from pathlib import Path
+
+    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.queries as Q
+
+    Q._ensure_loaded()
+    repo = Path(__file__).resolve().parent.parent
+    rounds = sorted(repo.glob("CORRECTNESS_r*.json"))
+    recent: set[str] = set()
+    for p in rounds[-3:]:
+        recent |= set(json.loads(p.read_text()))
+    # queries in the CURRENT driver window get their row this round
+    recent |= set(Q._DRIVER_PRIORITY)
+
+    def strings(node) -> list[str]:
+        if isinstance(node, (ast.List, ast.Tuple)):
+            return [
+                e.value
+                for e in node.elts
+                if isinstance(e, ast.Constant) and isinstance(e.value, str)
+            ]
+        return []
+
+    # Three parity conventions exist across the suite files: a module-level
+    # <X>_QUERIES list consumed by a parametrized test_oracle_parity, and an
+    # inline parametrize list decorating test_oracle_parity itself.
+    pinned: set[str] = set()
+    for tf in (repo / "tests").glob("test_*.py"):
+        tree = ast.parse(tf.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id.endswith("_QUERIES")
+                for t in node.targets
+            ):
+                pinned.update(strings(node.value))
+            if isinstance(node, ast.FunctionDef) and node.name.startswith(
+                "test_oracle_parity"
+            ):
+                for deco in node.decorator_list:
+                    if isinstance(deco, ast.Call):
+                        for arg in deco.args:
+                            pinned.update(strings(arg))
+
+    # The three documented rows-only LSH fast paths cannot be oracle-parity
+    # pinned by construction; each is value-pinned through its oracle-exact
+    # portable twin + property tests (see
+    # test_rows_only_set_is_exactly_the_documented_three).
+    rows_only_by_design = {"dedup_minhash_lsh", "dedup_simhash", "vec_lsh_near_dup"}
+
+    uncovered = sorted(set(Q.REGISTRY) - recent - pinned - rows_only_by_design)
+    assert not uncovered, (
+        f"{len(uncovered)} queries have neither a driver row in the last 3 "
+        f"rounds (nor a slot in the current window) nor an ORACLE_QUERIES "
+        f"parity pin: {uncovered}"
+    )

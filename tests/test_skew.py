@@ -192,3 +192,22 @@ def test_skew_twophase_share_oracle_parity(spark):
         E.oracle_sql()["skew_twophase_share"],
         SF_DIR,
     )
+
+
+# r09 recency-guard backfill (test_session): in-session oracle parity for
+# the salted-skew queries whose last driver row was r04/r05.
+ORACLE_QUERIES = [
+    "skew_salted_agg",
+    "skew_salted_join",
+    "skew_salted_outer",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    assert_matches_oracle(
+        E.queries()[name](spark, SF_DIR), E.oracle_sql()[name], SF_DIR
+    )

@@ -78,3 +78,20 @@ def test_snapshot_diff_plan(spark):
     schemas = PI.scan_read_schemas(df)
     assert all(s.count(":") <= 3 for s in schemas), schemas
     assert any(s.count(":") == 3 for s in schemas), schemas
+
+
+# r09 recency-guard backfill (test_session): in-session oracle parity.
+ORACLE_QUERIES = [
+    "pipeline_snapshot_diff",
+]
+
+
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    from tests.conftest import assert_matches_oracle
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)

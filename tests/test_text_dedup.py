@@ -33,6 +33,20 @@ ORACLE_QUERIES = [
     "text_fertility_by_lang",
     "pipeline_dataset_card",
     "dedup_lsh_recall",
+    # r09: recency-guard backfill (test_session) — last driver row r04/r05,
+    # no in-session oracle parity pin until now
+    "dedup_components",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "pipeline_clean_corpus",
+    "pipeline_dedup_keep_best",
+    "pipeline_pack_sequences",
+    "text_bm25_topk",
+    "text_chunk_sliding",
+    "text_cms_counts",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "text_repetition",
 ]
 
 

@@ -22,6 +22,7 @@ ORACLE_QUERIES = [
     "vec_pq_codes",
     "vec_pq_adc_topk",
     "vec_pq_recall",
+    "vec_pq_recall_sweep",
     "vec_ivfpq_topk",
     # r08 third-session adds
     "decontam_embedding",
@@ -29,6 +30,8 @@ ORACLE_QUERIES = [
     "sample_cluster_balanced",
     "vec_label_drift",
     "vec_ivf_nprobe_recall",
+    # r09 recency-guard backfill
+    "vec_ivf_topk",
 ]
 
 
@@ -55,6 +58,23 @@ def test_pq_codes_shape(spark):
     assert len(rows) == 4 * n_vec
     assert {r["sub"] for r in rows} == {0, 1, 2, 3}
     assert all(0 <= r["code"] < 8 for r in rows)
+
+
+def test_pq_recall_sweep_surface(spark):
+    """The m×k sweep (VERDICT r08 item 5) emits one row per design point
+    with a well-formed recall, and the m=4/k=8 row agrees exactly with
+    the single-config vec_pq_recall query — same fit, same ADC ranking,
+    same intersection. No monotonicity pin: this corpus is random
+    near-orthogonal vectors (PQ-hard, flat-low surface by construction);
+    the value check is the DuckDB oracle parity."""
+    qs = entrymod.queries()
+    rows = {(r["m"], r["k"]): r for r in qs["vec_pq_recall_sweep"](spark, SF_DIR).collect()}
+    assert set(rows) == {(4, 8), (4, 16), (8, 8), (8, 16)}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= 10
+        assert abs(r["recall"] - r["n_hit"] / 10) < 1e-9
+    single = qs["vec_pq_recall"](spark, SF_DIR).collect()[0]
+    assert rows[(4, 8)]["n_hit"] == single["n_hit"]
 
 
 def test_rrf_fused_ranks_contiguous(spark):
