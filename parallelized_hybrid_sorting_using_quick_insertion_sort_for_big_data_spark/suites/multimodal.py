@@ -308,14 +308,77 @@ FROM fpairs
 def mm_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate frames over the corpus ∪ perturbed copy:
     per-frame 64-bit aHash (bit i = byte i above the frame mean, integer-
-    exact), then every frame pair within Hamming distance 2, found by the
-    3-band pigeonhole equi-join and popcount-verified. The DuckDB oracle
-    recomputes the signatures AND sweeps ALL pairs brute-force, so the
-    value hash doubles as the banded join's completeness proof. Scale
-    shape: signatures leave the map side as 2 BIGINTs/frame (payload
-    never shuffles), candidates are a (band, value) equi-join — see
-    operators/multimodal.py ahash_* for the 100 TB notes."""
-    return M.ahash_near_dup_pairs(_ahash_planted_sigs(spark, sf_dir))
+    exact), then every frame pair within Hamming distance 2. The DuckDB
+    oracle recomputes the signatures AND sweeps ALL pairs brute-force, so
+    the value hash doubles as the candidate generator's completeness
+    proof.
+
+    Exact-signature pre-contraction (VERDICT r08 item 3 — the
+    mm_frame_dedup_collapse r07 treatment applied to the pair query,
+    which must still EMIT every pair): frames sharing an exact
+    (sig_hi, sig_lo) are pairwise ham=0, so (a) intra-group pairs come
+    from a plain equi-self-join on the signature — no band fan-out, no
+    popcount, output-bound; (b) the 3-band pigeonhole join runs over ONE
+    representative per DISTINCT signature (~10× fewer rows at sf0.1, and
+    the degenerate constant-payload signature that makes the hottest
+    band bucket collapses to one row); (c) each rep-rep pair at ham h
+    expands to all member×member cross pairs — same h, since members
+    carry identical signatures. Union of (a) and (c) is exactly the
+    all-pairs ham<=2 set: intra pairs share both sig halves, cross pairs
+    never do, so no pair is emitted twice. This is the 100 TB shape:
+    exact-dup contraction before the near-dup join. Scale shape:
+    signatures leave the map side as 2 BIGINTs/frame (payload never
+    shuffles); see operators/multimodal.py ahash_* for the band-join
+    notes."""
+    sigs = (
+        _ahash_planted_sigs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") * F.lit(M._PACK) + F.col("frame_no")).alias("k"),
+            "sig_hi",
+            "sig_lo",
+        )
+        .localCheckpoint(eager=True)
+    )
+    groups = sigs.groupBy("sig_hi", "sig_lo").agg(F.min("k").alias("rep"))
+    members = sigs.join(groups, ["sig_hi", "sig_lo"]).select("rep", "k")
+    # (a) intra-group ham=0 pairs, ordered by the packed key
+    intra = (
+        sigs.select("sig_hi", "sig_lo", F.col("k").alias("__ka"))
+        .join(sigs.select("sig_hi", "sig_lo", F.col("k").alias("__kb")), ["sig_hi", "sig_lo"])
+        .where(F.col("__ka") < F.col("__kb"))
+        .select("__ka", "__kb", F.lit(0).cast("bigint").alias("ham"))
+    )
+    # (b) band join over one rep per distinct signature
+    reps = groups.select(
+        F.expr(f"rep div {M._PACK}").cast("bigint").alias("doc_id"),
+        F.pmod(F.col("rep"), F.lit(M._PACK)).cast("bigint").alias("frame_no"),
+        "sig_hi",
+        "sig_lo",
+    )
+    rep_pairs = M.ahash_near_dup_pairs(reps).select(
+        (F.col("doc_a") * F.lit(M._PACK) + F.col("frame_a")).alias("__ra"),
+        (F.col("doc_b") * F.lit(M._PACK) + F.col("frame_b")).alias("__rb"),
+        "ham",
+    )
+    # (c) expand each rep-rep pair to all member×member cross pairs
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("__ra"), F.col("k").alias("ka")), "__ra"
+        )
+        .join(members.select(F.col("rep").alias("__rb"), F.col("k").alias("kb")), "__rb")
+        .select(
+            F.least("ka", "kb").alias("__ka"),
+            F.greatest("ka", "kb").alias("__kb"),
+            "ham",
+        )
+    )
+    return intra.unionAll(cross).select(
+        F.expr(f"__ka div {M._PACK}").cast("bigint").alias("doc_a"),
+        F.pmod(F.col("__ka"), F.lit(M._PACK)).cast("bigint").alias("frame_a"),
+        F.expr(f"__kb div {M._PACK}").cast("bigint").alias("doc_b"),
+        F.pmod(F.col("__kb"), F.lit(M._PACK)).cast("bigint").alias("frame_b"),
+        "ham",
+    )
 
 
 def _ahash_planted_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
