@@ -79,13 +79,51 @@ def calibrate_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def wait_for_quiet_window() -> tuple[float, float, bool]:
+    """Refuse to START measuring inside a hypervisor-steal window (VERDICT
+    r08 item 7: the recorded r08 bench landed in the day's worst steal
+    window and produced 56 spurious regression flags). Probes until the
+    calibration spin drops below SPARK_GRAFT_CALIB_MAX_MS (default 350 ms,
+    ~1.15× the ~310 ms quiet baseline), sleeping between probes, for at
+    most SPARK_GRAFT_CALIB_WAIT_S (default 900 s). If the window never
+    quiets, measurement proceeds anyway — the driver must get its JSON
+    line — but the summary carries calib_quiet_start=false so the run is
+    self-labelled as contaminated instead of masquerading as a regression.
+
+    Returns (last_probe_ms, waited_seconds, quiet)."""
+    max_ms = float(os.environ.get("SPARK_GRAFT_CALIB_MAX_MS", "350"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_CALIB_WAIT_S", "900"))
+    t0 = time.perf_counter()
+    probes = [calibrate_ms()]
+    while probes[-1] > max_ms and (time.perf_counter() - t0) < budget_s:
+        # Persistently far above threshold (8 probes ≈ 4 min, best still
+        # >15% over) means sustained steal or elevated ambient that more
+        # waiting is unlikely to fix; bail early instead of burning the
+        # budget, still labelled non-quiet. Near-threshold jitter keeps
+        # waiting — those windows do close.
+        if len(probes) >= 8 and min(probes) > 1.15 * max_ms:
+            print(
+                f"# calib floor {min(probes)} ms after {len(probes)} probes "
+                f"(threshold {max_ms}) — persistent, proceeding (non-quiet)",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"# calib probe {probes[-1]} ms > {max_ms} ms — steal window, waiting",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        probes.append(calibrate_ms())
+    return probes[-1], round(time.perf_counter() - t0, 1), probes[-1] <= max_ms
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0  # unknown scale factor; keep the JSON line parseable
-    calib_start = calibrate_ms()
+    calib_start, calib_waited_s, calib_quiet = wait_for_quiet_window()
     spark = get_spark("phsqis-bench")
 
     from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark import (
@@ -380,11 +418,14 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
         "r01_comparable_total": comparable,
         "r01_comparable_baseline": 69.2,  # same keys' total in BENCH_r01.json
-        # machine-health probes (see calibrate_ms): compare across runs —
+        # machine-health probes (see calibrate_ms / wait_for_quiet_window):
+        # compare across runs —
         # a run whose calib numbers are multiples of another's measured the
         # hypervisor, not the engine
         "calib_ms_start": calib_start,
         "calib_ms_end": calib_end,
+        "calib_quiet_start": calib_quiet,
+        "calib_waited_s": calib_waited_s,
         # per-cell rep lists backing each median (q_reps per cell)
         "query_reps": query_reps,
         "q_reps": q_reps,
@@ -428,6 +469,7 @@ def main() -> None:
             "r01_comparable_total": comparable,
             "calib_ms_start": calib_start,
             "calib_ms_end": calib_end,
+            "calib_quiet_start": calib_quiet,
             "queries": {k: round(t, 4) for k, t in times.items()},
         }
         with history_path.open("a") as fh:
@@ -457,6 +499,8 @@ def main() -> None:
         "r01_comparable_baseline": 69.2,
         "calib_ms_start": calib_start,
         "calib_ms_end": calib_end,
+        "calib_quiet_start": calib_quiet,
+        "calib_waited_s": calib_waited_s,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))

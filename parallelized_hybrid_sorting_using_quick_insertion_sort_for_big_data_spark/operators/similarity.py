@@ -64,8 +64,9 @@ def brute_force_topk(
     # tripling the fold work on the |queries|×|corpus| hot path
     q = queries.withColumn("__qn", norm(_as_double(F.col(query_vec))))
     c = corpus.withColumn("__cn", norm(_as_double(F.col(corpus_vec))))
-    sim = dot(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec))) / (
-        F.col("__qn") * F.col("__cn")
+    sim = F.try_divide(
+        dot(_as_double(F.col(query_vec)), _as_double(F.col(corpus_vec))),
+        F.col("__qn") * F.col("__cn"),
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -91,7 +92,19 @@ def exact_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via self cross join.
     Quadratic: correct baseline at test scale; at corpus scale use
-    ``lsh_near_dup_pairs`` (bucketed candidates) instead."""
+    ``lsh_near_dup_pairs`` (bucketed candidates) instead.
+
+    Zero-norm edge: ``try_divide`` (here, in ``brute_force_topk``, and in
+    the LSH re-rank) makes a zero-norm vector's sim NULL instead of an
+    ANSI DIVIDE_BY_ZERO task failure (Spark 4 default — a plain ``/``
+    raised; caught and fixed r09). NULL never crosses the threshold, the
+    same OUTCOME as the GEMM paths (``exact_near_dup_pairs_blocked``,
+    semantic dedup), which define zero-norm pairwise cosine as 0: both
+    conventions drop the pair, only the intermediate differs.
+    ``try_divide`` is bitwise-identical to ``/`` for every nonzero
+    denominator, so oracle hashes are unaffected. Pinned by
+    ``test_zero_norm_vectors_never_raise`` and
+    ``test_semantic_dedup_null_and_zero_norm``."""
     withn = df.withColumn("__n", norm(_as_double(F.col(vec_col))))
     a = withn.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
@@ -99,8 +112,9 @@ def exact_near_dup_pairs(
     b = withn.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
     )
-    sim = dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))) / (
-        F.col("__na") * F.col("__nb")
+    sim = F.try_divide(
+        dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))),
+        F.col("__na") * F.col("__nb"),
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -451,8 +465,9 @@ def _multiprobe_fold_pairs(
         F.col("__n").alias("__nb"),
         F.explode(probes).alias("bkey"),
     )
-    sim = dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))) / (
-        F.col("__na") * F.col("__nb")
+    sim = F.try_divide(
+        dot(_as_double(F.col("__va")), _as_double(F.col("__vb"))),
+        F.col("__na") * F.col("__nb"),
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)

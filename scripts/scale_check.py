@@ -11,7 +11,8 @@ construction. doc_ids shift by i·10M; all other tables are reused from
 sf0.1 (the five measured queries read only `documents`).
 
 Run:  python scripts/scale_check.py
-Writes SCALE_CHECK_r08.json at the repo root: per query, median-of-3
+Writes SCALE_CHECK_r{ROUND}.json (SPARK_GRAFT_ROUND, default 09) at the
+repo root: per query, median-of-3
 times at sf0.1 and sf1 and the slope vs the 10× row ratio. Round 7 adds a
 10× embeddings synth (dim-rolled copies) for the vector-family queries.
 """
@@ -19,6 +20,7 @@ times at sf0.1 and sf1 and the slope vs the 10× row ratio. Round 7 adds a
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import string
 import sys
@@ -125,7 +127,15 @@ def build_sf1(spark) -> None:
     # copies pairwise distinct (random near-orthogonal vectors stay
     # near-orthogonal under rotation), so the dedup/ANN operators see ~10x
     # fresh vectors rather than planted 10-cliques.
-    marker = SF1 / ".emb10x"
+    #
+    # label=0 is the decontam BENCHMARK set, which is fixed-size by
+    # definition (real corpora scale; benchmarks don't). Copies i>=1
+    # relabel their label-0 rows to -1 so the bench set stays the base
+    # copy's — otherwise the bench x corpus product scales 100x and the
+    # decontam slope measures the synth, not the corpus scan (VERDICT r08
+    # item 4: slope 6.16 with a 60.8 s rep was this artifact). Marker v2
+    # forces a one-time resynthesis of any pre-fix sf1 table.
+    marker = SF1 / ".emb10x_v2"
     if not marker.exists():
         base = spark.read.parquet(str(SF01 / "embeddings.parquet"))
         dim = len(base.select("embedding").first()[0])
@@ -135,11 +145,19 @@ def build_sf1(spark) -> None:
                 F.slice(F.col("embedding"), (i % dim) + 1, dim - (i % dim)),
                 F.slice(F.col("embedding"), 1, i % dim),
             )
+            extra = [c for c in base.columns if c not in ("vec_id", "embedding")]
+            if i > 0 and "label" in extra:
+                extra.remove("label")
+                extra.append(
+                    F.when(F.col("label") == 0, F.lit(-1))
+                    .otherwise(F.col("label"))
+                    .alias("label")
+                )
             parts.append(
                 base.select(
                     (F.col("vec_id") + i * SHIFT).alias("vec_id"),
                     rolled.alias("embedding"),
-                    *[c for c in base.columns if c not in ("vec_id", "embedding")],
+                    *extra,
                 )
             )
         out = parts[0]
@@ -177,7 +195,8 @@ def main() -> None:
     # merged into the existing SCALE_CHECK json (late-round adds shouldn't
     # force a ~25 min full re-measure of 14 settled rows)
     names = tuple(sys.argv[1:]) or QUERIES
-    path = REPO / "SCALE_CHECK_r08.json"
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "09").lstrip("r").zfill(2)
+    path = REPO / f"SCALE_CHECK_r{rnd}.json"
     out: dict[str, dict] = (
         json.loads(path.read_text()) if path.exists() and sys.argv[1:] else {}
     )
@@ -197,7 +216,7 @@ def main() -> None:
         print(f"MARKER {name} sf0.1={row['sf0.1']['median_sec']}s "
               f"sf1={row['sf1']['median_sec']}s slope={ratio}x", flush=True)
     path.write_text(json.dumps(out, indent=1) + "\n")
-    print("MARKER wrote SCALE_CHECK_r08.json")
+    print(f"MARKER wrote {path.name}")
     spark.stop()
 
 

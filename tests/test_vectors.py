@@ -410,6 +410,28 @@ def test_semantic_dedup_greedy_small_case(spark):
     assert kept == {0: True, 1: False, 2: False, 3: True}
 
 
+def test_zero_norm_vectors_never_raise(spark):
+    """r09: a zero-norm vector in the corpus must yield NULL sim (dropped
+    by thresholds / ranked last), never an ANSI DIVIDE_BY_ZERO task
+    failure — pins the try_divide fix in exact_near_dup_pairs,
+    brute_force_topk, and the LSH candidate re-rank."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = similarity.exact_near_dup_pairs(df, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+    qs = df.where("vec_id = 1").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    topk = similarity.brute_force_topk(
+        qs, df, k=2, query_id="q_id", query_vec="q_emb"
+    ).collect()
+    assert len(topk) == 2 and all(r["sim"] is None for r in topk)
+    lsh = similarity.lsh_near_dup_pairs(df, threshold=0.5, nbits=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= {(0, 2)}
+
+
 def test_semantic_dedup_null_and_zero_norm(spark):
     """ADVICE r07 pins: (a) rows with NULL or empty embeddings are
     EXCLUDED from the output (np.stack on a ragged/None cell would raise
