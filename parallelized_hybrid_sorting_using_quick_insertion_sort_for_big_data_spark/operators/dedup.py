@@ -1487,3 +1487,101 @@ JOIN sizes za ON s.id_a = za.doc_id
 JOIN sizes zb ON s.id_b = zb.doc_id
 WHERE CAST(s.n_shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.n_shared) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (r09): the "exact substring dedup" pass an
+# LLM corpus pipeline runs AFTER document-level dedup — find every maximal
+# run of duplicated L-token shingles inside each document, i.e. the verbatim
+# boilerplate/quote spans worth cutting even when the documents as wholes
+# are unique. (Suffix arrays give the sequential form; the distributed shape
+# is shingle → global frequency → gaps-and-islands merge, which finds
+# exactly the maximal runs of globally-duplicated L-grams.)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    l: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every position window
+    of ``l`` word tokens (operators/text.py tokenizer) that occurs >= 2
+    times anywhere in the corpus, merged into maximal per-document runs
+    (gaps-and-islands over positions). Output one row per span:
+    (doc_id, span_start, span_end, span_tokens, n_dup_shingles), token
+    positions 0-based inclusive.
+
+    Semantics note: a merged run certifies every L-window inside it is
+    duplicated SOMEWHERE — adjacent windows may match different partners,
+    so the run as a whole need not be a verbatim copy of one source (the
+    standard over-merge of shingle-based substring dedup; the cut
+    decision only needs "this text is duplicated material").
+
+    Scale shape: shingling is a map-side projection (one row per token
+    position, the text itself never replicated per shingle — the slice
+    happens inside a per-row transform). The frequency pass is one hash
+    agg on the shingle, the position join one equi-shuffle, the island
+    merge one window keyed by doc. At 100 TB: shuffle the 64-bit
+    xxhash64 of the shingle instead of the string (collision odds
+    negligible; kept as the exact string here so the DuckDB oracle can
+    replay byte-for-byte), and drop stop-shingles above a frequency cap
+    the way the n-gram Jaccard join does."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= l)
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - l),
+                lambda k: F.array_join(F.slice("__toks", k + 1, l), " "),
+            )
+        ).alias("pos", "__sh"),
+    )
+    freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__cnt"))
+    dup = sh.join(freq.where(F.col("__cnt") >= 2), "__sh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("__g", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + l - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + l).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"),
+        )
+        .drop("__g")
+    )
+
+
+def duplicate_spans_oracle_sql(l: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`duplicate_spans` — same tokenizer regex,
+    same 0-based windows, same global >=2 frequency rule, same
+    gaps-and-islands merge."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS t
+  FROM {table}
+),
+occ AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS pos,
+         array_to_string(t[CAST(k + 1 AS INT):CAST(k + {l} AS INT)], ' ') AS sh
+  FROM toks, unnest(generate_series(0, len(t) - {l})) AS u(k)
+  WHERE len(t) >= {l}
+),
+freq AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN freq USING (sh)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM dup
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {l} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) - min(pos) + {l} AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_shingles
+FROM isl GROUP BY doc_id, g
+"""

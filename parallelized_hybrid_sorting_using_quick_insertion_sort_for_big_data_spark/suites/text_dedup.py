@@ -1739,3 +1739,24 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (r09): the post-document-dedup substring
+# pass — maximal runs of globally-duplicated 8-token windows per document
+# (verbatim boilerplate/quotes worth cutting even in unique documents).
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 8
+
+
+@query("dedup_duplicate_spans", sql=dedup.duplicate_spans_oracle_sql(l=_SPAN_L))
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans over the documents corpus: every
+    8-token window occurring >= 2 times anywhere, merged per document
+    into maximal runs via gaps-and-islands. One map-side shingle
+    projection, one frequency hash-agg, one position equi-join, one
+    doc-keyed window — see operators/dedup.py duplicate_spans for the
+    100 TB notes (hash-shuffled shingles + stop-shingle cap)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans(docs, l=_SPAN_L)

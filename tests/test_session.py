@@ -156,3 +156,38 @@ def test_every_query_is_recently_checked_or_parity_pinned():
         f"rounds (nor a slot in the current window) nor an ORACLE_QUERIES "
         f"parity pin: {uncovered}"
     )
+
+
+def test_bench_quiet_window_guard(monkeypatch):
+    """bench.wait_for_quiet_window (VERDICT r08 item 7): returns quiet
+    immediately when the probe is under threshold, and labels the run
+    non-quiet (without hanging past its budget) when the machine never
+    quiets. Probes are stubbed so the test is deterministic and sleepless."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_MAX_MS", "350")
+    monkeypatch.setenv("SPARK_GRAFT_CALIB_WAIT_S", "600")
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    monkeypatch.setattr(bench, "calibrate_ms", lambda: 300.0)
+    probe, waited, quiet = bench.wait_for_quiet_window()
+    assert quiet and probe == 300.0
+
+    # steal window that closes after 3 probes
+    seq = iter([500.0, 480.0, 460.0, 310.0])
+    monkeypatch.setattr(bench, "calibrate_ms", lambda: next(seq))
+    probe, waited, quiet = bench.wait_for_quiet_window()
+    assert quiet and probe == 310.0
+
+    # persistent steal: floor stays >15% over threshold -> early bail after
+    # 8 probes, labelled non-quiet
+    calls = []
+
+    def hot():
+        calls.append(1)
+        return 450.0
+
+    monkeypatch.setattr(bench, "calibrate_ms", hot)
+    probe, waited, quiet = bench.wait_for_quiet_window()
+    assert not quiet and probe == 450.0
+    assert len(calls) == 8  # bailed at the 8-probe floor check, not the budget

@@ -47,7 +47,49 @@ ORACLE_QUERIES = [
     "text_heavy_hitters",
     "text_pii_scrub",
     "text_repetition",
+    # r09 add
+    "dedup_duplicate_spans",
 ]
+
+
+def test_duplicate_spans_semantics(spark):
+    """Structural pins beyond oracle parity: spans lie inside their doc's
+    token range; islands are maximal (two spans in one doc are separated
+    by at least one NON-duplicated window position — token ranges may
+    still overlap when L > gap); n_dup_shingles == span_tokens − L + 1
+    (a run of R consecutive duplicated windows covers R+L−1 tokens
+    exactly); and the result is non-vacuous (the corpus plants duplicate
+    text)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    L = 8
+    rows = entrymod.queries()["dedup_duplicate_spans"](spark, SF_DIR).collect()
+    assert rows, "no duplicated spans found — vacuous"
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(T.tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r["span_start"] <= r["span_end"] < ntok[r["doc_id"]]
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert r["n_dup_shingles"] == r["span_tokens"] - L + 1
+        by_doc.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            # maximal islands: a gap of at least one non-duplicated window
+            assert s2 > e1 + 1 - L + 1, (s1, e1, s2, e2)
 
 
 def test_pretraining_pipeline_exercises_every_drop_path(spark):
