@@ -85,6 +85,9 @@ QUERIES = (
     "vec_label_drift",
     "text_fertility_by_lang",
     "pipeline_dataset_card",
+    # r09 add over documents: substring-dedup spans — linear shingle
+    # projection + frequency hash-agg + position join + doc-keyed window
+    "dedup_duplicate_spans",
 )
 
 
