@@ -1585,3 +1585,152 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_dup_shingles
 FROM isl GROUP BY doc_id, g
 """
+
+
+_SPAN_PACK = 4294967296  # doc_id * 2^32 + window position
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    l: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring DEDUPLICATION (the cut, not just the report): every
+    duplicated ``l``-token window keeps its canonical occurrence (min
+    packed (doc, pos) — the same order-independent argmin the frame dedup
+    uses) and every NON-canonical occurrence's tokens are cut from the
+    rebuilt text. Output one row per document:
+    (doc_id, clean_text, n_tokens_before, n_tokens_after, n_windows_cut).
+
+    Cut rule: token t of doc d is dropped iff covered by >= 1 duplicated
+    window whose canonical owner is another occurrence. The canonical
+    copy survives verbatim; later verbatim copies lose the shared span —
+    keep-first semantics at token granularity. The rebuilt text is the
+    kept token stream joined by single spaces (the tokenizer discards
+    inter-token bytes by design; a production pipeline carries byte
+    offsets instead — same plan shape, wider rows).
+
+    Scale: the windows/frequency legs are `duplicate_spans`'s (linear map
+    side, one hash agg, one equi-join); the rebuild adds one per-doc
+    grouped collect of (pos, token) structs — bounded by document length,
+    never by corpus size — and the cut-token anti-join, keyed by
+    (doc, token position)."""
+    toks = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+    occ = toks.where(F.size("__toks") >= l).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - l),
+                lambda k: F.array_join(F.slice("__toks", k + 1, l), " "),
+            )
+        ).alias("pos", "__sh"),
+    )
+    packed = F.col(id_col) * F.lit(_SPAN_PACK) + F.col("pos")
+    canon = occ.groupBy("__sh").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min(packed).alias("__canon")
+    )
+    cut_windows = (
+        occ.join(canon.where(F.col("__cnt") >= 2), "__sh")
+        .where(packed != F.col("__canon"))
+        .select(F.col(id_col), "pos")
+    )
+    cut_tokens = cut_windows.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + l - 1)).alias("tokpos"),
+    ).distinct()
+    n_cut = cut_windows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows_cut")
+    )
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("tokpos", "tok")
+    )
+    kept = tok_rows.join(cut_tokens, [id_col, "tokpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
+    )
+    before = toks.select(
+        F.col(id_col), F.size("__toks").cast("bigint").alias("n_tokens_before")
+    )
+    return (
+        before.join(rebuilt, id_col, "left")
+        .join(n_cut, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).cast("bigint").alias(
+                "n_tokens_after"
+            ),
+            F.coalesce("n_windows_cut", F.lit(0)).cast("bigint").alias(
+                "n_windows_cut"
+            ),
+        )
+    )
+
+
+def span_dedup_rewrite_oracle_sql(l: int = 8, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`span_dedup_rewrite` — same tokenizer, same
+    packed-min canonical rule, same covered-token cut, same single-space
+    rebuild. Anti-joins are NOT EXISTS (NULL-robust, matches left_anti)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{T.TOKEN_RE}') AS t
+  FROM {table}
+),
+occ AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS pos,
+         array_to_string(t[CAST(k + 1 AS INT):CAST(k + {l} AS INT)], ' ') AS sh
+  FROM toks, unnest(generate_series(0, len(t) - {l})) AS u(k)
+  WHERE len(t) >= {l}
+),
+canon AS (
+  SELECT sh, count(*) AS cnt, min(doc_id * {_SPAN_PACK} + pos) AS can
+  FROM occ GROUP BY sh
+),
+cutw AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN canon c USING (sh)
+  WHERE c.cnt >= 2 AND o.doc_id * {_SPAN_PACK} + o.pos <> c.can
+),
+cutt AS (
+  SELECT DISTINCT doc_id, CAST(pos + j AS BIGINT) AS tokpos
+  FROM cutw, unnest(generate_series(0, {l} - 1)) AS v(j)
+),
+ncut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows_cut
+  FROM cutw GROUP BY doc_id
+),
+tokrows AS (
+  SELECT doc_id, CAST(k - 1 AS BIGINT) AS tokpos, t[CAST(k AS INT)] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS w(k)
+),
+kept AS (
+  SELECT r.doc_id, r.tokpos, r.tok
+  FROM tokrows r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cutt c WHERE c.doc_id = r.doc_id AND c.tokpos = r.tokpos
+  )
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_tokens_after
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(b.t) AS BIGINT) AS n_tokens_before,
+       COALESCE(r.n_tokens_after, 0) AS n_tokens_after,
+       COALESCE(n.n_windows_cut, 0) AS n_windows_cut
+FROM toks b
+LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+LEFT JOIN ncut n ON n.doc_id = b.doc_id
+"""

@@ -1760,3 +1760,21 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB notes (hash-shuffled shingles + stop-shingle cap)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.duplicate_spans(docs, l=_SPAN_L)
+
+
+@query(
+    "pipeline_span_dedup_rewrite",
+    sql=dedup.span_dedup_rewrite_oracle_sql(l=_SPAN_L),
+)
+def pipeline_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring DEDUPLICATION applied: duplicated 8-token windows
+    keep their canonical (min packed doc,pos) occurrence and every other
+    occurrence's tokens are cut from the rebuilt text — keep-first
+    semantics at token granularity, one output row per document with the
+    cleaned text and before/after token accounting. The clean_text itself
+    is value-hashed against the oracle, so the whole rebuild — tokenizer,
+    canonical choice, covered-token cut, ordered rejoin — is checked
+    byte-for-byte. See operators/dedup.py span_dedup_rewrite for the
+    100 TB notes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.span_dedup_rewrite(docs, l=_SPAN_L)

@@ -88,6 +88,7 @@ QUERIES = (
     # r09 add over documents: substring-dedup spans — linear shingle
     # projection + frequency hash-agg + position join + doc-keyed window
     "dedup_duplicate_spans",
+    "pipeline_span_dedup_rewrite",
 )
 
 

@@ -47,9 +47,51 @@ ORACLE_QUERIES = [
     "text_heavy_hitters",
     "text_pii_scrub",
     "text_repetition",
-    # r09 add
+    # r09 adds
     "dedup_duplicate_spans",
+    "pipeline_span_dedup_rewrite",
 ]
+
+
+def test_span_dedup_rewrite_semantics(spark):
+    """Keep-first substring dedup invariants: one row per document,
+    n_tokens_after <= n_tokens_before always; a cut happens somewhere
+    (non-vacuous — the corpus plants duplicates); for every duplicated
+    window group exactly ONE occurrence survives verbatim (the canonical
+    min (doc,pos) copy keeps its text when wholly canonical); and docs
+    with zero cut windows are rebuilt as their full token stream."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in entrymod.queries()["pipeline_span_dedup_rewrite"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: r["t"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("t"))
+        .collect()
+    }
+    assert set(rows) == set(docs), "one output row per document"
+    assert any(r["n_windows_cut"] > 0 for r in rows.values()), "vacuous"
+    for d, r in rows.items():
+        assert r["n_tokens_before"] == len(docs[d])
+        assert r["n_tokens_after"] <= r["n_tokens_before"]
+        if r["n_windows_cut"] == 0:
+            assert r["clean_text"] == " ".join(docs[d])
+            assert r["n_tokens_after"] == r["n_tokens_before"]
+        else:
+            assert r["n_tokens_after"] < r["n_tokens_before"]
 
 
 def test_duplicate_spans_semantics(spark):
