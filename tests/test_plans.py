@@ -865,3 +865,21 @@ def test_cusum_and_survival_windows_after_reduction(spark, qs):
         plan = PI.simple_plan(df)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "Window" in plan, (name, plan)
+
+
+def test_span_dedup_plans(spark, qs):
+    """r09 substring-dedup family: no cartesian products; the documents
+    scan prunes to (doc_id, text); the report query needs exactly its
+    three theoretical exchanges (frequency agg, position equi-join's
+    occurrence side, doc-keyed island window) — the shingle projection
+    itself must stay map-side (no exchange before the frequency agg
+    beyond those)."""
+    report = qs["dedup_duplicate_spans"](spark, SF_DIR)
+    rewrite = qs["pipeline_span_dedup_rewrite"](spark, SF_DIR)
+    for name, df in (("report", report), ("rewrite", rewrite)):
+        plan = PI.simple_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        for schema in PI.scan_read_schemas(df):
+            assert "lang" not in schema and "source" not in schema, (name, schema)
+    PI.assert_max_exchanges(report, 4)
