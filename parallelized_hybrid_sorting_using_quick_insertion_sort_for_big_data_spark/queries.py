@@ -92,8 +92,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # clamp fix (ADVICE r08 medium) — its first driver row checks the
     # corrected identity on both engines. TAIL = the r04-checked block,
     # oldest-driver-checked first in CORRECTNESS_r04.json record order
-    # (30 of its 31 names fit; `text_analysis`, the final r04 record,
-    # plus the r05/r07/r08 blocks rotate in round 10). graph_bfs_levels
+    # (28 of its 31 names fit; `sort_total_lineitem`, `dedup_exact`,
+    # and `text_analysis` rotate back in round 10 with the r05 block). graph_bfs_levels
     # is NOT re-windowed for its NOT-IN→NOT-EXISTS oracle hardening
     # (semantics-preserving; locally re-verified hash-green this round).
     "events_cusum_changepoint",
@@ -116,6 +116,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_label_drift",
     "vec_ivf_nprobe_recall",
     "sort_within_partitions",
+    # r09 adds (never driver-checked; sweep-green in LOCAL_VERIFY_r09.txt
+    # and ORACLE_QUERIES-parity-pinned). They take the tail's last two
+    # slots: sort_total_lineitem and dedup_exact yield — both driver-green
+    # four times (r01-r04) and among the most pytest-pinned queries in the
+    # repo — and rotate back in round 10 with text_analysis and the r05
+    # block.
+    "dedup_duplicate_spans",
+    "pipeline_span_dedup_rewrite",
     "mm_frame_sample",
     "rel_set_operations",
     "rel_scalar_functions",
@@ -144,8 +152,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_kmeans_centroids",
     "vec_kmeans_ivf_topk",
     "text_winnow_fingerprints",
-    "sort_total_lineitem",
-    "dedup_exact",
 )
 
 
