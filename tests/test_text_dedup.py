@@ -915,3 +915,92 @@ def test_lsh_recall_measurement_nondegenerate(spark):
     assert r["n_hit"] <= min(r["n_exact"], r["n_lsh"])
     assert 0 <= r["recall"] <= 1 and 0 <= r["est_precision"] <= 1
     assert r["recall"] == round(r["n_hit"] / max(r["n_exact"], 1), 9)
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    """Randomized cross-check (seeded): on corpora with planted repeated
+    phrases, whole-doc copies, short docs, and empty docs, both span
+    detection and the keep-first rewrite must equal a brute-force pure-
+    Python reference — many corpus shapes beyond the one oracle dataset."""
+    import random
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup as D,
+    )
+
+    L = 4
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(30)]
+    phrase = ["alpha", "beta", "gamma", "delta", "eps"]
+    corpora = []
+    for trial in range(3):
+        docs = []
+        for d in range(12):
+            n = rng.randint(0, 14)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            if d % 3 == 0:  # plant the shared phrase mid-document
+                at = rng.randint(0, max(0, len(toks) - 1))
+                toks[at:at] = phrase
+            docs.append((d, " ".join(toks)))
+        docs.append((100, docs[0][1]))  # verbatim whole-doc copy
+        docs.append((101, ""))  # empty
+        corpora.append(docs)
+
+    def py_spans(docs):
+        toks = {i: t.split() if t else [] for i, t in docs}
+        occ = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - L + 1):
+                occ.setdefault(tuple(ts[p : p + L]), []).append((i, p))
+        dup = {k: v for k, v in occ.items() if len(v) >= 2}
+        pos = {}
+        for v in dup.values():
+            for i, p in v:
+                pos.setdefault(i, set()).add(p)
+        out = set()
+        for i, ps in pos.items():
+            run = []
+            for p in sorted(ps):
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        out.add((i, run[0], run[-1] + L - 1, run[-1] - run[0] + L, len(run)))
+                    run = [p]
+            out.add((i, run[0], run[-1] + L - 1, run[-1] - run[0] + L, len(run)))
+        return out
+
+    def py_rewrite(docs):
+        toks = {i: t.split() if t else [] for i, t in docs}
+        occ = {}
+        for i, ts in toks.items():
+            for p in range(len(ts) - L + 1):
+                occ.setdefault(tuple(ts[p : p + L]), []).append((i, p))
+        cut = {}
+        ncut = {}
+        for v in occ.values():
+            if len(v) >= 2:
+                canon = min((i * 4294967296 + p) for i, p in v)
+                for i, p in v:
+                    if i * 4294967296 + p != canon:
+                        ncut[i] = ncut.get(i, 0) + 1
+                        for t in range(p, p + L):
+                            cut.setdefault(i, set()).add(t)
+        out = set()
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts) if p not in cut.get(i, set())]
+            out.add((i, " ".join(kept), len(ts), len(kept), ncut.get(i, 0)))
+        return out
+
+    for docs in corpora:
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_shingles"])
+            for r in D.duplicate_spans(df, l=L).collect()
+        }
+        assert got == py_spans(docs)
+        got_rw = {
+            (r["doc_id"], r["clean_text"], r["n_tokens_before"], r["n_tokens_after"], r["n_windows_cut"])
+            for r in D.span_dedup_rewrite(df, l=L).collect()
+        }
+        assert got_rw == py_rewrite(docs)
