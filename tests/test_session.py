@@ -191,3 +191,28 @@ def test_bench_quiet_window_guard(monkeypatch):
     probe, waited, quiet = bench.wait_for_quiet_window()
     assert not quiet and probe == 450.0
     assert len(calls) == 8  # bailed at the 8-probe floor check, not the budget
+
+
+def test_scale_synth_pins_benchmark_set():
+    """The sf1 embeddings synth (scripts/scale_check.py) must hold the
+    decontam benchmark set (label=0) at the sf0.1 cardinality while the
+    corpus scales 10x — otherwise the bench x corpus product scales 100x
+    and the decontam slope measures the synth, not the corpus scan
+    (VERDICT r08 item 4). Skipped until the synth has been built."""
+    from pathlib import Path
+
+    import duckdb
+    import pytest
+
+    sf1 = Path(__file__).resolve().parent.parent / ".sfdata" / "sf1" / "embeddings.parquet"
+    if not sf1.exists():
+        pytest.skip("sf1 synth not built in this checkout")
+    a = duckdb.sql(
+        f"SELECT count(*) FROM '{sf1}/*.parquet' WHERE label = 0"
+    ).fetchone()[0]
+    b = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.1/embeddings.parquet' WHERE label = 0"
+    ).fetchone()[0]
+    total = duckdb.sql(f"SELECT count(*) FROM '{sf1}/*.parquet'").fetchone()[0]
+    assert a == b, (a, b)
+    assert total >= 9 * b  # the corpus did scale
