@@ -92,7 +92,12 @@ def wait_for_quiet_window() -> tuple[float, float, bool]:
 
     Returns (last_probe_ms, waited_seconds, quiet)."""
     max_ms = float(os.environ.get("SPARK_GRAFT_CALIB_MAX_MS", "350"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_CALIB_WAIT_S", "900"))
+    # Budget chosen so a never-quiet host costs ~7 min of waiting worst
+    # case (observed 2026-08-15: all-afternoon 370-500 ms jitter whose
+    # floor dips below the early-bail line) — the wait must never risk a
+    # driver-side timeout truncating the round's recorded artifact, which
+    # would be strictly worse than a self-labelled contaminated run.
+    budget_s = float(os.environ.get("SPARK_GRAFT_CALIB_WAIT_S", "420"))
     t0 = time.perf_counter()
     probes = [calibrate_ms()]
     while probes[-1] > max_ms and (time.perf_counter() - t0) < budget_s:
