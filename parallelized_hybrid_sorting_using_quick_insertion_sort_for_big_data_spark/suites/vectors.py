@@ -647,7 +647,14 @@ def vec_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.where(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    exact = similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K).select("vec_id")
+    # The exact top-10 is shared by all four legs; without the eager pin
+    # each leg's join would re-run the brute-force ranking (lazy plans) —
+    # 4x the most expensive stage for a 10-row relation.
+    exact = (
+        similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for m, k in _PQ_SWEEP:
         adc = similarity.pq_adc_topk(
