@@ -1527,10 +1527,20 @@ def duplicate_spans(
     xxhash64 of the shingle instead of the string (collision odds
     negligible; kept as the exact string here so the DuckDB oracle can
     replay byte-for-byte), and drop stop-shingles above a frequency cap
-    the way the n-gram Jaccard join does."""
-    toks = docs.select(
-        F.col(id_col), T.tokens(F.col(text_col)).alias("__toks")
-    ).where(F.size("__toks") >= l)
+    the way the n-gram Jaccard join does.
+
+    The tokenized relation is pinned eagerly: the shingle relation feeds
+    both the frequency agg and the position join, and without the pin
+    each side re-runs tokenization + shingling from the raw text (the
+    both-join-sides re-evaluation ahash_near_dup_pairs documents).
+    Pinning the token arrays (one row per doc) is far cheaper than
+    pinning the L-times-larger shingle expansion, which recomputes
+    map-side from the pinned tokens."""
+    toks = (
+        docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+        .where(F.size("__toks") >= l)
+        .localCheckpoint(eager=True)
+    )
     sh = toks.select(
         F.col(id_col),
         F.posexplode(
@@ -1615,8 +1625,12 @@ def span_dedup_rewrite(
     side, one hash agg, one equi-join); the rebuild adds one per-doc
     grouped collect of (pos, token) structs — bounded by document length,
     never by corpus size — and the cut-token anti-join, keyed by
-    (doc, token position)."""
-    toks = docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+    (doc, token position). The tokenized relation is pinned eagerly —
+    it feeds the shingle windows, the rebuild rows, AND the before-count,
+    so an unpinned plan re-tokenizes the corpus three times."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=True)
     occ = toks.where(F.size("__toks") >= l).select(
         F.col(id_col),
         F.posexplode(
