@@ -339,7 +339,13 @@ def mm_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    groups = sigs.groupBy("sig_hi", "sig_lo").agg(F.min("k").alias("rep"))
+    # pinned: consumed twice (members + reps / star + reps), and each
+    # unpinned use re-runs the distinct-signature agg over the sig relation
+    groups = (
+        sigs.groupBy("sig_hi", "sig_lo")
+        .agg(F.min("k").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
     members = sigs.join(groups, ["sig_hi", "sig_lo"]).select("rep", "k")
     # (a) intra-group ham=0 pairs, ordered by the packed key
     intra = (
@@ -461,7 +467,13 @@ def mm_frame_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig_hi",
         "sig_lo",
     ).localCheckpoint(eager=True)
-    groups = sigs.groupBy("sig_hi", "sig_lo").agg(F.min("k").alias("rep"))
+    # pinned: consumed twice (members + reps / star + reps), and each
+    # unpinned use re-runs the distinct-signature agg over the sig relation
+    groups = (
+        sigs.groupBy("sig_hi", "sig_lo")
+        .agg(F.min("k").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
     star = (
         sigs.join(groups, ["sig_hi", "sig_lo"])
         .where(F.col("k") != F.col("rep"))
