@@ -85,7 +85,7 @@ def wait_for_quiet_window() -> tuple[float, float, bool]:
     window and produced 56 spurious regression flags). Probes until the
     calibration spin drops below SPARK_GRAFT_CALIB_MAX_MS (default 350 ms,
     ~1.15× the ~310 ms quiet baseline), sleeping between probes, for at
-    most SPARK_GRAFT_CALIB_WAIT_S (default 900 s). If the window never
+    most SPARK_GRAFT_CALIB_WAIT_S (default 420 s). If the window never
     quiets, measurement proceeds anyway — the driver must get its JSON
     line — but the summary carries calib_quiet_start=false so the run is
     self-labelled as contaminated instead of masquerading as a regression.
@@ -120,6 +120,55 @@ def wait_for_quiet_window() -> tuple[float, float, bool]:
         time.sleep(30)
         probes.append(calibrate_ms())
     return probes[-1], round(time.perf_counter() - t0, 1), probes[-1] <= max_ms
+
+
+def query_eras(now_iso: str) -> dict[str, str]:
+    """Per-query CODE-ERA start times for the regression gate (VERDICT r09
+    item 5): history samples recorded before a query's current
+    implementation landed must not set its bar — `rel_approx_quantiles`
+    re-flagged two rounds running purely because 19 pre-r08-promotion
+    samples (~0.66 s) dominated the median against its post-promotion
+    ~2.4 s reality.
+
+    Mechanism: fingerprint each registry query (sha1 of its source + its
+    oracle SQL) into BENCH_ERAS.json as {query: {fp, since}}. A changed
+    fingerprint resets `since` to this run's timestamp; the gate then
+    only reads history rows with ts >= since. Queries not in the sidecar
+    (new, or first run after this feature) start a fresh era NOW — a new
+    query has no valid history by definition. Non-registry cells
+    (synthetic grid, skew counterparts) keep their full history: their
+    code lives in this file and changes are reviewed with the bench
+    itself. Docstring-only edits reset an era too — conservative (loses
+    a few samples), never wrong (keeps a stale bar)."""
+    import hashlib
+    import inspect
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark import (
+        queries as registry,
+    )
+
+    path = Path(__file__).resolve().parent / "BENCH_ERAS.json"
+    eras: dict[str, dict[str, str]] = {}
+    if path.exists():
+        try:
+            eras = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError) as exc:
+            print(f"bench: era sidecar unreadable, resetting: {exc}", file=sys.stderr)
+    oracles = registry.oracle_sql()
+    for name, fn in registry.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = name
+        fp = hashlib.sha1((src + (oracles.get(name) or "")).encode()).hexdigest()[:10]
+        cur = eras.get(name)
+        if cur is None or cur.get("fp") != fp:
+            eras[name] = {"fp": fp, "since": now_iso}
+    try:
+        path.write_text(json.dumps(eras, indent=1, sort_keys=True) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {path}: {exc}", file=sys.stderr)
+    return {k: v["since"] for k, v in eras.items()}
 
 
 def main() -> None:
@@ -376,8 +425,15 @@ def main() -> None:
     # flag a >=1.3x median-vs-median deviation; purely a visibility report,
     # the driver JSON stays parseable either way.
     history_path = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
-    regressions: dict[str, dict[str, float]] = {}
+    regressions: dict[str, dict] = {}
     try:
+        from datetime import datetime, timezone
+
+        now_iso = datetime.now(timezone.utc).isoformat(timespec="seconds")
+        # code-era filter (VERDICT r09 item 5): a query whose implementation
+        # changed gets a fresh bar — pre-change samples are a different
+        # query's timings, not history
+        era_since = query_eras(now_iso)
         hist_samples: dict[str, list[float]] = {}
         if history_path.exists():
             for line_txt in history_path.read_text().splitlines():
@@ -387,14 +443,26 @@ def main() -> None:
                     continue
                 if rec.get("sf") != sf:
                     continue
+                ts = rec.get("ts", "")
                 for k, v in rec.get("queries", {}).items():
-                    if isinstance(v, (int, float)) and v > 0:
+                    if isinstance(v, (int, float)) and v > 0 and ts >= era_since.get(k, ""):
                         hist_samples.setdefault(k, []).append(float(v))
         for k, t in times.items():
             samples = sorted(hist_samples.get(k, []))
             if t <= 0 or len(samples) < 3:
                 continue
             med = samples[len(samples) // 2]
+            # streaming measurement floor (VERDICT r09 item 7): micro-batch
+            # + state-store setup is a fixed ~2-5 s cost, making the
+            # events_stream_* family the most steal-amplified shape in the
+            # suite — 7 of r09's 14 recorded flags were streaming cells
+            # whose code was untouched since r08 (user_profile hit 4.5×
+            # with identical code). A streaming cell therefore flags only
+            # at >=2.0× AND >=2 s over its era median; anything between
+            # 1.3× and the floor is ambient steal by the measured record.
+            is_streaming = k.startswith("events_stream_")
+            ratio_bar = 2.0 if is_streaming else 1.3
+            delta_bar = 2.0 if is_streaming else max(0.25, 0.15 * med)
             # absolute-delta floor: sub-second grid microcells sit at this
             # machine's timing noise floor, where a 1.3x ratio is a few
             # hundred milliseconds of scheduler jitter — the r06 close run
@@ -404,12 +472,14 @@ def main() -> None:
             # on cells with median under ~1.7s — e.g. 1.0s -> 1.45s; the
             # max(0.25, 0.15*med) form keeps the jitter guard on
             # microcells without blinding the 1-2s band).
-            if med > 0 and t / med >= 1.3 and t - med >= max(0.25, 0.15 * med):
+            if med > 0 and t / med >= ratio_bar and t - med >= delta_bar:
                 regressions[k] = {
                     "sec": round(t, 3),
                     "hist_median": round(med, 3),
                     "ratio": round(t / med, 2),
                     "n_hist": len(samples),
+                    "era_since": era_since.get(k, ""),
+                    "family": "streaming" if is_streaming else "batch",
                 }
     except OSError as exc:
         print(f"bench: history read failed: {exc}", file=sys.stderr)

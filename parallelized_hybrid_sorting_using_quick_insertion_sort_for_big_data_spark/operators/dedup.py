@@ -1523,11 +1523,11 @@ def duplicate_spans(
     position, the text itself never replicated per shingle — the slice
     happens inside a per-row transform). The frequency pass is one hash
     agg on the shingle, the position join one equi-shuffle, the island
-    merge one window keyed by doc. At 100 TB: shuffle the 64-bit
-    xxhash64 of the shingle instead of the string (collision odds
-    negligible; kept as the exact string here so the DuckDB oracle can
-    replay byte-for-byte), and drop stop-shingles above a frequency cap
-    the way the n-gram Jaccard join does.
+    merge one window keyed by doc. At 100 TB use the implemented twin
+    :func:`duplicate_spans_fast`: same plan, but the shuffled key is the
+    64-bit xxhash64 of the token window (collision odds negligible;
+    this form keeps the exact string so the DuckDB oracle can replay
+    byte-for-byte) plus an optional stop-shingle frequency cap.
 
     The tokenized relation is pinned eagerly: the shingle relation feeds
     both the frequency agg and the position join, and without the pin
@@ -1552,6 +1552,67 @@ def duplicate_spans(
     )
     freq = sh.groupBy("__sh").agg(F.count(F.lit(1)).alias("__cnt"))
     dup = sh.join(freq.where(F.col("__cnt") >= 2), "__sh").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("__g", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + l - 1).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + l).cast("bigint").alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"),
+        )
+        .drop("__g")
+    )
+
+
+def duplicate_spans_fast(
+    docs: DataFrame,
+    l: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """:func:`duplicate_spans` with the 100 TB key representation that
+    function's docstring prescribes (r09 promise, landed r10): the
+    shuffled shingle key is ``xxhash64`` of the L-token ARRAY slice —
+    fixed 8 bytes per occurrence instead of an L-token string, and the
+    string is never even assembled (the hash consumes the array
+    directly). Frequency agg, position join, and island merge are
+    byte-identical to the string path, so the result set is equal
+    unless two distinct windows collide in 64 bits (≈ k²/2⁶⁵ — at 10¹²
+    corpus shingles, odds ~3%, and a collision only over-marks one
+    window as duplicated; pair a second seed if that matters). Parity
+    with the string form is pytest-asserted and the registered query
+    shares the string form's DuckDB oracle, so the driver value-hashes
+    the hash-keyed plan against a string-keyed replay.
+
+    ``max_shingle_freq`` is the stop-shingle cap: shingles hotter than
+    the cap are dropped from span detection (they are boilerplate the
+    pipeline handles with dedicated filters; the same knob the n-gram
+    Jaccard join has). Unlike the pair join there, hot keys here cannot
+    go quadratic — the cap is a skew/semantics dial, not a safety
+    requirement — so the default (None) keeps exact parity with
+    :func:`duplicate_spans`."""
+    toks = (
+        docs.select(F.col(id_col), T.tokens(F.col(text_col)).alias("__toks"))
+        .where(F.size("__toks") >= l)
+        .localCheckpoint(eager=True)
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - l),
+                lambda k: F.xxhash64(F.slice("__toks", k + 1, l)),
+            )
+        ).alias("pos", "__h"),
+    )
+    freq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    keep = freq.where(F.col("__cnt") >= 2)
+    if max_shingle_freq is not None:
+        keep = keep.where(F.col("__cnt") <= max_shingle_freq)
+    dup = sh.join(keep, "__h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = dup.withColumn("__g", F.col("pos") - F.row_number().over(w))
     return (
@@ -1597,7 +1658,12 @@ FROM isl GROUP BY doc_id, g
 """
 
 
-_SPAN_PACK = 4294967296  # doc_id * 2^32 + window position
+# doc_id * 2^32 + window position. Precondition: 0 <= doc_id < 2^31 and
+# pos < 2^32, else the packed key overflows signed BIGINT (an ANSI runtime
+# error on Spark). Corpora with wider ids should pack into DECIMAL(38,0) or
+# a (doc_id, pos) struct-min instead; every registered scale factor pins
+# ids well below 2^31 (max planted id ~3M).
+_SPAN_PACK = 4294967296
 
 
 def span_dedup_rewrite(
@@ -1614,9 +1680,12 @@ def span_dedup_rewrite(
     (doc_id, clean_text, n_tokens_before, n_tokens_after, n_windows_cut).
 
     Cut rule: token t of doc d is dropped iff covered by >= 1 duplicated
-    window whose canonical owner is another occurrence. The canonical
-    copy survives verbatim; later verbatim copies lose the shared span —
-    keep-first semantics at token granularity. The rebuilt text is the
+    window whose canonical owner is another occurrence. A canonical
+    window's tokens survive unless overlapped by ANOTHER shingle group's
+    non-canonical window (each group elects its canon independently, so
+    overlapping groups can cut into each other's canonical span); later
+    verbatim copies lose the shared span — keep-first semantics at token
+    granularity. The rebuilt text is the
     kept token stream joined by single spaces (the tokenizer discards
     inter-token bytes by design; a production pipeline carries byte
     offsets instead — same plan shape, wider rows).

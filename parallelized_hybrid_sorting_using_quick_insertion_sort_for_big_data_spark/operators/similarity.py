@@ -330,16 +330,74 @@ def lsh_portable_near_dup_pairs(
     )
 
 
-def plane_bits_sql(planes: list[list[float]], vec_expr: str = "v") -> str:
+def plane_bits_sql(
+    planes: list[list[float]], vec_expr: str = "v", gate_expr: str | None = None
+) -> str:
     """DuckDB expression assembling the literal-plane signature bucket from
     ``vec_expr`` (DOUBLE[]): bit p = sign of the 9-rounded projection —
-    exactly what ``lsh_signature_planes`` computes."""
-    return " + ".join(
-        f"(CASE WHEN round(list_dot_product({vec_expr}, ["
-        + ", ".join(repr(c) for c in row)
-        + f"]), 9) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p, row in enumerate(planes)
-    )
+    exactly what ``lsh_signature_planes`` computes. With ``gate_expr`` (an
+    integer SQL expression for the active signature width) bit p
+    contributes only when ``p < gate_expr`` — the SQL mirror of taking a
+    prefix of the plane table, used by the adaptive-width oracle."""
+    parts = []
+    for p, row in enumerate(planes):
+        gate = f"{p} < {gate_expr} AND " if gate_expr is not None else ""
+        parts.append(
+            f"(CASE WHEN {gate}round(list_dot_product({vec_expr}, ["
+            + ", ".join(repr(c) for c in row)
+            + f"]), 9) >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def portable_nbits(
+    n_rows: int,
+    target_bucket_size: int = 4,
+    min_bits: int = 6,
+    max_bits: int = 16,
+) -> int:
+    """Signature width for the PORTABLE (literal-plane, oracle-replayable)
+    LSH pipeline: the smallest b with 2^b buckets ≥ ceil(n / target),
+    clamped to [min_bits, max_bits].
+
+    Same scale dial as ``choose_nbits`` (fixed width ⇒ bucket population —
+    and therefore candidate pairs — grows linearly/quadratically with the
+    corpus; width ∝ log2(n) keeps per-bucket work constant), but computed
+    with INTEGER arithmetic only: ceil-divide then bit-length, no float
+    ``log2`` whose last-ulp behavior could differ between engines at exact
+    powers of two. The generated oracle (``lsh_adaptive_oracle_sql``)
+    recomputes the identical value from ``count(*)`` with the same integer
+    ops, so Spark and DuckDB can never disagree on the width.
+
+    ``max_bits`` defaults to 16 (65k buckets ≈ 260k vectors at target 4):
+    the literal-plane form exists to be oracle-replayable, not to be the
+    production path — beyond that, use ``lsh_near_dup_pairs`` (in-engine
+    xxhash signatures, unbounded width). This was the r09 scale finding:
+    the portable query's FIXED 8-bit table made candidate pairs grow
+    ~quadratically (slope 7.96×/10× rows, SCALE_CHECK_r09); adaptive width
+    restores the log-growth design of the in-engine path."""
+    if n_rows <= 0:
+        return min_bits
+    need_buckets = (n_rows + target_bucket_size - 1) // target_bucket_size
+    b = max(0, need_buckets - 1).bit_length()
+    return max(min_bits, min(max_bits, b))
+
+
+def nbits_sql(
+    corpus_rel: str = "corpus",
+    target_bucket_size: int = 4,
+    min_bits: int = 6,
+    max_bits: int = 16,
+) -> str:
+    """DuckDB CTE body computing ``portable_nbits(count(*))`` with the same
+    integer arithmetic (ceil-divide; smallest b with 1<<b ≥ need; clamp) —
+    one scalar row named ``nbits``."""
+    t = target_bucket_size
+    return f"""SELECT greatest({min_bits}, least({max_bits}, coalesce(
+    (SELECT min(t.b) FROM range(0, {max_bits + 1}) t(b)
+     WHERE (CAST(1 AS BIGINT) << t.b) >= (p.cnt + {t - 1}) // {t}),
+    {max_bits}))) AS nbits
+  FROM (SELECT count(*) AS cnt FROM {corpus_rel}) p"""
 
 
 def lsh_portable_oracle_sql(
@@ -357,6 +415,40 @@ def lsh_portable_oracle_sql(
     return f"""
 WITH corpus AS ({corpus_sql}),
 sig AS (SELECT {id_col}, v, {plane_bits} AS bucket FROM corpus)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 9) AS sim
+FROM sig a JOIN sig b
+  ON a.{id_col} < b.{id_col}
+ AND bit_count(xor(a.bucket, b.bucket)) <= 1
+WHERE round(list_cosine_similarity(a.v, b.v), 9) >= {threshold}
+"""
+
+
+def lsh_adaptive_oracle_sql(
+    planes: list[list[float]],
+    threshold: float,
+    corpus_sql: str,
+    id_col: str = "vec_id",
+    target_bucket_size: int = 4,
+    min_bits: int = 6,
+    max_bits: int = 16,
+) -> str:
+    """``lsh_portable_oracle_sql`` with ADAPTIVE signature width: the oracle
+    recomputes ``portable_nbits(count(*))`` in SQL (integer-exact, see
+    ``nbits_sql``) and gates each literal plane's bit on ``p < nbits`` —
+    the exact mirror of the Spark side taking ``planes[:nbits]``. The
+    candidate predicate (bucket Hamming distance ≤ 1) needs no gating:
+    bits ≥ nbits are zero on both sides by construction. ``planes`` must
+    carry at least ``max_bits`` rows (``make_planes`` rows are
+    prefix-stable in nbits, so one max-width table serves every width)."""
+    if len(planes) < max_bits:
+        raise ValueError(f"need ≥{max_bits} planes, got {len(planes)}")
+    plane_bits = plane_bits_sql(planes[:max_bits], gate_expr="nb.nbits")
+    nb = nbits_sql("corpus", target_bucket_size, min_bits, max_bits)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+nb AS ({nb}),
+sig AS (SELECT {id_col}, v, {plane_bits} AS bucket FROM corpus, nb)
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
        round(list_cosine_similarity(a.v, b.v), 9) AS sim
 FROM sig a JOIN sig b

@@ -82,7 +82,78 @@ _DRIVER_WINDOW = 50
 # block. NEVER assume old rows stay valid across a testdata regeneration
 # (r03 TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 9 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # ROUND 10 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # Rotation per VERDICT r09 items 1-2: FRONT = vec_pq_recall_sweep (the
+    # only query never driver-checked in any round) + the three queries
+    # whose implementation changed this round (the adaptive-width portable
+    # LSH fix: vec_lsh_portable / vec_bucketed_near_dup get portable_nbits
+    # width + regenerated adaptive oracle; vec_ann_recall's plane table was
+    # refactored to a pinned prefix — result identical, re-checked anyway).
+    # TAIL = oldest-driver-checked first: the three r04 names displaced in
+    # r09 (dedup_exact, sort_total_lineitem, text_analysis), then the r05
+    # block in CORRECTNESS_r05.json record order (sort_within_partitions is
+    # excluded — re-checked r09; vec_lsh_portable is already front). The
+    # last 7 of that record order (text_heavy_hitters, vec_cosine_topk,
+    # vec_exact_near_dup, vec_lsh_near_dup, vec_ivf_topk,
+    # vec_label_centroids, mm_byte_features) don't fit and rotate in
+    # round 11 with the r07 block. dedup_duplicate_spans_fast (the xxhash64 span-key path,
+    # sharing the string form's oracle) and mm_audio_decode_features (the
+    # real stdlib-WAV codec path with an analytic oracle) are new this
+    # round — never-checked, so they take front slots.
+    "vec_pq_recall_sweep",
+    "dedup_duplicate_spans_fast",
+    "mm_audio_decode_features",
+    "vec_lsh_portable",
+    "vec_bucketed_near_dup",
+    "vec_ann_recall",
+    "dedup_exact",
+    "sort_total_lineitem",
+    "text_analysis",
+    "skew_salted_outer",
+    "events_outlier_robust_approx",
+    "fuzzy_token_match",
+    "rel_sql_q5_local_supplier",
+    "events_stream_cms",
+    "sample_group_reservoir",
+    "text_cms_counts",
+    "decontam_bloom_membership",
+    "events_funnel",
+    "events_funnel_counts",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "sort_topk_lineitem",
+    "sort_seeded_ints",
+    "sort_hybrid_quickinsertion",
+    "sort_multikey_orders",
+    "decontam_ngram_overlap",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_json_props",
+    "pipeline_snapshot_diff",
+    "sample_train_split",
+    "sample_stratified_langs",
+    "pipeline_pack_sequences",
+    "sample_mixture_tokens",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_token_frequency",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_portable",
+    "dedup_simhash",
+    "dedup_simhash_portable",
+    "pipeline_clean_corpus",
+    "dedup_components",
+    "text_pii_scrub",
+    "text_chunk_sliding",
+    "text_repetition",
+    "text_bm25_topk",
+    "pipeline_dedup_keep_best",
+    "fuzzy_name_match",
+)
+
+_DRIVER_PRIORITY_R09: tuple[str, ...] = (
+    # ROUND 9 WINDOW (kept for the rotation audit trail).
     # Rotation per VERDICT r08 item 1: FRONT = the 19 queries with no
     # driver CORRECTNESS row in ANY round (the late-r08 adds — all
     # sweep-green in LOCAL_VERIFY_r08.txt and parity-pytest-pinned) plus

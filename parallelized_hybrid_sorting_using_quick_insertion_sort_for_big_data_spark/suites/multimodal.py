@@ -125,6 +125,51 @@ FROM b LEFT JOIN agg USING (doc_id)
 """
 
 
+# Real WAV codec path (r10): Spark synthesizes genuine RIFF/WAVE files
+# (stdlib `wave` encoder) and decodes them back (stdlib `wave` parser +
+# PCM16LE frame read). The oracle NEVER sees the bytes — it recomputes
+# every decoded feature analytically from the deterministic PCM formula
+# (sample i of doc d = (d*31 + 7*i*i) % 65536 - 32768; n_samples =
+# 160 + (d % 41)*8; canonical WAV container = 44 header bytes + 2 bytes
+# per sample). A header mis-parse, an endianness slip, or a truncated
+# frame read each breaks a different column's hash.
+_AUDIO_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, 160 + (doc_id % 41) * 8 AS ns FROM documents
+),
+s AS (
+  SELECT doc_id, ns, ((doc_id * 31 + 7 * i * i) % 65536) - 32768 AS v
+  FROM p, unnest(generate_series(0, ns - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST({M.AUDIO_RATE} AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(2 AS BIGINT) AS sample_width,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(44 + 2 * ns AS BIGINT) AS n_bytes,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS BIGINT) AS peak_abs
+FROM s GROUP BY doc_id, ns
+"""
+
+
+@query("mm_audio_decode_features", sql=_AUDIO_ORACLE)
+def mm_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode for the audio modality: per document, synthesize a
+    genuine WAV container (stdlib `wave` encoder — RIFF header, fmt chunk,
+    PCM16LE mono @8 kHz), then decode it back with the stdlib parser and
+    emit header facts + exact integer signal features (energy, peak). The
+    DuckDB oracle recomputes all eight columns analytically from the PCM
+    formula, so the full encode→decode roundtrip — container framing
+    included (n_bytes checks the 44-byte canonical header) — is
+    value-hashed. This retires the 'codec slot is a stub' caveat for
+    audio; image/video decode remain documented stubs
+    (operators/multimodal.py decode_image_real) until codec libraries
+    ship. Zero shuffle: one mapInPandas synth, one mapInPandas decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_features(M.attach_audio_payload(docs))
+
+
 @query("mm_byte_features", sql=_BYTE_FEATURES_ORACLE)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'decode + featurize' over the binary payload column

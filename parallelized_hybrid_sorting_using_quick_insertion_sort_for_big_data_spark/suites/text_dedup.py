@@ -1763,6 +1763,23 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicate_spans_fast",
+    sql=dedup.duplicate_spans_oracle_sql(l=_SPAN_L),
+)
+def dedup_duplicate_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB key representation of dedup_duplicate_spans (the r09
+    docstring promise, landed r10): the shuffled shingle key is the
+    xxhash64 of the 8-token ARRAY window — 8 bytes per occurrence, the
+    string never assembled — with frequency agg / position join / island
+    merge byte-identical to the string path. Shares the STRING form's
+    DuckDB oracle: the driver value-hashes the hash-keyed plan against a
+    string-keyed replay, and test_duplicate_spans_fast_parity pins the
+    two Spark forms against each other plus the plan's exchange budget."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.duplicate_spans_fast(docs, l=_SPAN_L)
+
+
+@query(
     "pipeline_span_dedup_rewrite",
     sql=dedup.span_dedup_rewrite_oracle_sql(l=_SPAN_L),
 )

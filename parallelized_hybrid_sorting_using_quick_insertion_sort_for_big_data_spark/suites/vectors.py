@@ -103,9 +103,25 @@ def vec_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PORTABLE_PLANES = similarity.make_planes(nbits=8, dim=64, seed=42)
+# Max-width literal plane table; every query takes a prefix. make_planes
+# rows depend only on (seed, p, i), so make_planes(16)[:8] == make_planes(8)
+# — one table serves every width.
+_PORTABLE_MAX_BITS = 16
+_PORTABLE_PLANES = similarity.make_planes(nbits=_PORTABLE_MAX_BITS, dim=64, seed=42)
+# vec_ann_recall measures recall at a PINNED 8-bit configuration (a
+# measurement query: the config under test is part of the question).
+_ANN_PLANES = _PORTABLE_PLANES[:8]
 
-_LSH_PORTABLE_ORACLE = similarity.lsh_portable_oracle_sql(
+# Adaptive-width portable LSH (r09 scale fix): the r09 fixed-8-bit table
+# capped the bucket count at 256, so bucket population — and candidate
+# pairs — grew ~quadratically with the corpus (SCALE_CHECK_r09 slope
+# 7.96×/10× rows with tight reps). Width now scales as portable_nbits(n)
+# ≈ log2(n/4), recomputed integer-exactly by the oracle from count(*), so
+# per-bucket work stays constant and the probe fanout grows only
+# logarithmically — the same design the in-engine path (choose_nbits) has
+# had since r04. target=4 keeps the sf0.01 corpus (1000 vectors) at
+# exactly 8 bits, so driver-history result sets are unchanged.
+_LSH_PORTABLE_ORACLE = similarity.lsh_adaptive_oracle_sql(
     _PORTABLE_PLANES,
     threshold=0.95,
     corpus_sql=f"""
@@ -122,10 +138,16 @@ def vec_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Box-Muller, regenerable from the seed): end-to-end oracle-checked —
     DuckDB recomputes signatures, multi-probe candidates, and the rounded
     cosine re-rank from the same literals. Threshold 0.95 (vs 0.98 on the
-    xxhash64 path) so the check also exercises non-twin matches."""
-    corpus, _ = _dup_corpus(spark, sf_dir)
+    xxhash64 path) so the check also exercises non-twin matches.
+
+    Signature width is ``portable_nbits(n)`` — integer-exact, recomputed
+    by the oracle from count(*) — and the corpus count n comes from parquet
+    footer metadata (no data job), so the plan embeds only the active
+    prefix of the plane table."""
+    corpus, n = _dup_corpus(spark, sf_dir)
+    nbits = similarity.portable_nbits(n, max_bits=_PORTABLE_MAX_BITS)
     return similarity.lsh_portable_near_dup_pairs(
-        corpus, _PORTABLE_PLANES, threshold=0.95
+        corpus, _PORTABLE_PLANES[:nbits], threshold=0.95
     )
 
 
@@ -151,9 +173,10 @@ def vec_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed — a near-boundary pair could flap by one last digit on a
     testdata regeneration. See ``bucketed_near_dup_pairs``'s docstring;
     a flap here means float association, not a real pair-set bug."""
-    corpus, _ = _dup_corpus(spark, sf_dir)
+    corpus, n = _dup_corpus(spark, sf_dir)
+    nbits = similarity.portable_nbits(n, max_bits=_PORTABLE_MAX_BITS)
     return similarity.bucketed_near_dup_pairs(
-        corpus, threshold=0.95, planes=_PORTABLE_PLANES
+        corpus, threshold=0.95, planes=_PORTABLE_PLANES[:nbits]
     )
 
 
@@ -165,7 +188,7 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + {_VEC_SHIFT} AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-sig AS (SELECT vec_id, v, {similarity.plane_bits_sql(_PORTABLE_PLANES)} AS bucket FROM corpus),
+sig AS (SELECT vec_id, v, {similarity.plane_bits_sql(_ANN_PLANES)} AS bucket FROM corpus),
 exact AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -208,7 +231,7 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=_ANN_RECALL_T, n_rows=n
     ).select("id_a", "id_b")
     ann = similarity.lsh_portable_near_dup_pairs(
-        corpus, _PORTABLE_PLANES, threshold=_ANN_RECALL_T
+        corpus, _ANN_PLANES, threshold=_ANN_RECALL_T
     ).select("id_a", "id_b")
     e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     a = ann.agg(F.count(F.lit(1)).alias("n_ann"))

@@ -53,6 +53,10 @@ QUERIES = (
     # the 10x-synthesized embeddings table (VERDICT r06 #2's slope bar)
     "vec_semantic_dedup",
     "vec_lsh_portable",
+    # round-10: the GEMM twin of the portable path shares the adaptive
+    # width fix (portable_nbits) — its own slope row proves the bucketed
+    # re-rank inherits the log-growth design
+    "vec_bucketed_near_dup",
     # round-8 (VERDICT r07 item 7): the two multi-operator pipeline
     # compositions — each chains 4-5 heavy operators over documents, so a
     # slope row proves the composition (not just each stage) stays
@@ -89,6 +93,11 @@ QUERIES = (
     # projection + frequency hash-agg + position join + doc-keyed window
     "dedup_duplicate_spans",
     "pipeline_span_dedup_rewrite",
+    # round-10: the hash-keyed span twin (8-byte shuffle keys) and the
+    # real-WAV codec path (two mapInPandas passes, zero shuffle — slope
+    # should be ~linear in docs)
+    "dedup_duplicate_spans_fast",
+    "mm_audio_decode_features",
 )
 
 

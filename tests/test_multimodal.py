@@ -23,6 +23,8 @@ ORACLE_QUERIES = [
     "mm_frame_near_dup",
     # r09 recency-guard backfill
     "mm_byte_features",
+    # r10: the real stdlib-WAV codec path (analytic PCM-formula oracle)
+    "mm_audio_decode_features",
 ]
 
 
@@ -217,6 +219,63 @@ def test_frame_dedup_collapse_properties(spark):
     assert len(twins) > 0
     for r in twins.itertuples():
         assert comp[(r.doc_a, r.frame_a)] == comp[(r.doc_b, r.frame_b)]
+
+
+def test_audio_wav_roundtrip_is_real(spark):
+    """The r10 audio path writes GENUINE RIFF/WAVE containers and the
+    decode is a real parse, not an echo of the synth: (1) payload bytes
+    carry the RIFF/WAVE magic and the canonical 44-byte header; (2) an
+    independently hand-built WAV (struct-packed header, no `wave`
+    module) decodes to the same features via audio_features; (3) the
+    documents-table features match a pure-Python recomputation of the
+    PCM formula."""
+    import struct
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.createDataFrame([(7,), (48,)], "doc_id long")
+    wav = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.attach_audio_payload(docs).collect()
+    }
+    for d, raw in wav.items():
+        n = mm.audio_n_samples(d)
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE" and raw[12:16] == b"fmt "
+        assert len(raw) == 44 + 2 * n
+        assert struct.unpack("<I", raw[24:28])[0] == mm.AUDIO_RATE  # fmt rate
+        assert struct.unpack("<I", raw[40:44])[0] == 2 * n  # data chunk size
+
+    # hand-built container (never touches the wave module): 3 samples
+    pcm = struct.pack("<3h", -32768, 0, 32767)
+    hand = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    got = mm.audio_features(
+        spark.createDataFrame([(0, bytearray(hand))], "doc_id long, payload binary")
+    ).collect()[0]
+    assert (got["n_samples"], got["sum_sq"], got["peak_abs"]) == (
+        3,
+        32768**2 + 32767**2,
+        32768,
+    )
+    assert (got["sample_rate"], got["n_channels"], got["sample_width"]) == (8000, 1, 2)
+
+    # formula parity on real ids
+    feats = {
+        r["doc_id"]: (r["n_samples"], r["sum_sq"], r["peak_abs"])
+        for r in mm.audio_features(mm.attach_audio_payload(docs)).collect()
+    }
+    for d in (7, 48):
+        samples = [mm.audio_sample(d, i) for i in range(mm.audio_n_samples(d))]
+        assert feats[d] == (
+            len(samples),
+            sum(s * s for s in samples),
+            max(abs(s) for s in samples),
+        )
 
 
 def test_decode_image_real_raises_without_codec():

@@ -124,18 +124,22 @@ def test_every_query_is_recently_checked_or_parity_pinned():
             ]
         return []
 
-    # Three parity conventions exist across the suite files: a module-level
+    # Two parity conventions exist across the suite files: a module-level
     # <X>_QUERIES list consumed by a parametrized test_oracle_parity, and an
-    # inline parametrize list decorating test_oracle_parity itself.
+    # inline parametrize list decorating test_oracle_parity itself. A
+    # module-level list counts ONLY if a test_oracle_parity decorator
+    # actually references it by name (ADVICE r09: a future unrelated
+    # *_QUERIES list — e.g. PLAN_QUERIES — must not satisfy the guard).
     pinned: set[str] = set()
     for tf in (repo / "tests").glob("test_*.py"):
         tree = ast.parse(tf.read_text())
+        module_lists: dict[str, list[str]] = {}
+        consumed: set[str] = set()
         for node in ast.walk(tree):
-            if isinstance(node, ast.Assign) and any(
-                isinstance(t, ast.Name) and t.id.endswith("_QUERIES")
-                for t in node.targets
-            ):
-                pinned.update(strings(node.value))
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name) and t.id.endswith("_QUERIES"):
+                        module_lists[t.id] = strings(node.value)
             if isinstance(node, ast.FunctionDef) and node.name.startswith(
                 "test_oracle_parity"
             ):
@@ -143,6 +147,11 @@ def test_every_query_is_recently_checked_or_parity_pinned():
                     if isinstance(deco, ast.Call):
                         for arg in deco.args:
                             pinned.update(strings(arg))
+                            for ref in ast.walk(arg):
+                                if isinstance(ref, ast.Name):
+                                    consumed.add(ref.id)
+        for list_name in consumed & set(module_lists):
+            pinned.update(module_lists[list_name])
 
     # The three documented rows-only LSH fast paths cannot be oracle-parity
     # pinned by construction; each is value-pinned through its oracle-exact

@@ -50,6 +50,9 @@ ORACLE_QUERIES = [
     # r09 adds
     "dedup_duplicate_spans",
     "pipeline_span_dedup_rewrite",
+    # r10: the xxhash64 span-key path, checked against the STRING form's
+    # oracle (identical result set by construction, collisions aside)
+    "dedup_duplicate_spans_fast",
 ]
 
 
@@ -1004,3 +1007,57 @@ def test_duplicate_spans_matches_python_reference(spark):
             for r in D.span_dedup_rewrite(df, l=L).collect()
         }
         assert got_rw == py_rewrite(docs)
+
+
+def test_duplicate_spans_fast_parity(spark):
+    """The xxhash64 span-key path (r10) must return the EXACT result set
+    of the string-keyed form — same spans, same counts — on the real
+    documents table and on an adversarial planted corpus; and its plan
+    must not spend more exchanges than the string path (the fast key is
+    a representation change, not a topology change)."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        dedup as D,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+        inspect as PI,
+    )
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    slow = D.duplicate_spans(docs, l=8)
+    fast = D.duplicate_spans_fast(docs, l=8)
+    cols = ["doc_id", "span_start", "span_end", "span_tokens", "n_dup_shingles"]
+    a = {tuple(r) for r in slow.select(cols).collect()}
+    b = {tuple(r) for r in fast.select(cols).collect()}
+    assert a == b and a  # equal and non-vacuous
+    assert PI.count_exchanges(fast) <= PI.count_exchanges(slow)
+
+    # planted corpus: shared phrase + whole-doc copy + short/empty docs
+    phrase = "alpha beta gamma delta eps zeta eta theta"
+    rows = [
+        (0, f"one two {phrase} three"),
+        (1, f"x y z {phrase} q r"),
+        (2, f"one two {phrase} three"),  # whole-doc copy of 0
+        (3, "too short"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in D.duplicate_spans(df, l=8).select(cols).collect()}
+    b = {tuple(r) for r in D.duplicate_spans_fast(df, l=8).select(cols).collect()}
+    assert a == b and a
+
+    # the stop-shingle cap drops ONLY hotter-than-cap windows: with a
+    # corpus where one window occurs 3x and another 2x, cap=2 keeps the
+    # pair and drops the triple
+    rows = [
+        (0, f"{phrase} filler0a filler0b"),
+        (1, f"{phrase} filler1a filler1b"),
+        (2, f"{phrase} filler2a filler2b"),
+        (3, f"p q {phrase.replace('alpha', 'omega')} s t"),
+        (4, f"u v {phrase.replace('alpha', 'omega')} w x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.duplicate_spans_fast(df, l=8, max_shingle_freq=2)
+    assert {r["doc_id"] for r in capped.collect()} == {3, 4}

@@ -264,6 +264,33 @@ def test_choose_nbits_tracks_corpus_size():
     assert n / 2**nb <= 32 <= 2 * (n / 2**nb) + 32
 
 
+def test_portable_nbits_matches_sql_mirror():
+    """The portable LSH width (r09 scale fix) must be CROSS-ENGINE EXACT:
+    the integer-arithmetic Python form and the generated DuckDB form
+    (``nbits_sql``) agree at every count, including exact powers of two
+    where a float log2 could flip the last ulp."""
+    import duckdb
+
+    counts = [0, 1, 4, 5, 255, 256, 257, 999, 1000, 1001, 1023, 1024,
+              1025, 4000, 40000, 262143, 262144, 262145, 10**7]
+    sql = similarity.nbits_sql("c")
+    for n in counts:
+        got = duckdb.sql(f"WITH c AS (SELECT * FROM range({n})) {sql}").fetchone()[0]
+        assert similarity.portable_nbits(n) == got, n
+    # clamp floor / ceiling and monotonicity
+    assert similarity.portable_nbits(0) == 6
+    assert similarity.portable_nbits(10**12) == 16
+    assert similarity.portable_nbits(1_000) == 8  # sf0.01 corpus: unchanged vs r09
+    for small, big in ((1_000, 40_000), (40_000, 200_000)):
+        assert similarity.portable_nbits(small) < similarity.portable_nbits(big)
+
+
+def test_make_planes_prefix_stable():
+    """One max-width literal plane table serves every adaptive width:
+    row p depends only on (seed, p, i), never on nbits."""
+    assert similarity.make_planes(16, 64, 42)[:8] == similarity.make_planes(8, 64, 42)
+
+
 def test_bucketed_gemm_equals_lsh_path(spark, emb):
     """bucketed_near_dup_pairs must return the IDENTICAL pair set (and
     round-9 sims) as lsh_near_dup_pairs at equal nbits — same candidates,
