@@ -291,6 +291,17 @@ def test_make_planes_prefix_stable():
     assert similarity.make_planes(16, 64, 42)[:8] == similarity.make_planes(8, 64, 42)
 
 
+def test_adaptive_oracle_rejects_short_plane_table():
+    """The adaptive oracle gates bits up to max_bits, so a plane table
+    shorter than max_bits would silently zero the high bits on the oracle
+    side only — it must be rejected loudly instead."""
+    import pytest as _pytest
+
+    planes = similarity.make_planes(8, 4, 42)
+    with _pytest.raises(ValueError):
+        similarity.lsh_adaptive_oracle_sql(planes, 0.95, "SELECT 1", max_bits=16)
+
+
 def test_bucketed_gemm_equals_lsh_path(spark, emb):
     """bucketed_near_dup_pairs must return the IDENTICAL pair set (and
     round-9 sims) as lsh_near_dup_pairs at equal nbits — same candidates,
