@@ -99,10 +99,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round 11 with the r07 block. dedup_duplicate_spans_fast (the xxhash64 span-key path,
     # sharing the string form's oracle) and mm_audio_decode_features (the
     # real stdlib-WAV codec path with an analytic oracle) are new this
-    # round — never-checked, so they take front slots.
+    # round — never-checked, so they take front slots. The three corpus-
+    # filter queries (suites/corpus_filters.py: Gopher rule audit, CCNet
+    # unigram-LM buckets, deterministic epoch shuffle) landed later in
+    # round 10 — also never-checked, also front; text_bm25_topk,
+    # pipeline_dedup_keep_best and fuzzy_name_match (all in-session
+    # parity-pinned) rotate to round 11 to keep the window at 50.
     "vec_pq_recall_sweep",
     "dedup_duplicate_spans_fast",
     "mm_audio_decode_features",
+    "text_gopher_rules",
+    "text_unigram_lm_score",
+    "pipeline_epoch_shuffle",
     "vec_lsh_portable",
     "vec_bucketed_near_dup",
     "vec_ann_recall",
@@ -147,9 +155,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "text_chunk_sliding",
     "text_repetition",
-    "text_bm25_topk",
-    "pipeline_dedup_keep_best",
-    "fuzzy_name_match",
 )
 
 _DRIVER_PRIORITY_R09: tuple[str, ...] = (
@@ -235,6 +240,7 @@ def _ensure_loaded() -> None:
     from .suites import (  # noqa: F401
         behavior,
         core_sort,
+        corpus_filters,
         decontam,
         events,
         graphq,

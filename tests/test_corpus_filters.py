@@ -1,0 +1,144 @@
+"""Corpus-filter suite tests: oracle parity, semantic invariants, and plan
+gates for the Gopher rule audit, the CCNet unigram-LM buckets, and the
+deterministic epoch shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.plans import (
+    inspect as PI,
+)
+from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+    corpus_filters as CFQ,
+)
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = [
+    "text_gopher_rules",
+    "text_unigram_lm_score",
+    "pipeline_epoch_shuffle",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+# --- Gopher rules ----------------------------------------------------------
+
+
+def test_gopher_rules_accounting(spark, qs):
+    """Pass + per-rule-failure accounting is consistent: n_pass <= n_docs,
+    every failure count <= n_docs, and a source where every rule's failure
+    count is 0 must have n_pass == n_docs."""
+    rows = qs["text_gopher_rules"](spark, SF_DIR).collect()
+    assert rows, "no sources"
+    fail_cols = [
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_symbol_ratio",
+        "fail_stopword",
+        "fail_alpha",
+    ]
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        for c in fail_cols:
+            assert 0 <= r[c] <= r["n_docs"], (r["source"], c)
+        if all(r[c] == 0 for c in fail_cols):
+            assert r["n_pass"] == r["n_docs"]
+        # Weak converse: docs failing any single rule bound the pass count.
+        assert r["n_pass"] >= r["n_docs"] - sum(r[c] for c in fail_cols)
+
+
+def test_gopher_rules_plan_zero_joins_one_rollup(spark, qs):
+    df = qs["text_gopher_rules"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df), plan
+    # tokenize + flags are scan-stage; the only exchange is the rollup
+    # (plus AQE's possible post-shuffle coalesce reading as the same node).
+    assert PI.count_exchanges(df) <= 1, plan
+    PI.assert_column_pruned(df, "n_chars")
+
+
+# --- Unigram LM buckets ----------------------------------------------------
+
+
+def test_unigram_buckets_partition_the_corpus(spark, qs):
+    """Bucket doc counts sum to the corpus size, and score bounds respect
+    the fixed thresholds bucket by bucket."""
+    rows = qs["text_unigram_lm_score"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["min_mean_p"] <= r["max_mean_p"]
+        if r["bucket"] == "head":
+            assert r["min_mean_p"] >= CFQ._LM_HEAD - 1e-9
+        elif r["bucket"] == "middle":
+            assert CFQ._LM_MIDDLE - 1e-9 <= r["min_mean_p"]
+            assert r["max_mean_p"] < CFQ._LM_HEAD + 1e-9
+        else:
+            assert r["max_mean_p"] < CFQ._LM_MIDDLE + 1e-9
+
+
+def test_unigram_plan_no_cartesian_beyond_scalar(spark, qs):
+    """The only nested-loop allowed is the broadcast 1-row corpus-total
+    reduction; the token join and the source join are equi/broadcast."""
+    df = qs["text_unigram_lm_score"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert plan.count("CartesianProduct") == 0, plan
+    assert PI.count_exchanges(df) <= 4, plan
+
+
+# --- Epoch shuffle ---------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark, qs):
+    out = qs["pipeline_epoch_shuffle"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    rows = out.collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert sorted(by_epoch) == sorted(CFQ._SHUFFLE_EPOCHS)
+    for e, ers in by_epoch.items():
+        assert len(ers) == n, f"epoch {e} is not a permutation"
+        assert len({r["doc_id"] for r in ers}) == n
+        # positions are 1..count within each shard, no gaps
+        shards: dict[int, list[int]] = {}
+        for r in ers:
+            assert 0 <= r["shard"] < CFQ._SHUFFLE_SHARDS
+            shards.setdefault(r["shard"], []).append(r["pos"])
+        for s, poss in shards.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), (e, s)
+
+
+def test_epoch_shuffle_epochs_differ(spark, qs):
+    """The two epochs produce different orderings (different salts) —
+    the whole point of the reshuffle."""
+    rows = qs["pipeline_epoch_shuffle"](spark, SF_DIR).collect()
+    key = {}
+    for r in rows:
+        key.setdefault(r["epoch"], {})[r["doc_id"]] = (r["shard"], r["pos"])
+    e0, e1 = (key[e] for e in CFQ._SHUFFLE_EPOCHS)
+    moved = sum(1 for d in e0 if e0[d] != e1[d])
+    assert moved > len(e0) * 0.5, f"only {moved}/{len(e0)} docs moved between epochs"
+
+
+def test_epoch_shuffle_plan_sharded_window(spark, qs):
+    """No global sort: the window is partitioned by (epoch, shard)."""
+    df = qs["pipeline_epoch_shuffle"](spark, SF_DIR)
+    plan = PI.formatted_plan(df)
+    assert not PI.has_cartesian(df), plan
+    # one exchange per epoch branch for the window hash partitioning, plus
+    # the union; bound loosely but well below a global-sort shape
+    assert PI.count_exchanges(df) <= 3, plan
