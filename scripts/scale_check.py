@@ -98,6 +98,16 @@ QUERIES = (
     # should be ~linear in docs)
     "dedup_duplicate_spans_fast",
     "mm_audio_decode_features",
+    # round-10 corpus-filter suite (all over documents): Gopher rules are
+    # a zero-join map + rollup (linear); unigram LM is explode + vocab agg
+    # + token join + doc agg (linear in token mass — vocab stays fixed
+    # under the rotation synth's 26-letter permutations? NO: rotation
+    # creates distinct tokens per copy, so vocab grows 10x too, still
+    # linear); epoch shuffle is hash + shard-partitioned window (n log
+    # n/shards)
+    "text_gopher_rules",
+    "text_unigram_lm_score",
+    "pipeline_epoch_shuffle",
 )
 
 
