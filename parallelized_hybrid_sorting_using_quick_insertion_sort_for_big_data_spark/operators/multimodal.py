@@ -98,7 +98,10 @@ def decode_image_real(payload: bytes) -> object:
     for free via ``pytest.importorskip``); this container ships no
     image/audio libraries, so calling it raises NotImplementedError,
     and byte_features()/sample_frames() exercise the identical Spark
-    plumbing with a deterministic fake."""
+    plumbing with a deterministic fake. Since r10 this gate only covers
+    COMPRESSED formats (JPEG/PNG) and video: the uncompressed BMP path
+    (:func:`attach_image_payload` / :func:`image_decode_features`) and
+    the WAV path (:func:`audio_features`) are real stdlib codecs."""
     try:
         import io as _io
 
@@ -278,6 +281,158 @@ def audio_features(with_payload: DataFrame) -> DataFrame:
 
     return with_payload.select("doc_id", "payload").mapInPandas(
         _decode, _AUDIO_FEATURES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real BMP codec path (r10, the image twin of the WAV move): BMP is an
+# uncompressed container, so a GENUINE image file — BITMAPFILEHEADER,
+# BITMAPINFOHEADER, 24-bit BGR pixel array with 4-byte row padding and
+# bottom-up row order — can be written and parsed with stdlib `struct` +
+# numpy alone, no codec library. The pixel values come from a pure integer
+# formula, so the DuckDB oracle recomputes every decoded feature
+# analytically; a header mis-parse, a padding slip, or a row-order flip
+# each breaks a different column's hash (the position-weighted checksum
+# exists precisely to catch bottom-up/top-down confusion, which the
+# order-invariant channel sums cannot see). JPEG/PNG (compressed) and
+# video stay behind decode_image_real's documented gate.
+# ---------------------------------------------------------------------------
+
+IMG_BPP = 24  # bits per pixel (BGR, 3 bytes)
+
+
+def image_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-document dimensions: width 8..16, height 8..14 —
+    small enough for the oracle's generate_series, varied enough that the
+    row-stride padding (w=8 → 0 pad bytes … w=11 → 3) is exercised."""
+    return 8 + (doc_id % 9), 8 + (doc_id % 7)
+
+
+def image_channel(doc_id: int, x: int, y: int, c: int) -> int:
+    """Channel c (0=B, 1=G, 2=R) of pixel (x, y): pure integer formula
+    (d*7 + 13*y + 3*x + 11*c) % 256 — identical in Python, numpy int64,
+    and DuckDB BIGINT."""
+    return (doc_id * 7 + 13 * y + 3 * x + 11 * c) % 256
+
+
+def _bmp_stride(width: int) -> int:
+    return ((3 * width + 3) // 4) * 4
+
+
+def attach_image_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL 24-bit BMP per
+    document — 14-byte BITMAPFILEHEADER ('BM', file size, pixel-array
+    offset 54), 40-byte BITMAPINFOHEADER, BGR rows padded to 4 bytes and
+    stored bottom-up (positive biHeight), as the format requires. An
+    image viewer would open these. Same object-storage stand-in role as
+    :func:`attach_payload` / :func:`attach_audio_payload`."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = image_dims(d)
+                stride = _bmp_stride(w)
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                px = ((d * 7 + 13 * y + 3 * x + 11 * c) % 256).astype(np.uint8)
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : 3 * w] = px.reshape(h, 3 * w)
+                pixel_array = rows[::-1].tobytes()  # bottom-up row order
+                file_size = 54 + stride * h
+                header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, IMG_BPP, 0, stride * h,
+                    2835, 2835, 0, 0,
+                )
+                out.append((d, header + dib + pixel_array))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+_IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bpp", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("rpos_checksum", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+def image_decode_features(with_payload: DataFrame) -> DataFrame:
+    """REAL image decode + featurize: parse each payload's BMP headers with
+    stdlib ``struct`` (magic, pixel-array offset, dimensions, bpp), decode
+    the padded bottom-up BGR pixel array, and emit header facts plus exact
+    integer pixel features — per-channel sums, the global max channel
+    value, and a position-weighted red-channel checksum
+    Σ R(x,y)·(y·w + x + 1) that is order-SENSITIVE: reading rows
+    top-down, or including padding bytes, breaks it while leaving the
+    plain sums intact. All int64-exact (255·16·14·225 < 2²³).
+
+    Same Arrow ``mapInPandas`` plumbing and zero-shuffle shape as
+    :func:`audio_features`; at 100 TB this is the production
+    feature-extraction pass, one decode per payload, no Python-per-row."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", raw, 0)
+                assert magic == b"BM", "not a BMP payload"
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", raw, 14)
+                stride = _bmp_stride(w)
+                rows = np.frombuffer(
+                    raw, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                img = rows[::-1, : 3 * w].astype(np.int64).reshape(h, w, 3)
+                ypos = np.arange(h, dtype=np.int64)[:, None]
+                xpos = np.arange(w, dtype=np.int64)[None, :]
+                weight = ypos * w + xpos + 1
+                out.append(
+                    (
+                        int(doc_id),
+                        int(w),
+                        int(h),
+                        int(bpp),
+                        len(raw),
+                        int(img[:, :, 0].sum()),
+                        int(img[:, :, 1].sum()),
+                        int(img[:, :, 2].sum()),
+                        int((img[:, :, 2] * weight).sum()),
+                        int(img.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _IMAGE_DECODE_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _decode, _IMAGE_DECODE_SCHEMA
     )
 
 

@@ -105,9 +105,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round 10 — also never-checked, also front; text_bm25_topk,
     # pipeline_dedup_keep_best and fuzzy_name_match (all in-session
     # parity-pinned) rotate to round 11 to keep the window at 50.
+    # mm_image_decode_features (the BMP twin of the WAV path) is the last
+    # round-10 add — never-checked, front slot; text_repetition (parity-
+    # pinned in test_text_dedup) rotates to round 11 with the other three.
     "vec_pq_recall_sweep",
     "dedup_duplicate_spans_fast",
     "mm_audio_decode_features",
+    "mm_image_decode_features",
     "text_gopher_rules",
     "text_unigram_lm_score",
     "pipeline_epoch_shuffle",
@@ -154,7 +158,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "text_pii_scrub",
     "text_chunk_sliding",
-    "text_repetition",
 )
 
 _DRIVER_PRIORITY_R09: tuple[str, ...] = (

@@ -170,6 +170,60 @@ def mm_audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_features(M.attach_audio_payload(docs))
 
 
+# Real BMP codec path (r10, the image twin of the WAV move): Spark writes
+# genuine 24-bit BMP containers (stdlib struct — file header, DIB header,
+# 4-byte-padded bottom-up BGR rows) and parses them back. The oracle never
+# sees the bytes: it recomputes every decoded feature analytically from
+# the pixel formula channel(d,x,y,c) = (d*7 + 13y + 3x + 11c) % 256 with
+# dims w = 8+(d%9), h = 8+(d%7). n_bytes checks the header+stride math, the
+# channel sums check the decode, and the position-weighted red checksum
+# Σ R(x,y)·(y·w+x+1) is order-sensitive — a top-down/bottom-up row flip or
+# padding-byte bleed breaks it while leaving the plain sums intact.
+_IMAGE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8 + (doc_id % 9) AS w,
+         8 + (doc_id % 7) AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, x, y,
+         (doc_id * 7 + 13 * y + 3 * x) % 256 AS b,
+         (doc_id * 7 + 13 * y + 3 * x + 11) % 256 AS g,
+         (doc_id * 7 + 13 * y + 3 * x + 22) % 256 AS r
+  FROM p,
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(24 AS BIGINT) AS bpp,
+       CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(r * (y * w + x + 1)) AS BIGINT) AS rpos_checksum,
+       CAST(max(greatest(b, g, r)) AS BIGINT) AS max_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@query("mm_image_decode_features", sql=_IMAGE_ORACLE)
+def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode for the image modality: per document, synthesize a
+    genuine 24-bit BMP (stdlib struct — BITMAPFILEHEADER, BITMAPINFOHEADER,
+    padded bottom-up BGR rows), parse it back, and emit header facts plus
+    exact integer pixel features (per-channel sums, global max, and an
+    order-sensitive position-weighted checksum). With the WAV path this
+    makes BOTH stdlib-expressible modalities real codecs; only compressed
+    image formats and video remain behind the documented
+    decode_image_real gate (no codec libraries in the container). Zero
+    shuffle: one mapInPandas synth, one mapInPandas decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.image_decode_features(M.attach_image_payload(docs))
+
+
 @query("mm_byte_features", sql=_BYTE_FEATURES_ORACLE)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'decode + featurize' over the binary payload column

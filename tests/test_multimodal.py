@@ -25,6 +25,8 @@ ORACLE_QUERIES = [
     "mm_byte_features",
     # r10: the real stdlib-WAV codec path (analytic PCM-formula oracle)
     "mm_audio_decode_features",
+    # r10: the real stdlib-BMP codec path (analytic pixel-formula oracle)
+    "mm_image_decode_features",
 ]
 
 
@@ -322,3 +324,72 @@ def test_decode_image_real_with_codec(spark):
     assert (got[1]["width"], got[1]["height"]) == (3, 2)
     assert (got[2]["width"], got[2]["height"]) == (5, 7)
     assert all(r["mode"] == "RGB" for r in got.values())
+
+
+def test_image_bmp_roundtrip_is_real(spark):
+    """The r10 BMP path writes GENUINE BMP containers and the decode is a
+    real parse, not an echo of the synth: (1) payload bytes carry the BM
+    magic, the correct file size, the 54-byte pixel offset, and the padded
+    stride; (2) a hand-built BMP (struct-packed, never touching the synth
+    code path) decodes to hand-computed features; (3) the decoder is
+    order-sensitive — flipping the stored rows of a hand-built container
+    changes rpos_checksum while leaving sum_r intact."""
+    import struct
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    bmp = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.attach_image_payload(docs).collect()
+    }
+    for d, raw in bmp.items():
+        w, h = mm.image_dims(d)
+        stride = ((3 * w + 3) // 4) * 4
+        assert raw[:2] == b"BM"
+        assert struct.unpack_from("<I", raw, 2)[0] == len(raw) == 54 + stride * h
+        assert struct.unpack_from("<I", raw, 10)[0] == 54
+        assert struct.unpack_from("<ii", raw, 18) == (w, h)
+        # pure-Python recomputation of one pixel: image row y sits at
+        # stored row (h-1-y); channel order BGR
+        y, x = 2, 5
+        off = 54 + (h - 1 - y) * stride + 3 * x
+        assert raw[off] == mm.image_channel(d, x, y, 0)
+        assert raw[off + 1] == mm.image_channel(d, x, y, 1)
+        assert raw[off + 2] == mm.image_channel(d, x, y, 2)
+
+    # hand-built 2x2 24-bit BMP, w=2 -> stride 8 (2 pad bytes per row).
+    # image rows (top-down): row0 = [(B=1,G=2,R=3), (4,5,6)]
+    #                        row1 = [(7,8,9), (10,11,12)]
+    # stored bottom-up: row1 first.
+    def row(pxs):
+        return b"".join(bytes(p) for p in pxs) + b"\xff\xff"  # junk padding
+
+    pixels = row([(7, 8, 9), (10, 11, 12)]) + row([(1, 2, 3), (4, 5, 6)])
+    hand = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+    got = mm.image_decode_features(
+        spark.createDataFrame([(0, bytearray(hand))], "doc_id long, payload binary")
+    ).collect()[0]
+    assert (got["width"], got["height"], got["bpp"], got["n_bytes"]) == (2, 2, 24, 70)
+    assert got["sum_b"] == 1 + 4 + 7 + 10
+    assert got["sum_g"] == 2 + 5 + 8 + 11
+    assert got["sum_r"] == 3 + 6 + 9 + 12
+    # weights (y*w + x + 1): row0 -> 1,2; row1 -> 3,4
+    assert got["rpos_checksum"] == 3 * 1 + 6 * 2 + 9 * 3 + 12 * 4
+    assert got["max_px"] == 12
+    # padding bytes (0xff) must NOT bleed into any sum
+    assert got["max_px"] != 255
+
+    # order sensitivity: swap the two stored rows -> rpos changes, sum_r same
+    flipped = hand[:54] + pixels[8:] + pixels[:8]
+    got2 = mm.image_decode_features(
+        spark.createDataFrame([(0, bytearray(flipped))], "doc_id long, payload binary")
+    ).collect()[0]
+    assert got2["sum_r"] == got["sum_r"]
+    assert got2["rpos_checksum"] != got["rpos_checksum"]
