@@ -108,6 +108,9 @@ QUERIES = (
     "text_gopher_rules",
     "text_unigram_lm_score",
     "pipeline_epoch_shuffle",
+    # round-10: the BMP codec twin of the WAV path — same two-mapInPandas
+    # zero-shuffle shape, slope should match mm_audio's ~linear
+    "mm_image_decode_features",
 )
 
 
