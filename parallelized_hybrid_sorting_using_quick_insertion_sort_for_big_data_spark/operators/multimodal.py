@@ -436,6 +436,203 @@ def image_decode_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real AVI codec path (late r10): with BMP and WAV real, video was the last
+# stubbed modality — and an UNCOMPRESSED AVI is just as stdlib-expressible:
+# a RIFF container ('AVI ' form) holding a hdrl LIST (avih main header +
+# strl stream header + BITMAPINFOHEADER) and a movi LIST of one '00db'
+# chunk per frame, each a raw bottom-up padded BGR pixel array exactly like
+# BMP's. The writer packs it with `struct`; the reader WALKS THE RIFF CHUNK
+# TREE (it does not assume offsets beyond the 12-byte RIFF header), so a
+# malformed size field or a missing LIST breaks the parse loudly. Pixel
+# values extend the BMP formula with a frame term, so the DuckDB oracle
+# recomputes every decoded feature analytically; the position-weighted
+# checksum is sensitive to BOTH frame order and row order. After this,
+# decode_image_real's gate covers only COMPRESSED formats (JPEG/PNG,
+# inter-coded video) — every uncompressed container ships a real codec.
+# ---------------------------------------------------------------------------
+
+VIDEO_FPS = 10  # frames/sec (header metadata only)
+
+
+def video_dims(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic per-document (width, height, n_frames): 8..12 × 6..9 ×
+    2..5 — small enough for the oracle's triple generate_series, varied
+    enough to exercise stride padding and frame-count accounting."""
+    return 8 + (doc_id % 5), 6 + (doc_id % 4), 2 + (doc_id % 4)
+
+
+def video_channel(doc_id: int, f: int, x: int, y: int, c: int) -> int:
+    """Channel c (0=B, 1=G, 2=R) of pixel (x, y) in frame f: the BMP
+    formula plus a frame term — (d*7 + 29*f + 13*y + 3*x + 11*c) % 256."""
+    return (doc_id * 7 + 29 * f + 13 * y + 3 * x + 11 * c) % 256
+
+
+def attach_video_payload(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary): a REAL uncompressed AVI per
+    document — RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh('vids',
+    'DIB '), strf(BITMAPINFOHEADER)}} → LIST(movi){'00db' × n_frames},
+    frames stored as 4-byte-padded bottom-up BGR rows (the DIB
+    convention). A media player would play it. Same object-storage
+    stand-in role as the BMP/WAV attach functions."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, nf = video_dims(d)
+                stride = _bmp_stride(w)
+                frame_bytes = stride * h
+                frames = []
+                x = np.arange(w, dtype=np.int64)[None, :, None]
+                y = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(3, dtype=np.int64)[None, None, :]
+                for f in range(nf):
+                    px = (
+                        (d * 7 + 29 * f + 13 * y + 3 * x + 11 * c) % 256
+                    ).astype(np.uint8)
+                    rows = np.zeros((h, stride), dtype=np.uint8)
+                    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+                    frames.append(rows[::-1].tobytes())  # bottom-up rows
+                avih = struct.pack(
+                    "<IIIIIIIIII4I",
+                    1_000_000 // VIDEO_FPS, VIDEO_FPS * frame_bytes, 0, 0,
+                    nf, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+                )
+                strh = struct.pack(
+                    "<4s4sIHHIIIIIIII4H",
+                    b"vids", b"DIB ", 0, 0, 0, 0, 1, VIDEO_FPS, 0, nf,
+                    frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+                )
+                strf = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                    2835, 2835, 0, 0,
+                )
+                strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+                strl += b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
+                strl += b"strf" + struct.pack("<I", len(strf)) + strf
+                hdrl_content = (
+                    b"avih" + struct.pack("<I", len(avih)) + avih + strl
+                )
+                hdrl = (
+                    b"LIST" + struct.pack("<I", 4 + len(hdrl_content))
+                    + b"hdrl" + hdrl_content
+                )
+                movi_content = b"".join(
+                    b"00db" + struct.pack("<I", frame_bytes) + fr for fr in frames
+                )
+                movi = (
+                    b"LIST" + struct.pack("<I", 4 + len(movi_content))
+                    + b"movi" + movi_content
+                )
+                body = b"AVI " + hdrl + movi
+                payload = b"RIFF" + struct.pack("<I", len(body)) + body
+                out.append((d, payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id").mapInPandas(_synth, schema)
+
+
+_VIDEO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("fpos_checksum", T.LongType()),
+        T.StructField("max_px", T.LongType()),
+    ]
+)
+
+
+def video_decode_features(with_payload: DataFrame) -> DataFrame:
+    """REAL video decode + featurize: walk the RIFF chunk tree (verify the
+    'AVI ' form, find LIST hdrl → avih for dimensions and frame count,
+    find LIST movi, iterate its '00db' chunks), decode each frame's padded
+    bottom-up BGR rows, and emit header facts plus exact integer features:
+    per-channel sums over all frames, the global max, and a frame- AND
+    row-order-sensitive checksum Σ R(f,x,y)·(f+1)·(y·w+x+1). All
+    int64-exact. Same Arrow mapInPandas zero-shuffle shape as the BMP/WAV
+    decoders — at 100 TB this is the frame-level feature-extraction pass
+    of a video training pipeline."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def chunks(buf: bytes, pos: int, end: int):
+            while pos + 8 <= end:
+                cid, size = struct.unpack_from("<4sI", buf, pos)
+                yield cid, pos + 8, size
+                pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                magic, riff_size, form = struct.unpack_from("<4sI4s", raw, 0)
+                assert magic == b"RIFF" and form == b"AVI ", "not an AVI payload"
+                w = h = nf_hdr = None
+                frames = []
+                for cid, body, size in chunks(raw, 12, 8 + riff_size):
+                    if cid != b"LIST":
+                        continue
+                    kind = raw[body : body + 4]
+                    if kind == b"hdrl":
+                        for c2, b2, s2 in chunks(raw, body + 4, body + size):
+                            if c2 == b"avih":
+                                vals = struct.unpack_from("<10I", raw, b2)
+                                nf_hdr, w, h = vals[4], vals[8], vals[9]
+                    elif kind == b"movi":
+                        for c2, b2, s2 in chunks(raw, body + 4, body + size):
+                            if c2 == b"00db":
+                                frames.append(raw[b2 : b2 + s2])
+                assert w and h and len(frames) == nf_hdr, "chunk walk failed"
+                stride = _bmp_stride(w)
+                ypos = np.arange(h, dtype=np.int64)[:, None]
+                xpos = np.arange(w, dtype=np.int64)[None, :]
+                weight = ypos * w + xpos + 1
+                sb = sg = sr = fpos = 0
+                mx = 0
+                for f, fr in enumerate(frames):
+                    rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)
+                    img = rows[::-1, : 3 * w].astype(np.int64).reshape(h, w, 3)
+                    sb += int(img[:, :, 0].sum())
+                    sg += int(img[:, :, 1].sum())
+                    sr += int(img[:, :, 2].sum())
+                    fpos += int((img[:, :, 2] * weight).sum()) * (f + 1)
+                    mx = max(mx, int(img.max()))
+                out.append(
+                    (
+                        int(doc_id), int(w), int(h), len(frames), len(raw),
+                        sb, sg, sr, fpos, mx,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _VIDEO_DECODE_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _decode, _VIDEO_DECODE_SCHEMA
+    )
+
+
 _FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -105,13 +105,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round 10 — also never-checked, also front; text_bm25_topk,
     # pipeline_dedup_keep_best and fuzzy_name_match (all in-session
     # parity-pinned) rotate to round 11 to keep the window at 50.
-    # mm_image_decode_features (the BMP twin of the WAV path) is the last
-    # round-10 add — never-checked, front slot; text_repetition (parity-
-    # pinned in test_text_dedup) rotates to round 11 with the other three.
+    # mm_image_decode_features (the BMP twin of the WAV path) and
+    # mm_video_decode_features (the AVI chunk-tree walk completing the
+    # modality set) are the last round-10 adds — never-checked, front
+    # slots; text_repetition and text_chunk_sliding (both parity-pinned in
+    # test_text_dedup) rotate to round 11 with the other three.
     "vec_pq_recall_sweep",
     "dedup_duplicate_spans_fast",
     "mm_audio_decode_features",
     "mm_image_decode_features",
+    "mm_video_decode_features",
     "text_gopher_rules",
     "text_unigram_lm_score",
     "pipeline_epoch_shuffle",
@@ -157,7 +160,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_clean_corpus",
     "dedup_components",
     "text_pii_scrub",
-    "text_chunk_sliding",
 )
 
 _DRIVER_PRIORITY_R09: tuple[str, ...] = (

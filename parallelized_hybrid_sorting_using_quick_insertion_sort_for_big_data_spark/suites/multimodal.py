@@ -224,6 +224,64 @@ def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_decode_features(M.attach_image_payload(docs))
 
 
+# Real AVI codec path (late r10, completing the modality set): Spark writes
+# genuine uncompressed AVI containers (RIFF chunk tree — hdrl LIST with
+# avih/strh/strf headers, movi LIST with one raw bottom-up padded BGR
+# '00db' chunk per frame) and the decoder WALKS the chunk tree back. The
+# oracle recomputes every decoded feature analytically from the pixel
+# formula channel(d,f,x,y,c) = (d*7 + 29f + 13y + 3x + 11c) % 256 with
+# dims (w,h,frames) = (8+d%5, 6+d%4, 2+d%4); the container-size column
+# checks the full RIFF accounting (224 header bytes + per-frame chunk
+# overhead + stride math), and the checksum Σ R·(f+1)·(y·w+x+1) is
+# sensitive to frame order AND row order.
+_VIDEO_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) AS w,
+         6 + (doc_id % 4) AS h,
+         2 + (doc_id % 4) AS nf
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nf, f, x, y,
+         (doc_id * 7 + 29 * f + 13 * y + 3 * x) % 256 AS b,
+         (doc_id * 7 + 29 * f + 13 * y + 3 * x + 11) % 256 AS g,
+         (doc_id * 7 + 29 * f + 13 * y + 3 * x + 22) % 256 AS r
+  FROM p,
+       unnest(generate_series(0, nf - 1)) AS tf(f),
+       unnest(generate_series(0, w - 1)) AS tx(x),
+       unnest(generate_series(0, h - 1)) AS ty(y)
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(224 + nf * (8 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS n_bytes,
+       CAST(sum(b) AS BIGINT) AS sum_b,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(r * (f + 1) * (y * w + x + 1)) AS BIGINT) AS fpos_checksum,
+       CAST(max(greatest(b, g, r)) AS BIGINT) AS max_px
+FROM px GROUP BY doc_id, w, h, nf
+"""
+
+
+@query("mm_video_decode_features", sql=_VIDEO_ORACLE)
+def mm_video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec decode for the video modality: per document, synthesize a
+    genuine uncompressed AVI (stdlib struct — RIFF('AVI ') chunk tree,
+    avih/strh/strf headers, raw DIB frames in a movi LIST), walk the chunk
+    tree back, decode every frame, and emit header facts plus exact
+    integer features (per-channel sums across frames, global max, and a
+    frame- and row-order-sensitive checksum). With BMP and WAV this makes
+    ALL THREE modalities real container codecs — only compressed formats
+    (JPEG/PNG, inter-coded video) remain behind the documented
+    decode_image_real gate. Zero shuffle: one mapInPandas synth, one
+    mapInPandas chunk-walking decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_decode_features(M.attach_video_payload(docs))
+
+
 @query("mm_byte_features", sql=_BYTE_FEATURES_ORACLE)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'decode + featurize' over the binary payload column

@@ -111,6 +111,8 @@ QUERIES = (
     # round-10: the BMP codec twin of the WAV path — same two-mapInPandas
     # zero-shuffle shape, slope should match mm_audio's ~linear
     "mm_image_decode_features",
+    # late round-10: the AVI chunk-tree path (same shape, more bytes/doc)
+    "mm_video_decode_features",
 )
 
 

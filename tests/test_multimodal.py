@@ -27,6 +27,8 @@ ORACLE_QUERIES = [
     "mm_audio_decode_features",
     # r10: the real stdlib-BMP codec path (analytic pixel-formula oracle)
     "mm_image_decode_features",
+    # r10: the real stdlib-AVI codec path (analytic, RIFF chunk walk)
+    "mm_video_decode_features",
 ]
 
 
@@ -393,3 +395,80 @@ def test_image_bmp_roundtrip_is_real(spark):
     ).collect()[0]
     assert got2["sum_r"] == got["sum_r"]
     assert got2["rpos_checksum"] != got["rpos_checksum"]
+
+
+def test_video_avi_roundtrip_is_real(spark):
+    """The late-r10 AVI path writes GENUINE RIFF/AVI containers and the
+    decoder is a real chunk-tree walk: (1) payload bytes carry the
+    RIFF/'AVI ' magic, the correct RIFF size field, and an avih frame
+    count matching the movi chunk inventory; (2) a hand-built AVI (packed
+    from scratch, one 1x1 frame, never touching the synth) decodes to
+    hand-computed features; (3) swapping two frames in a hand-built
+    two-frame container changes fpos_checksum but not sum_r."""
+    import struct
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    docs = spark.createDataFrame([(5,), (14,)], "doc_id long")
+    avi = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.attach_video_payload(docs).collect()
+    }
+    for d, raw in avi.items():
+        w, h, nf = mm.video_dims(d)
+        stride = ((3 * w + 3) // 4) * 4
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+        assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8
+        assert len(raw) == 224 + nf * (8 + stride * h)
+        assert raw.count(b"00db") == nf
+        # one spot pixel through the whole container: frame 1, x=2, y=1
+        movi_at = raw.index(b"movi")
+        frame1_at = movi_at + 4 + (8 + stride * h) + 8  # skip frame 0 chunk
+        off = frame1_at + (h - 1 - 1) * stride + 3 * 2
+        assert raw[off] == mm.video_channel(d, 1, 2, 1, 0)
+        assert raw[off + 2] == mm.video_channel(d, 1, 2, 1, 2)
+
+    # hand-built 2-frame 1x1 AVI (stride 4: 1 pad byte after BGR)
+    def hand_avi(frames):
+        w = h = 1
+        fb = 4
+        avih = struct.pack("<IIIIIIIIII4I", 100000, 40, 0, 0, len(frames),
+                           0, 1, fb, w, h, 0, 0, 0, 0)
+        strh = struct.pack("<4s4sIHHIIIIIIII4H", b"vids", b"DIB ", 0, 0, 0,
+                           0, 1, 10, 0, len(frames), fb, 0, 0, 0, 0, w, h)
+        strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fb,
+                           2835, 2835, 0, 0)
+        strl = (b"LIST" + struct.pack("<I", 4 + 8 + 56 + 8 + 40) + b"strl"
+                + b"strh" + struct.pack("<I", 56) + strh
+                + b"strf" + struct.pack("<I", 40) + strf)
+        hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+                + b"avih" + struct.pack("<I", 56) + avih + strl)
+        movi_content = b"".join(
+            b"00db" + struct.pack("<I", fb) + fr for fr in frames
+        )
+        movi = b"LIST" + struct.pack("<I", 4 + len(movi_content)) + b"movi" + movi_content
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    f0 = bytes([10, 20, 30, 0])  # B=10 G=20 R=30 + pad
+    f1 = bytes([40, 50, 60, 0])
+    got = mm.video_decode_features(
+        spark.createDataFrame(
+            [(0, bytearray(hand_avi([f0, f1])))], "doc_id long, payload binary"
+        )
+    ).collect()[0]
+    assert (got["width"], got["height"], got["n_frames"]) == (1, 1, 2)
+    assert got["sum_b"] == 50 and got["sum_g"] == 70 and got["sum_r"] == 90
+    # fpos = 30*1*1 + 60*2*1
+    assert got["fpos_checksum"] == 30 + 120
+    assert got["max_px"] == 60
+
+    got2 = mm.video_decode_features(
+        spark.createDataFrame(
+            [(0, bytearray(hand_avi([f1, f0])))], "doc_id long, payload binary"
+        )
+    ).collect()[0]
+    assert got2["sum_r"] == got["sum_r"]
+    assert got2["fpos_checksum"] != got["fpos_checksum"]
