@@ -437,6 +437,196 @@ def image_decode_features(with_payload: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio near-dup fingerprinting (late r10): the decode → fingerprint →
+# banded-candidate-join pipeline an audio training corpus runs for dedup,
+# on the REAL WAV codec path. Near-dup pairs are planted by unioning an
+# id-shifted copy of the corpus whose PCM carries re-encode-style noise
+# (+1 pre-wrap on every 13th sample); the fingerprint — per-80-sample-frame
+# energy Σ|s| quantized to (energy // 256) % 256 — absorbs that ±7-per-
+# frame drift except at quantization boundaries, and the pair survives
+# unless ≥2 of its frames flip (the banded join needs ONE matching frame;
+# the verify step allows ONE mismatched frame). Everything is
+# integer-exact, so the DuckDB oracle replays the whole pipeline
+# analytically from the PCM formula while Spark computes it from the
+# DECODED container bytes — the parity check therefore covers the codec,
+# the fingerprint, and the join.
+# ---------------------------------------------------------------------------
+
+# Planted-copy id shift: 2^40 so `doc_id >= SHIFT` identifies the shifted
+# copy at ANY real id range (the scale synth shifts ids by i·10M — a 1M
+# shift would alias copy i's ids onto copy 0's canon and manufacture
+# 20-clique duplicate groups, super-linearizing the banded join by
+# construction, the decontam_embedding r08 artifact all over again).
+# canon*31 stays far inside int64 (2^40·31 < 2^45).
+AUDIO_DUP_SHIFT = 1 << 40
+AUDIO_FRAME = 80  # samples per fingerprint frame
+AUDIO_BUCKET_Q = 256  # energy quantization: (energy // Q) % 256
+
+
+def attach_audio_payload_dups(documents: DataFrame) -> DataFrame:
+    """documents ∪ id-shifted copy → (doc_id, payload): genuine WAV files
+    where the shifted copy plays the SAME signal as its canonical twin
+    (doc_id % SHIFT) plus deterministic re-encode noise — sample i gains
+    +1 before the int16 wrap whenever i % 13 == 0. The dedup_exact
+    planted-duplicate convention, in the audio domain."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    corpus = documents.select("doc_id").unionByName(
+        documents.select((F.col("doc_id") + AUDIO_DUP_SHIFT).alias("doc_id"))
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                canon = d % AUDIO_DUP_SHIFT
+                n = audio_n_samples(canon)
+                i = np.arange(n, dtype=np.int64)
+                noise = ((i % 13 == 0) & (d >= AUDIO_DUP_SHIFT)).astype(np.int64)
+                pcm = ((canon * 31 + 7 * i * i + noise) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_RATE)
+                    w.writeframes(pcm.tobytes())
+                out.append((d, buf.getvalue()))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return corpus.mapInPandas(_synth, schema)
+
+
+_AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+)
+
+
+def audio_frame_fingerprints(with_payload: DataFrame) -> DataFrame:
+    """REAL-decode fingerprinting: parse each WAV (stdlib ``wave``), split
+    the PCM into 80-sample frames (last frame may be partial), and emit
+    per frame the exact integer energy Σ|s| and its quantized bucket
+    (energy // 256) % 256. Zero shuffle — one mapInPandas pass; the
+    near-dup join downstream operates on these (doc, frame, bucket) rows
+    only, never on payload bytes."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    frames = w.readframes(w.getnframes())
+                s = np.abs(np.frombuffer(frames, dtype="<i2").astype(np.int64))
+                d = int(doc_id)
+                for f in range(0, len(s), AUDIO_FRAME):
+                    e = int(s[f : f + AUDIO_FRAME].sum())
+                    out.append(
+                        (d, f // AUDIO_FRAME, e, (e // AUDIO_BUCKET_Q) % 256)
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _AUDIO_FP_SCHEMA.fields]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _fp, _AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(fingerprints: DataFrame) -> DataFrame:
+    """Banded near-dup join over frame fingerprints: the band key is an
+    ADJACENT-FRAME PAIR (frame_idx, bucket_f, bucket_f+1) — the MinHash
+    banding lesson applied to audio: a single frame's 256-level bucket is
+    far too weak a key at corpus scale (every band floods with ambient
+    collisions and the candidate set goes quadratic — measured 25×/10×
+    rows before this key), while the 65536-level pair key keeps bands
+    nearly singleton. Candidates share at least one band; a candidate
+    survives verification iff both docs have the same frame count and at
+    most ONE frame's buckets differ. A planted pair is missed only when
+    its single flipped frame destroys every adjacent band (nf=2, or the
+    middle frame of nf=3) — ~2% of pairs at the measured flip rate.
+    Returns (id_a, id_b, n_frames, n_mismatch) with id_a < id_b.
+
+    Scale shape: fingerprint relation pinned once (four consumers); band
+    relation built with one per-doc window (tiny partitions); candidate
+    growth bounded by band occupancy; verification joins candidates back
+    on (doc, frame) equi-keys."""
+    from pyspark.sql import Window
+
+    fp = fingerprints.localCheckpoint(eager=True)
+    nf = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    bands = fp.select(
+        "doc_id",
+        "frame_idx",
+        "bucket",
+        F.lead("bucket").over(w).alias("bucket_next"),
+    ).where(F.col("bucket_next").isNotNull())
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.bucket_next") == F.col("b.bucket_next"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    na = nf.select(F.col("doc_id").alias("id_a"), F.col("n_frames").alias("nf_a"))
+    nb = nf.select(F.col("doc_id").alias("id_b"), F.col("n_frames").alias("nf_b"))
+    fa = fp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("frame_idx").alias("fi"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("frame_idx").alias("fi"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(F.col("nf_a") == F.col("nf_b"))
+        .join(fa, "id_a")
+        .join(fb, ["id_b", "fi"])
+        .groupBy("id_a", "id_b", "nf_a")
+        .agg(
+            F.sum(
+                F.when(F.col("bucket_a") != F.col("bucket_b"), 1).otherwise(0)
+            ).alias("n_mismatch")
+        )
+        .where(F.col("n_mismatch") <= 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("nf_a").cast("bigint").alias("n_frames"),
+            F.col("n_mismatch").cast("bigint").alias("n_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real AVI codec path (late r10): with BMP and WAV real, video was the last
 # stubbed modality — and an UNCOMPRESSED AVI is just as stdlib-expressible:
 # a RIFF container ('AVI ' form) holding a hdrl LIST (avih main header +

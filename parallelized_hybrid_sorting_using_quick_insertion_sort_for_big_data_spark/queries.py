@@ -105,16 +105,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # round 10 — also never-checked, also front; text_bm25_topk,
     # pipeline_dedup_keep_best and fuzzy_name_match (all in-session
     # parity-pinned) rotate to round 11 to keep the window at 50.
-    # mm_image_decode_features (the BMP twin of the WAV path) and
+    # mm_image_decode_features (the BMP twin of the WAV path),
     # mm_video_decode_features (the AVI chunk-tree walk completing the
-    # modality set) are the last round-10 adds — never-checked, front
-    # slots; text_repetition and text_chunk_sliding (both parity-pinned in
-    # test_text_dedup) rotate to round 11 with the other three.
+    # modality set) and mm_audio_near_dup (decode → fingerprint → banded
+    # near-dup join on the WAV path) are the last round-10 adds —
+    # never-checked, front slots; text_repetition, text_chunk_sliding and
+    # text_pii_scrub (all parity-pinned in test_text_dedup) rotate to
+    # round 11 with the other three.
     "vec_pq_recall_sweep",
     "dedup_duplicate_spans_fast",
     "mm_audio_decode_features",
     "mm_image_decode_features",
     "mm_video_decode_features",
+    "mm_audio_near_dup",
     "text_gopher_rules",
     "text_unigram_lm_score",
     "pipeline_epoch_shuffle",
@@ -159,7 +162,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_portable",
     "pipeline_clean_corpus",
     "dedup_components",
-    "text_pii_scrub",
 )
 
 _DRIVER_PRIORITY_R09: tuple[str, ...] = (

@@ -282,6 +282,85 @@ def mm_video_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_decode_features(M.attach_video_payload(docs))
 
 
+# Audio near-dup (late r10): decode → per-frame energy fingerprint →
+# banded candidate join → one-mismatch verify, over the corpus ∪ an
+# id-shifted copy carrying re-encode noise (+1 pre-wrap every 13th
+# sample). Spark fingerprints the DECODED WAV bytes; the oracle replays
+# the identical pipeline analytically from the PCM formula — codec,
+# fingerprint, and join are all under the same value hash. A planted pair
+# is missed only when ≥2 of its frames sit within the noise drift (≤7) of
+# a 256-wide quantization boundary; the oracle misses exactly the same
+# pairs, because both sides compute the same integers.
+_AUDIO_ND_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {M.AUDIO_DUP_SHIFT} FROM documents
+),
+p AS (
+  SELECT doc_id, doc_id % {M.AUDIO_DUP_SHIFT} AS canon,
+         160 + ((doc_id % {M.AUDIO_DUP_SHIFT}) % 41) * 8 AS ns
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, CAST(i // {M.AUDIO_FRAME} AS BIGINT) AS frame_idx,
+         abs(((canon * 31 + 7 * i * i
+               + CASE WHEN doc_id >= {M.AUDIO_DUP_SHIFT} AND i % 13 = 0
+                      THEN 1 ELSE 0 END) % 65536) - 32768) AS av
+  FROM p, unnest(generate_series(0, ns - 1)) AS t(i)
+),
+f AS (
+  SELECT doc_id, frame_idx,
+         CAST((sum(av) // {M.AUDIO_BUCKET_Q}) % 256 AS BIGINT) AS bucket
+  FROM s GROUP BY doc_id, frame_idx
+),
+nfr AS (SELECT doc_id, count(*) AS n_frames FROM f GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, frame_idx, bucket,
+         lead(bucket) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS bucket_next
+  FROM f
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.frame_idx = b.frame_idx AND a.bucket = b.bucket
+   AND a.bucket_next = b.bucket_next AND a.doc_id < b.doc_id
+  WHERE a.bucket_next IS NOT NULL AND b.bucket_next IS NOT NULL
+),
+ver AS (
+  SELECT c.id_a, c.id_b, na.n_frames,
+         sum(CASE WHEN fa.bucket <> fb.bucket THEN 1 ELSE 0 END) AS n_mismatch
+  FROM cand c
+  JOIN nfr na ON na.doc_id = c.id_a
+  JOIN nfr nb ON nb.doc_id = c.id_b AND nb.n_frames = na.n_frames
+  JOIN f fa ON fa.doc_id = c.id_a
+  JOIN f fb ON fb.doc_id = c.id_b AND fb.frame_idx = fa.frame_idx
+  GROUP BY c.id_a, c.id_b, na.n_frames
+)
+SELECT id_a, id_b,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_mismatch AS BIGINT) AS n_mismatch
+FROM ver WHERE n_mismatch <= 1
+"""
+
+
+@query("mm_audio_near_dup", sql=_AUDIO_ND_ORACLE)
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection on the real codec path: synthesize the
+    corpus ∪ noise-perturbed id-shifted copy as genuine WAV files, DECODE
+    them, fingerprint per 80-sample frame (exact integer energy quantized
+    to 256 levels), find candidates by a banded equi-join on ADJACENT
+    frame-bucket pairs — never all-pairs, and the 65536-level pair key
+    keeps bands nearly singleton at corpus scale where a single frame's
+    bucket would flood (measured 25×/10× rows with the weak key) — and
+    keep pairs with equal frame counts and at most one mismatched frame.
+    The audio-domain form of the MinHash banded device, with the codec
+    inside the hash-checked path. Fingerprint relation pinned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = M.audio_frame_fingerprints(M.attach_audio_payload_dups(docs))
+    return M.audio_near_dup_pairs(fp.select("doc_id", "frame_idx", "bucket"))
+
+
 @query("mm_byte_features", sql=_BYTE_FEATURES_ORACLE)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched 'decode + featurize' over the binary payload column

@@ -113,6 +113,9 @@ QUERIES = (
     "mm_image_decode_features",
     # late round-10: the AVI chunk-tree path (same shape, more bytes/doc)
     "mm_video_decode_features",
+    # late round-10: decode -> fingerprint -> banded near-dup join; the
+    # banded candidate join bounds pair growth like the MinHash device
+    "mm_audio_near_dup",
 )
 
 

