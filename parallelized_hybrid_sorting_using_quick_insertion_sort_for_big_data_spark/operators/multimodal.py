@@ -99,9 +99,11 @@ def decode_image_real(payload: bytes) -> object:
     image/audio libraries, so calling it raises NotImplementedError,
     and byte_features()/sample_frames() exercise the identical Spark
     plumbing with a deterministic fake. Since r10 this gate only covers
-    COMPRESSED formats (JPEG/PNG) and video: the uncompressed BMP path
-    (:func:`attach_image_payload` / :func:`image_decode_features`) and
-    the WAV path (:func:`audio_features`) are real stdlib codecs."""
+    COMPRESSED formats (JPEG/PNG, inter-coded video): the uncompressed
+    BMP path (:func:`attach_image_payload` / :func:`image_decode_features`),
+    the WAV path (:func:`audio_features`), and the uncompressed-AVI path
+    (:func:`attach_video_payload` / :func:`video_decode_features`) are
+    all real stdlib codecs."""
     try:
         import io as _io
 
@@ -184,6 +186,33 @@ def audio_sample(doc_id: int, i: int) -> int:
     return (doc_id * 31 + 7 * i * i) % 65536 - 32768
 
 
+def _wav_bytes(canon: int, noisy: bool) -> bytes:
+    """The ONE WAV synthesis body shared by :func:`attach_audio_payload`
+    (noisy=False) and :func:`attach_audio_payload_dups` (noisy=True for
+    shifted copies): a genuine stdlib-``wave`` RIFF/WAVE PCM16LE mono
+    container of :func:`audio_n_samples`(canon) samples, sample i =
+    ((canon*31 + 7·i² + noise_i) % 65536) − 32768 with noise_i = 1 on
+    every 13th sample when noisy. A single body keeps the two paths —
+    and their analytic oracles — provably on the same formula and
+    container parameters."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = audio_n_samples(canon)
+    i = np.arange(n, dtype=np.int64)
+    noise = (i % 13 == 0).astype(np.int64) if noisy else 0
+    pcm = ((canon * 31 + 7 * i * i + noise) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def attach_audio_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary): a REAL WAV file per document,
     written by the stdlib ``wave`` encoder (RIFF/WAVE, PCM16LE, mono,
@@ -198,25 +227,8 @@ def attach_audio_payload(documents: DataFrame) -> DataFrame:
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
-        import numpy as np
-
         for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = audio_n_samples(d)
-                i = np.arange(n, dtype=np.int64)
-                pcm = ((d * 31 + 7 * i * i) % 65536 - 32768).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(AUDIO_RATE)
-                    w.writeframes(pcm.tobytes())
-                out.append((d, buf.getvalue()))
+            out = [(int(d), _wav_bytes(int(d), noisy=False)) for d in pdf["doc_id"]]
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return documents.select("doc_id").mapInPandas(_synth, schema)
@@ -319,6 +331,28 @@ def _bmp_stride(width: int) -> int:
     return ((3 * width + 3) // 4) * 4
 
 
+def _encode_dib_rows(px, h: int, w: int, stride: int) -> bytes:
+    """(h, w, 3) uint8 BGR pixels → the 4-byte-padded BOTTOM-UP DIB pixel
+    array. The one encode body shared by the BMP writer and every AVI
+    frame, so a padding or row-order fix can never reach one real-codec
+    path and miss the other."""
+    import numpy as np
+
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = px.reshape(h, 3 * w)
+    return rows[::-1].tobytes()
+
+
+def _decode_dib_rows(buf: bytes, w: int, h: int, stride: int):
+    """Padded bottom-up DIB pixel array → (h, w, 3) int64 BGR image (row 0
+    = top). The decode twin of :func:`_encode_dib_rows`, shared by the BMP
+    and AVI decoders."""
+    import numpy as np
+
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    return rows[::-1, : 3 * w].astype(np.int64).reshape(h, w, 3)
+
+
 def attach_image_payload(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary): a REAL 24-bit BMP per
     document — 14-byte BITMAPFILEHEADER ('BM', file size, pixel-array
@@ -348,9 +382,7 @@ def attach_image_payload(documents: DataFrame) -> DataFrame:
                 y = np.arange(h, dtype=np.int64)[:, None, None]
                 c = np.arange(3, dtype=np.int64)[None, None, :]
                 px = ((d * 7 + 13 * y + 3 * x + 11 * c) % 256).astype(np.uint8)
-                rows = np.zeros((h, stride), dtype=np.uint8)
-                rows[:, : 3 * w] = px.reshape(h, 3 * w)
-                pixel_array = rows[::-1].tobytes()  # bottom-up row order
+                pixel_array = _encode_dib_rows(px, h, w, stride)
                 file_size = 54 + stride * h
                 header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
                 dib = struct.pack(
@@ -405,11 +437,16 @@ def image_decode_features(with_payload: DataFrame) -> DataFrame:
                 magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", raw, 0)
                 assert magic == b"BM", "not a BMP payload"
                 _, w, h, _, bpp = struct.unpack_from("<IiiHH", raw, 14)
+                # the decoder's stride/pixel math assumes the 24bpp
+                # bottom-up layout it documents — fail loudly on anything
+                # else (32bpp, RLE, top-down negative-height BMPs) instead
+                # of emitting garbage sums under a truthful bpp column
+                assert bpp == IMG_BPP and h > 0, (
+                    f"unsupported BMP layout (bpp={bpp}, h={h}); this "
+                    f"decoder handles 24bpp bottom-up pixel arrays only"
+                )
                 stride = _bmp_stride(w)
-                rows = np.frombuffer(
-                    raw, dtype=np.uint8, count=stride * h, offset=offset
-                ).reshape(h, stride)
-                img = rows[::-1, : 3 * w].astype(np.int64).reshape(h, w, 3)
+                img = _decode_dib_rows(raw[offset:], w, h, stride)
                 ypos = np.arange(h, dtype=np.int64)[:, None]
                 xpos = np.arange(w, dtype=np.int64)[None, :]
                 weight = ypos * w + xpos + 1
@@ -480,27 +517,16 @@ def attach_audio_payload_dups(documents: DataFrame) -> DataFrame:
     )
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
-        import numpy as np
-
         for pdf in batches:
-            out = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                canon = d % AUDIO_DUP_SHIFT
-                n = audio_n_samples(canon)
-                i = np.arange(n, dtype=np.int64)
-                noise = ((i % 13 == 0) & (d >= AUDIO_DUP_SHIFT)).astype(np.int64)
-                pcm = ((canon * 31 + 7 * i * i + noise) % 65536 - 32768).astype("<i2")
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(AUDIO_RATE)
-                    w.writeframes(pcm.tobytes())
-                out.append((d, buf.getvalue()))
+            out = [
+                (
+                    int(d),
+                    _wav_bytes(
+                        int(d) % AUDIO_DUP_SHIFT, noisy=int(d) >= AUDIO_DUP_SHIFT
+                    ),
+                )
+                for d in pdf["doc_id"]
+            ]
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
     return corpus.mapInPandas(_synth, schema)
@@ -692,9 +718,7 @@ def attach_video_payload(documents: DataFrame) -> DataFrame:
                     px = (
                         (d * 7 + 29 * f + 13 * y + 3 * x + 11 * c) % 256
                     ).astype(np.uint8)
-                    rows = np.zeros((h, stride), dtype=np.uint8)
-                    rows[:, : 3 * w] = px.reshape(h, 3 * w)
-                    frames.append(rows[::-1].tobytes())  # bottom-up rows
+                    frames.append(_encode_dib_rows(px, h, w, stride))
                 avih = struct.pack(
                     "<IIIIIIIIII4I",
                     1_000_000 // VIDEO_FPS, VIDEO_FPS * frame_bytes, 0, 0,
@@ -801,8 +825,7 @@ def video_decode_features(with_payload: DataFrame) -> DataFrame:
                 sb = sg = sr = fpos = 0
                 mx = 0
                 for f, fr in enumerate(frames):
-                    rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)
-                    img = rows[::-1, : 3 * w].astype(np.int64).reshape(h, w, 3)
+                    img = _decode_dib_rows(fr, w, h, stride)
                     sb += int(img[:, :, 0].sum())
                     sg += int(img[:, :, 1].sum())
                     sr += int(img[:, :, 2].sum())

@@ -102,6 +102,37 @@ FROM flags GROUP BY source
 """
 
 
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """(source, n_tok, r_wc, r_mwl, r_sym, r_stop, r_alpha) over a
+    (source, text) relation — the five published rules as boolean flags.
+    Shared by the registered query AND the crafted-documents pytest, so
+    the test exercises the exact expressions the query ships (a private
+    copy would silently drift). Tokenize once per row in the first select
+    (no codegen subexpression elimination reaches higher-order functions —
+    same staging rationale as text.text_metrics), flags in the second."""
+    t = F.col("text")
+    sym_ratio = (
+        F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")).cast("double")
+        / F.greatest(F.length(t), F.lit(1)).cast("double")
+    )
+    ann = docs.select("source", T.tokens(t).alias("toks"), sym_ratio.alias("sym_ratio"))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    denom = F.greatest(n_tok, F.lit(1)).cast("double")
+    mwl = F.length(F.array_join(toks, "")).cast("double") / denom
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / denom
+    return ann.select(
+        "source",
+        n_tok.alias("n_tok"),
+        n_tok.between(_G_WC_LO, _G_WC_HI).alias("r_wc"),
+        mwl.between(_G_MWL_LO, _G_MWL_HI).alias("r_mwl"),
+        (F.col("sym_ratio") < _G_SYM_MAX).alias("r_sym"),
+        (stop_hits >= _G_STOP_MIN).alias("r_stop"),
+        (alpha_frac >= _G_ALPHA_MIN).alias("r_alpha"),
+    )
+
+
 @query("text_gopher_rules", sql=_GOPHER_ORACLE)
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-rule audit (Rae et al. 2021 §A1.1): per source, how
@@ -116,30 +147,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way in both engines — the inputs to each comparison are the same
     two IEEE doubles produced by the same two exact integer operands."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    t = F.col("text")
-    sym_ratio = (
-        F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")).cast("double")
-        / F.greatest(F.length(t), F.lit(1)).cast("double")
-    )
-    # Stage 1: build the token array ONCE per row (no codegen subexpression
-    # elimination reaches higher-order functions — same staging rationale as
-    # text.text_metrics).
-    ann = docs.select("source", T.tokens(t).alias("toks"), sym_ratio.alias("sym_ratio"))
-    toks = F.col("toks")
-    n_tok = F.size(toks)
-    denom = F.greatest(n_tok, F.lit(1)).cast("double")
-    mwl = F.length(F.array_join(toks, "")).cast("double") / denom
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
-    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / denom
-    flags = ann.select(
-        "source",
-        n_tok.alias("n_tok"),
-        n_tok.between(_G_WC_LO, _G_WC_HI).alias("r_wc"),
-        mwl.between(_G_MWL_LO, _G_MWL_HI).alias("r_mwl"),
-        (F.col("sym_ratio") < _G_SYM_MAX).alias("r_sym"),
-        (stop_hits >= _G_STOP_MIN).alias("r_stop"),
-        (alpha_frac >= _G_ALPHA_MIN).alias("r_alpha"),
-    )
+    flags = gopher_flags(docs)
     all_pass = (
         F.col("r_wc") & F.col("r_mwl") & F.col("r_sym") & F.col("r_stop") & F.col("r_alpha")
     )
@@ -229,10 +237,11 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is vocab-sized) -> join occurrences back on token (vocab fits
     in memory at word level for most corpora — AQE broadcasts it; at a
     degenerate vocab it's a plain equi-join) -> per-doc agg (1 exchange)
-    -> map-side CASE bucket -> broadcast join to recover source -> tiny
-    rollup. The corpus-total is a broadcast 1-row reduction. NO global
-    sort/window anywhere — that is the point of fixed thresholds vs
-    in-query tertiles."""
+    -> map-side CASE bucket -> equi-join to recover source (corpus-
+    cardinality, so NO broadcast hint — AQE decides) -> tiny rollup. The
+    corpus-total is a broadcast 1-row reduction. NO global sort/window
+    anywhere — that is the point of fixed thresholds vs in-query
+    tertiles."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     # The token relation is consumed three times (frequency agg, corpus
     # total, occurrence join) — pin it once or the explode re-tokenizes
@@ -258,7 +267,11 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("mean_p"),
     )
-    bucketed = scored.join(F.broadcast(docs.select("doc_id", "source")), "doc_id").select(
+    # plain equi-join (NOT a broadcast hint): the source relation is
+    # corpus-cardinality — one row per document — so a forced broadcast
+    # would collect the whole projection to the driver at scale; AQE
+    # picks broadcast at small SF on its own.
+    bucketed = scored.join(docs.select("doc_id", "source"), "doc_id").select(
         "source",
         "n_tok",
         "mean_p",

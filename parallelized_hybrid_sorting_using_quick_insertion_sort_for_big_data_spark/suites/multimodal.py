@@ -215,11 +215,12 @@ def mm_image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine 24-bit BMP (stdlib struct — BITMAPFILEHEADER, BITMAPINFOHEADER,
     padded bottom-up BGR rows), parse it back, and emit header facts plus
     exact integer pixel features (per-channel sums, global max, and an
-    order-sensitive position-weighted checksum). With the WAV path this
-    makes BOTH stdlib-expressible modalities real codecs; only compressed
-    image formats and video remain behind the documented
-    decode_image_real gate (no codec libraries in the container). Zero
-    shuffle: one mapInPandas synth, one mapInPandas decode."""
+    order-sensitive position-weighted checksum). With the WAV and AVI
+    paths this makes all three modalities real stdlib codecs; only
+    compressed formats (JPEG/PNG, inter-coded video) remain behind the
+    documented decode_image_real gate (no codec libraries in the
+    container). Zero shuffle: one mapInPandas synth, one mapInPandas
+    decode."""
     docs = load_table(spark, sf_dir, "documents")
     return M.image_decode_features(M.attach_image_payload(docs))
 

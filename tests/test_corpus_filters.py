@@ -146,14 +146,9 @@ def test_epoch_shuffle_plan_sharded_window(spark, qs):
 
 def test_gopher_rules_crafted_documents(spark):
     """Each rule fails on a document crafted to violate exactly that rule
-    (and the clean document passes all five) — checked through the same
-    flag expressions the query uses, on a tiny in-memory corpus."""
-    from pyspark.sql import functions as F
-
-    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
-        text as T,
-    )
-
+    (and the clean document passes all five) — checked through
+    ``corpus_filters.gopher_flags``, the SAME function the registered
+    query calls, so the test cannot drift from the shipped expressions."""
     clean = "the data and for with this from " + " ".join(
         f"word{i:02d}" for i in range(50)
     )  # 57 tokens, stopwords present, mean len ~5, no symbols
@@ -174,32 +169,7 @@ def test_gopher_rules_crafted_documents(spark):
         ],
         "source string, text string",
     )
-    # run the SAME pipeline the registered query uses, via a temp table
-    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites.corpus_filters as CF
-
-    t = F.col("text")
-    sym_ratio = (
-        F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")).cast("double")
-        / F.greatest(F.length(t), F.lit(1)).cast("double")
-    )
-    ann = df.select("source", T.tokens(t).alias("toks"), sym_ratio.alias("sym_ratio"))
-    toks = F.col("toks")
-    n_tok = F.size(toks)
-    denom = F.greatest(n_tok, F.lit(1)).cast("double")
-    mwl = F.length(F.array_join(toks, "")).cast("double") / denom
-    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*T.STOPWORDS)))
-    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / denom
-    flags = {
-        r["source"]: r
-        for r in ann.select(
-            "source",
-            n_tok.between(CF._G_WC_LO, CF._G_WC_HI).alias("r_wc"),
-            mwl.between(CF._G_MWL_LO, CF._G_MWL_HI).alias("r_mwl"),
-            (F.col("sym_ratio") < CF._G_SYM_MAX).alias("r_sym"),
-            (stop_hits >= CF._G_STOP_MIN).alias("r_stop"),
-            (alpha_frac >= CF._G_ALPHA_MIN).alias("r_alpha"),
-        ).collect()
-    }
+    flags = {r["source"]: r for r in CFQ.gopher_flags(df).collect()}
     assert all(flags["clean"][r] for r in ("r_wc", "r_mwl", "r_sym", "r_stop", "r_alpha"))
     assert not flags["short"]["r_wc"] and flags["short"]["r_mwl"]
     assert not flags["longw"]["r_mwl"] and flags["longw"]["r_wc"]

@@ -479,10 +479,12 @@ def test_video_avi_roundtrip_is_real(spark):
 def test_audio_near_dup_recovers_planted_pairs(spark):
     """Each shifted copy should near-dup-match its canonical twin unless
     >=2 of its frames sit at a quantization boundary (drift <= 7 per frame
-    against 256-wide buckets): require >=90% of planted pairs recovered,
-    every reported pair to be a planted (canon, canon+SHIFT) pair or an
-    ambient full-signature collision, and the planted pairs to carry
-    n_mismatch <= 1 by construction."""
+    against 256-wide buckets): require >=90% of planted pairs recovered.
+    Every reported pair — planted or ambient — is then re-validated
+    against an INDEPENDENT pure-Python recomputation of the fingerprints
+    from the PCM formula: ordered ids, no duplicate pairs, equal frame
+    counts, and the reported n_mismatch equal to the true bucket hamming
+    (<= 1)."""
     from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
         multimodal as mm,
     )
@@ -496,6 +498,30 @@ def test_audio_near_dup_recovers_planted_pairs(spark):
         if r["id_b"] == r["id_a"] + mm.AUDIO_DUP_SHIFT
     }
     assert len(planted) >= 0.9 * n, f"only {len(planted)}/{n} planted pairs found"
+
+    def buckets(doc_id: int) -> list[int]:
+        canon = doc_id % mm.AUDIO_DUP_SHIFT
+        noisy = doc_id >= mm.AUDIO_DUP_SHIFT
+        ns = mm.audio_n_samples(canon)
+        out = []
+        for start in range(0, ns, mm.AUDIO_FRAME):
+            e = sum(
+                abs(
+                    (canon * 31 + 7 * i * i + (1 if noisy and i % 13 == 0 else 0))
+                    % 65536
+                    - 32768
+                )
+                for i in range(start, min(start + mm.AUDIO_FRAME, ns))
+            )
+            out.append((e // mm.AUDIO_BUCKET_Q) % 256)
+        return out
+
+    seen = set()
     for r in rows:
-        assert r["n_mismatch"] <= 1
-        assert r["n_frames"] >= 2
+        key = (r["id_a"], r["id_b"])
+        assert r["id_a"] < r["id_b"] and key not in seen, key
+        seen.add(key)
+        ba, bb = buckets(r["id_a"]), buckets(r["id_b"])
+        assert len(ba) == len(bb) == r["n_frames"] >= 2, key
+        true_mismatch = sum(1 for x, y in zip(ba, bb) if x != y)
+        assert r["n_mismatch"] == true_mismatch <= 1, (key, true_mismatch)
