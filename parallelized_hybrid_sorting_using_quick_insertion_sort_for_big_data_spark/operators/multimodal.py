@@ -435,16 +435,21 @@ def image_decode_features(with_payload: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 magic, file_size, _, _, offset = struct.unpack_from("<2sIHHI", raw, 0)
-                assert magic == b"BM", "not a BMP payload"
+                if magic != b"BM":
+                    raise ValueError("not a BMP payload")
                 _, w, h, _, bpp = struct.unpack_from("<IiiHH", raw, 14)
                 # the decoder's stride/pixel math assumes the 24bpp
                 # bottom-up layout it documents — fail loudly on anything
                 # else (32bpp, RLE, top-down negative-height BMPs) instead
-                # of emitting garbage sums under a truthful bpp column
-                assert bpp == IMG_BPP and h > 0, (
-                    f"unsupported BMP layout (bpp={bpp}, h={h}); this "
-                    f"decoder handles 24bpp bottom-up pixel arrays only"
-                )
+                # of emitting garbage sums under a truthful bpp column.
+                # ValueError, not assert: python -O strips asserts, and
+                # payload-format validation must survive optimized workers
+                # (ADVICE r10)
+                if bpp != IMG_BPP or h <= 0:
+                    raise ValueError(
+                        f"unsupported BMP layout (bpp={bpp}, h={h}); this "
+                        f"decoder handles 24bpp bottom-up pixel arrays only"
+                    )
                 stride = _bmp_stride(w)
                 img = _decode_dib_rows(raw[offset:], w, h, stride)
                 ypos = np.arange(h, dtype=np.int64)[:, None]
@@ -482,7 +487,11 @@ def image_decode_features(with_payload: DataFrame) -> DataFrame:
 # energy Σ|s| quantized to (energy // 256) % 256 — absorbs that ±7-per-
 # frame drift except at quantization boundaries, and the pair survives
 # unless ≥2 of its frames flip (the banded join needs ONE matching frame;
-# the verify step allows ONE mismatched frame). Everything is
+# the verify step allows ONE mismatched frame). One rarer loss mechanism
+# (ADVICE r10): the +1 lands pre-wrap, so a sample sitting at 65535 wraps
+# to 0 and that frame's energy moves by ~65535 (≈256 buckets), not ≤7 —
+# ~0.06% of docs per the PCM formula; the ≥90% recovery assertion carries
+# margin for both mechanisms. Everything is
 # integer-exact, so the DuckDB oracle replays the whole pipeline
 # analytically from the PCM formula while Spark computes it from the
 # DECODED container bytes — the parity check therefore covers the codec,
@@ -801,7 +810,8 @@ def video_decode_features(with_payload: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
                 magic, riff_size, form = struct.unpack_from("<4sI4s", raw, 0)
-                assert magic == b"RIFF" and form == b"AVI ", "not an AVI payload"
+                if magic != b"RIFF" or form != b"AVI ":
+                    raise ValueError("not an AVI payload")
                 w = h = nf_hdr = None
                 frames = []
                 for cid, body, size in chunks(raw, 12, 8 + riff_size):
@@ -817,7 +827,11 @@ def video_decode_features(with_payload: DataFrame) -> DataFrame:
                         for c2, b2, s2 in chunks(raw, body + 4, body + size):
                             if c2 == b"00db":
                                 frames.append(raw[b2 : b2 + s2])
-                assert w and h and len(frames) == nf_hdr, "chunk walk failed"
+                if not (w and h and len(frames) == nf_hdr):
+                    raise ValueError(
+                        f"AVI chunk walk failed (w={w}, h={h}, "
+                        f"frames={len(frames)}, header says {nf_hdr})"
+                    )
                 stride = _bmp_stride(w)
                 ypos = np.arange(h, dtype=np.int64)[:, None]
                 xpos = np.arange(w, dtype=np.int64)[None, :]

@@ -221,6 +221,106 @@ def exact_near_dup_pairs_blocked(
     )
 
 
+def exact_near_dup_pairs_contracted(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 512,
+    round_digits: int | None = 9,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs with bit-identical vectors PRE-CONTRACTED to one
+    representative before the corpus-wide blocked GEMM (the treatment that
+    fixed ``mm_frame_near_dup``'s variance in r10, commit 050ccd2).
+
+    Topology: group by the raw array value (exact duplicates only — no
+    hashing, so no collision risk), keep ``min(id)`` as the representative,
+    run ``exact_near_dup_pairs_blocked`` over the DISTINCT vectors, then
+    union two provably-complete expansions:
+
+    - intra-group pairs: duplicate vectors are pairwise cosine 1.0, so every
+      (id_a < id_b) inside a group is a hit — a plain equi-self-join on the
+      representative, no GEMM flops spent on them;
+    - rep-rep hits expanded to member × member cross pairs, which all share
+      the rep pair's sim exactly (identical vectors by construction).
+
+    The output pair set — and each pair's rounded sim — is identical to the
+    uncontracted GEMM's: cross-group sims depend only on the two vectors,
+    and intra-group sims reduce to round(cos(v, v), digits). Zero-norm
+    vectors drop on both paths (NULL via ``try_divide`` here, 0-by-
+    convention in the GEMM; neither crosses a positive threshold).
+
+    On a corpus with duplicate factor d, GEMM flops shrink by d² and the
+    block-replication shuffle by d. ``n_rows`` (an UPPER bound is fine —
+    blocks just run underfull) skips the sizing job; when omitted the
+    distinct count is a real job over the contraction. At 100 TB the
+    contraction is one hash shuffle on the vector bytes — the same cost
+    class as the exact-dedup operator — and is worth it whenever the corpus
+    carries any material exact-duplicate mass (crawl corpora always do)."""
+    mem = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__rep", F.min("__id").over(Window.partitionBy("__v")))
+
+    reps = mem.where(F.col("__id") == F.col("__rep")).select(
+        F.col("__id").alias(id_col), F.col("__v").alias(vec_col)
+    )
+    if n_rows is None:
+        n_rows = reps.count()
+    rep_pairs = exact_near_dup_pairs_blocked(
+        reps,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_size=block_size,
+        round_digits=round_digits,
+        n_rows=n_rows,
+    )
+
+    members = mem.select("__rep", "__id")
+    expanded = (
+        rep_pairs.join(
+            members.select(
+                F.col("__rep").alias("id_a"), F.col("__id").alias("__ma")
+            ),
+            "id_a",
+        )
+        .join(
+            members.select(
+                F.col("__rep").alias("id_b"), F.col("__id").alias("__mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "sim",
+        )
+    )
+
+    a, b = mem.alias("a"), mem.alias("b")
+    self_sim = F.try_divide(
+        dot(F.col("a.__v"), F.col("a.__v")),
+        norm(F.col("a.__v")) * norm(F.col("a.__v")),
+    )
+    if round_digits is not None:
+        self_sim = F.round(self_sim, round_digits)
+    intra = (
+        a.join(
+            b,
+            (F.col("a.__rep") == F.col("b.__rep"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            self_sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return intra.unionAll(expanded)
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
@@ -1152,6 +1252,9 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
+    fit_sample: int | None = None,
+    fit_salt: str = "pqfit",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Train the m per-subspace PQ codebooks (deterministic L2 Lloyd,
     init = the k lowest-id subvectors) as ONE (sub, cell, centroid)
@@ -1159,19 +1262,44 @@ def pq_fit(
     round is one corpus pass (broadcast codebook join + argmin) plus one
     (sub, cell, dim) partial-sum shuffle — m never multiplies the job
     count. The codebook (m·k rows) is pinned with localCheckpoint per
-    round so downstream plans stay constant-size regardless of ``iters``."""
+    round so downstream plans stay constant-size regardless of ``iters``.
+
+    ``fit_sample`` (r11, VERDICT r10 item 2): train each Lloyd round on
+    the deterministic md5-coin sample ``hash_bucket(id) < fit_sample``
+    (bucket space 1e6 — sampling.DENOM), exactly the sampler the split/
+    downsample operators use, so the DuckDB oracle replays the SAME
+    training subset bit-for-bit. Init stays the k lowest-id subvectors of
+    the FULL corpus (engine-trivial either way); only the assign/update
+    rounds shrink. This is how a 100 TB PQ deployment actually fits:
+    codebooks converge on a few million training vectors — a full-corpus
+    Lloyd pass per round is pure waste at scale.
+
+    ``checkpoint=False`` (r11) returns the codebook as a LAZY plan instead
+    of eagerly pinning each round: zero driver-blocking jobs at build time,
+    so independent fits (e.g. a design sweep's 4 configs) all execute
+    inside ONE downstream action with stage-level parallelism. The
+    downstream plan then embeds ``iters`` nested rounds and each consumer
+    subtree re-derives the codebook — right when iters is small and the
+    training relation is a sample; keep the default (eager pin) for deep
+    fits or when the codebook feeds many consumers."""
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     dl = dim // m
     from ..sources.tables import spread_scan
+    from .sampling import hash_bucket
 
     sub = _pq_sub_expand(spread_scan(df), m, dl, id_col, vec_col)
+    train = sub
+    if fit_sample is not None:
+        train = sub.where(hash_bucket(F.col(id_col), fit_salt) < fit_sample)
     cents = sub.where(F.col(id_col) < k).select(
         "sub", F.col(id_col).alias("cell"), F.col("__sv").alias("centroid")
     )
     for _ in range(iters):
-        assigned = _pq_assign(sub, cents, id_col, round_digits)
-        cents = _pq_update(assigned).localCheckpoint(eager=True)
+        assigned = _pq_assign(train, cents, id_col, round_digits)
+        cents = _pq_update(assigned)
+        if checkpoint:
+            cents = cents.localCheckpoint(eager=True)
     return cents
 
 
@@ -1185,6 +1313,7 @@ def pq_codes(
     vec_col: str = "embedding",
     round_digits: int = 9,
     books: DataFrame | None = None,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """Train an m-subspace PQ codebook (deterministic L2 Lloyd, init = the
     k lowest-id subvectors) and emit every vector's codes:
@@ -1202,7 +1331,10 @@ def pq_codes(
     from ..sources.tables import spread_scan
 
     if books is None:
-        books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
+        books = pq_fit(
+            df, m, k, iters, dim, id_col, vec_col, round_digits,
+            fit_sample=fit_sample,
+        )
     sub = _pq_sub_expand(spread_scan(df), m, dl, id_col, vec_col)
     return _pq_assign(sub, books, id_col, round_digits).select(
         F.col(id_col), F.col("sub"), F.col("cell").cast("bigint").alias("code")
@@ -1220,6 +1352,8 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
+    fit_sample: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PQ serving via asymmetric distance computation (ADC): the query
     stays exact, every corpus vector is its reconstruction x̂ = ⊕_j
@@ -1232,8 +1366,15 @@ def pq_adc_topk(
     (not 512), the LUT is m·k doubles broadcast with the query, and the
     scan never touches the raw vectors. Exactness: per-(sub, code) partials
     are rounded then summed as DECIMAL (order-independent), so the fused
-    score — and therefore the ranking — is engine-exact."""
-    books = pq_fit(df, m, k, iters, dim, id_col, vec_col, round_digits)
+    score — and therefore the ranking — is engine-exact.
+
+    ``fit_sample``: md5-coin training sample for the codebook fit (see
+    :func:`pq_fit`); the final code assignment and the ADC scan always
+    cover the full corpus."""
+    books = pq_fit(
+        df, m, k, iters, dim, id_col, vec_col, round_digits,
+        fit_sample=fit_sample, checkpoint=checkpoint,
+    )
     codes = pq_codes(
         df, m, k, iters, dim, id_col, vec_col, round_digits, books=books
     )
@@ -1279,12 +1420,15 @@ def pq_adc_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`pq_adc_topk` — the PQ fit/assignment CTE
     chain from :func:`pq_codes_sql` plus the per-subspace LUT (identical
     sequential-fold dot, rounded) and the decimal-exact score sum."""
     dl = dim // m
-    base = pq_codes_sql(m, k, iters, dim, table, id_col, vec_col)
+    base = pq_codes_sql(
+        m, k, iters, dim, table, id_col, vec_col, fit_sample=fit_sample
+    )
     # split the generated "WITH <ctes>\n<union of finals>" into parts
     ctes_txt, _, finals_txt = base.partition("\nSELECT")
     finals_txt = "SELECT" + finals_txt
@@ -1330,10 +1474,17 @@ def pq_codes_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample: int | None = None,
+    fit_salt: str = "pqfit",
 ) -> str:
     """DuckDB mirror of :func:`pq_codes` — every subspace's Lloyd rounds
     unrolled as (assign, update) CTE pairs, L2² written as the identical
-    (x-y)*(x-y) sum, same decimal-mean update as ``kmeans_ctes_sql``."""
+    (x-y)*(x-y) sum, same decimal-mean update as ``kmeans_ctes_sql``.
+    ``fit_sample`` mirrors :func:`pq_fit`'s md5-coin training sample via
+    ``sampling.bucket_sql`` — generated from the same constants, so the
+    training subset is bit-identical across engines."""
+    from .sampling import bucket_sql
+
     dl = dim // m
     l2 = (
         "round(list_sum(list_transform(generate_series(1, {n}), "
@@ -1348,6 +1499,13 @@ def pq_codes_sql(
             f"e{j} AS (SELECT {id_col}, CAST({vec_col}[{lo}:{hi}] AS DOUBLE[]) AS v "
             f"FROM {table})"
         )
+        train = f"e{j}"
+        if fit_sample is not None:
+            train = f"f{j}"
+            ctes.append(
+                f"f{j} AS (SELECT * FROM e{j} "
+                f"WHERE {bucket_sql(id_col, fit_salt)} < {fit_sample})"
+            )
         ctes.append(
             f"c{j}_0 AS (SELECT {id_col} AS cell, v AS cv FROM e{j} WHERE {id_col} < {k})"
         )
@@ -1360,7 +1518,7 @@ def pq_codes_sql(
              PARTITION BY e.{id_col}
              ORDER BY {l2} ASC, c.cell
            ) AS rn
-    FROM e{j} e, c{j}_{it - 1} c
+    FROM {train} e, c{j}_{it - 1} c
   ) WHERE rn = 1
 )"""
             )

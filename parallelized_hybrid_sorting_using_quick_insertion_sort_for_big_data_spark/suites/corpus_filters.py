@@ -219,8 +219,8 @@ bucketed AS (
 SELECT source, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-       round(min(mean_p), 9) AS min_mean_p,
-       round(max(mean_p), 9) AS max_mean_p
+       CAST(floor(min(mean_p) * 1e9) AS BIGINT) AS min_mean_p_e9,
+       CAST(floor(max(mean_p) * 1e9) AS BIGINT) AS max_mean_p_e9
 FROM bucketed GROUP BY source, bucket
 """
 
@@ -280,11 +280,16 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    # Score bounds as scaled BIGINT (floor(mean_p·1e9), identical double
+    # multiply on both engines) instead of round(…, 9) doubles: the hashed
+    # columns stay integer-only, removing the one float-comparison seam
+    # this suite had (ADVICE r10 — Spark's BigDecimal HALF_UP round vs
+    # DuckDB's multiply/round/divide could diverge 1 ulp at a near-tie).
     return bucketed.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
-        F.round(F.min("mean_p"), 9).alias("min_mean_p"),
-        F.round(F.max("mean_p"), 9).alias("max_mean_p"),
+        F.floor(F.min("mean_p") * F.lit(1e9)).cast("long").alias("min_mean_p_e9"),
+        F.floor(F.max("mean_p") * F.lit(1e9)).cast("long").alias("max_mean_p_e9"),
     )
 
 

@@ -73,20 +73,39 @@ def test_gopher_rules_plan_zero_joins_one_rollup(spark, qs):
 
 
 def test_unigram_buckets_partition_the_corpus(spark, qs):
-    """Bucket doc counts sum to the corpus size, and score bounds respect
-    the fixed thresholds bucket by bucket."""
+    """Bucket doc counts sum to the corpus size, and score bounds (scaled
+    BIGINT, floor(mean_p·1e9)) respect the fixed thresholds bucket by
+    bucket."""
     rows = qs["text_unigram_lm_score"](spark, SF_DIR).collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert sum(r["n_docs"] for r in rows) == docs.count()
+    head_e9 = CFQ._LM_HEAD * 1e9
+    mid_e9 = CFQ._LM_MIDDLE * 1e9
     for r in rows:
-        assert r["min_mean_p"] <= r["max_mean_p"]
+        assert r["min_mean_p_e9"] <= r["max_mean_p_e9"]
         if r["bucket"] == "head":
-            assert r["min_mean_p"] >= CFQ._LM_HEAD - 1e-9
+            assert r["min_mean_p_e9"] >= head_e9 - 1
         elif r["bucket"] == "middle":
-            assert CFQ._LM_MIDDLE - 1e-9 <= r["min_mean_p"]
-            assert r["max_mean_p"] < CFQ._LM_HEAD + 1e-9
+            assert mid_e9 - 1 <= r["min_mean_p_e9"]
+            assert r["max_mean_p_e9"] < head_e9 + 1
         else:
-            assert r["max_mean_p"] < CFQ._LM_MIDDLE + 1e-9
+            assert r["max_mean_p_e9"] < mid_e9 + 1
+
+
+def test_unigram_all_three_buckets_populated(spark, qs):
+    """Calibration guard (ADVICE r10): _LM_HEAD/_LM_MIDDLE are pinned to
+    the current synthetic corpus's narrow score range, so a testdata
+    regeneration that shifts token distributions could silently collapse
+    every document into one bucket — the partition/threshold tests above
+    would pass vacuously. Require head, middle AND tail to be non-empty
+    at SF_DIR so a defeated cutoff fails visibly (fix = recalibrate the
+    two constants to the new corpus tertiles)."""
+    rows = qs["text_unigram_lm_score"](spark, SF_DIR).collect()
+    buckets = {r["bucket"] for r in rows}
+    assert buckets == {"head", "middle", "tail"}, (
+        f"pinned LM cutoffs no longer discriminate this corpus: only "
+        f"{sorted(buckets)} populated — recalibrate _LM_HEAD/_LM_MIDDLE"
+    )
 
 
 def test_unigram_plan_no_cartesian_beyond_scalar(spark, qs):

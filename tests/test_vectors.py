@@ -62,19 +62,43 @@ def test_pq_codes_shape(spark):
 
 def test_pq_recall_sweep_surface(spark):
     """The m×k sweep (VERDICT r08 item 5) emits one row per design point
-    with a well-formed recall, and the m=4/k=8 row agrees exactly with
-    the single-config vec_pq_recall query — same fit, same ADC ranking,
-    same intersection. No monotonicity pin: this corpus is random
-    near-orthogonal vectors (PQ-hard, flat-low surface by construction);
-    the value check is the DuckDB oracle parity."""
+    with a well-formed recall, and the m=4/k=8 row agrees exactly with a
+    directly-computed ADC ranking under the SAME sample-fit codebooks
+    (r11: the sweep fits on the 25% md5-coin sample, so it no longer
+    shares the full-corpus fit of the single-config vec_pq_recall — the
+    cross-check recomputes the sample-fit leg instead). No monotonicity
+    pin: this corpus is random near-orthogonal vectors (PQ-hard, flat-low
+    surface by construction); the value check is the DuckDB oracle
+    parity."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        vectors as VQ,
+    )
+
     qs = entrymod.queries()
     rows = {(r["m"], r["k"]): r for r in qs["vec_pq_recall_sweep"](spark, SF_DIR).collect()}
     assert set(rows) == {(4, 8), (4, 16), (8, 8), (8, 16)}
     for r in rows.values():
         assert 0 <= r["n_hit"] <= 10
         assert abs(r["recall"] - r["n_hit"] / 10) < 1e-9
-    single = qs["vec_pq_recall"](spark, SF_DIR).collect()[0]
-    assert rows[(4, 8)]["n_hit"] == single["n_hit"]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.where(F.col("vec_id") == 7).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+            ),
+            emb,
+            k=10,
+        ).collect()
+    }
+    adc = {
+        r["vec_id"]
+        for r in similarity.pq_adc_topk(
+            emb, query_id=7, m=4, k=8, iters=VQ._PQ_ITERS, dim=VQ._PQ_DIM,
+            topk=10, fit_sample=VQ._PQ_FIT_SAMPLE,
+        ).collect()
+    }
+    assert rows[(4, 8)]["n_hit"] == len(exact & adc)
 
 
 def test_rrf_fused_ranks_contiguous(spark):
@@ -161,6 +185,41 @@ def test_blocked_gemm_matches_naive_exact(spark, emb):
     }
     assert blocked == naive
     assert len(blocked) >= 100
+
+
+def test_contracted_gemm_matches_blocked_exact(spark, emb):
+    """Pre-contracting exact-duplicate vectors (r11, VERDICT r10 item 1)
+    returns the identical pair set and round(9) sims as the uncontracted
+    blocked GEMM — on a corpus with triple-duplicate groups (so intra-group
+    expansion emits k(k-1)/2 = 3 pairs per group) AND perturbed near-dups
+    (so cross-group rep-rep expansion is exercised too)."""
+    base = _perturbed_corpus(spark, emb.limit(60))  # 120 rows, cos≈0.998 pairs
+    third = base.select((F.col("vec_id") + 200_000).alias("vec_id"), "embedding")
+    corpus = base.unionAll(third)  # every vector now appears 2×... groups of 2
+    blocked = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_blocked(
+            corpus, threshold=0.95, block_size=64
+        ).collect()
+    }
+    contracted = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_contracted(
+            corpus, threshold=0.95, block_size=64
+        ).collect()
+    }
+    assert contracted == blocked
+    # sanity: intra-group (sim 1.0) and cross-group (≈0.998) pairs both present
+    sims = {s for _, _, s in contracted}
+    assert 1.0 in sims and any(s < 1.0 for s in sims)
+    # n_rows as a loose UPPER bound (full corpus count) must not change results
+    upper = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_contracted(
+            corpus, threshold=0.95, block_size=64, n_rows=240
+        ).collect()
+    }
+    assert upper == blocked
 
 
 def test_ivf_full_probe_equals_brute_force(spark, emb):
