@@ -142,12 +142,21 @@ def exact_near_dup_pairs_blocked(
     per-pair ``zip_with`` folds — two orders of magnitude faster per flop,
     and each task is one cache-friendly (block × block) matrix product.
 
-    Topology: rows are hashed into B = ceil(n/block_size) blocks; each block
-    is shipped to the B block-pairs it participates in (shuffle volume
-    O(n·B) rows), then each (bi ≤ bj) group computes its GEMM independently.
-    This is the standard exact-similarity-join decomposition; at corpus
-    scale you bound B by running it per LSH bucket or IVF cell
+    Topology: rows are hashed into B blocks; each block is shipped to the
+    B block-pairs it participates in (shuffle volume O(n·B) rows), then
+    each (bi ≤ bj) group computes its GEMM independently. This is the
+    standard exact-similarity-join decomposition; at corpus scale you
+    bound B by running it per LSH bucket or IVF cell
     (``lsh_near_dup_pairs``) rather than corpus-wide.
+
+    Block sizing (r11): ``block_size`` is a FLOOR, not the divisor — the
+    effective block grows with the corpus so B stays ≈64 (replication —
+    and therefore shuffle volume per row — stops growing linearly with n)
+    until blocks hit the 4096-row ceiling that bounds each task's sims
+    matrix at ≤128 MB; past that point B grows again (inherent to the
+    O(n²) decomposition — the docstring's per-bucket prescription is the
+    real scale path). Block count affects only the physical grouping:
+    the pair set and every rounded sim are block-layout-independent.
     """
     import pandas as pd
 
@@ -157,7 +166,8 @@ def exact_near_dup_pairs_blocked(
         # frames — callers at scale should pass n_rows (or use
         # ``bucketed_near_dup_pairs``, which never needs a corpus-wide B)
         n_rows = df.count()
-    n_blocks = max(1, -(-n_rows // block_size))
+    eff_block = min(max(block_size, -(-n_rows // 64)), 4096)
+    n_blocks = max(1, -(-n_rows // eff_block))
 
     vecs = df.select(
         F.col(id_col).alias("__id"),

@@ -116,6 +116,22 @@ QUERIES = (
     # late round-10: decode -> fingerprint -> banded near-dup join; the
     # banded candidate join bounds pair growth like the MinHash device
     "mm_audio_near_dup",
+    # round-11 (VERDICT r10 item 5): the top-5 most expensive registry
+    # cells all get slope rows. dedup_sorted_neighborhood and
+    # mm_frame_dedup_collapse already have r09 rows and are re-measured;
+    # these three are new to the harness. dedup_lsh_recall composes the
+    # MinHash-LSH candidate device with an exact-Jaccard verify (banded —
+    # expected ~linear); vec_pq_recall_sweep is 4 sample-fit PQ configs
+    # (Lloyd passes linear in the 25% training sample, ADC linear in the
+    # corpus); vec_ann_recall's exact leg is a corpus-wide blocked GEMM —
+    # O(n²) BY DEFINITION of an exact-recall measurement, so its slope is
+    # expected ~quadratic-plus-shuffle and documented as inherent cost
+    # (the query's own docstring mandates a sampled exact side at corpus
+    # scale; the production ANN path itself is the banded/bucketed family
+    # with measured ~2x/10x slopes).
+    "dedup_lsh_recall",
+    "vec_pq_recall_sweep",
+    "vec_ann_recall",
 )
 
 
