@@ -89,8 +89,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # vec_pq_recall_sweep: codebooks now fit on the deterministic 25%
     # md5-coin sample with lazy no-checkpoint plans, oracle regenerated to
     # replay the same subset; text_unigram_lm_score: score bounds emitted
-    # as scaled BIGINT floor(mean_p*1e9) — ADVICE r10 — displacing
-    # rel_sql_q15_top_supplier, which stays parity-pinned, to round 12).
+    # as scaled BIGINT floor(mean_p*1e9) — ADVICE r10; dedup_lsh_recall +
+    # vec_pq_recall: the same single-pass recall-join restructure as
+    # vec_ann_recall. The three displaced tail names (rel_sql_q15/q12/q13,
+    # all parity-pinned) rotate to round 12).
     # Then OLDEST-DRIVER-CHECKED FIRST: the full r05 block (12 names whose
     # last driver row is CORRECTNESS_r05 — the registry's oldest) followed
     # by the r07 block — names WITHOUT an ORACLE_QUERIES parity pin first
@@ -112,6 +114,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vec_ann_recall",
     "vec_pq_recall_sweep",
     "text_unigram_lm_score",
+    "dedup_lsh_recall",
+    "vec_pq_recall",
     "fuzzy_name_match",
     "mm_byte_features",
     "pipeline_dedup_keep_best",
@@ -157,8 +161,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rel_sql_q8_market_share",
     "rel_sql_q9_product_profit",
     "rel_sql_q11_important_stock",
-    "rel_sql_q12_ship_classes",
-    "rel_sql_q13_customer_distribution",
 )
 
 _DRIVER_PRIORITY_R10: tuple[str, ...] = (

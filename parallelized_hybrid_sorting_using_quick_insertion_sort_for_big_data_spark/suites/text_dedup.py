@@ -1714,30 +1714,34 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" qq")).alias("text"),
         )
     )
-    exact = dedup.jaccard_pairs(
-        corpus, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
-    ).select("id_a", "id_b")
-    lsh = dedup.minhash_lsh_pairs(
-        corpus, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T,
-        seed=42, portable=True,
-    ).select("id_a", "id_b")
-    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        e.crossJoin(F.broadcast(l))
-        .crossJoin(F.broadcast(h))
-        .select(
-            F.col("n_exact").cast("bigint").alias("n_exact"),
-            F.col("n_lsh").cast("bigint").alias("n_lsh"),
-            F.col("n_hit").cast("bigint").alias("n_hit"),
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 9
-            ).alias("recall"),
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_lsh"), F.lit(1)), 9
-            ).alias("est_precision"),
+    exact = (
+        dedup.jaccard_pairs(
+            corpus, n=_NGRAM_N, threshold=_JACCARD_T, max_shingle_freq=_MAX_SHINGLE_DF
         )
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(
+            corpus, n=_NGRAM_N, num_hashes=32, bands=8, threshold=_JACCARD_T,
+            seed=42, portable=True,
+        )
+        .select("id_a", "id_b")
+        .withColumn("__l", F.lit(1))
+    )
+    # single full-outer join + one aggregate (r11): the triple-aggregate
+    # crossJoin form evaluated BOTH pair legs twice — the exact-Jaccard
+    # leg is this cell's entire cost, so the restructure halves it (the
+    # vec_ann_recall double-evaluation class)
+    hit = F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1))
+    return exact.join(lsh, ["id_a", "id_b"], "full_outer").agg(
+        F.count("__e").cast("bigint").alias("n_exact"),
+        F.count("__l").cast("bigint").alias("n_lsh"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(hit / F.greatest(F.count("__e"), F.lit(1)), 9).alias("recall"),
+        F.round(hit / F.greatest(F.count("__l"), F.lit(1)), 9).alias(
+            "est_precision"
+        ),
     )
 
 

@@ -616,25 +616,34 @@ def vec_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.where(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    exact = similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K).select("vec_id")
-    adc = similarity.pq_adc_topk(
-        emb, query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
-        topk=_PQ_RECALL_K,
-    ).select("vec_id")
-    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    a = adc.agg(F.count(F.lit(1)).alias("n_adc"))
-    h = exact.join(adc, ["vec_id"]).agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        e.crossJoin(a)
-        .crossJoin(h)
-        .select(
-            "n_exact",
-            "n_adc",
-            "n_hit",
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 9
-            ).alias("recall"),
+    exact = (
+        similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K)
+        .select("vec_id")
+        .withColumn("__e", F.lit(1))
+    )
+    adc = (
+        similarity.pq_adc_topk(
+            emb, query_id=7, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_DIM,
+            topk=_PQ_RECALL_K,
         )
+        .select("vec_id")
+        .withColumn("__a", F.lit(1))
+    )
+    # single full-outer join + one aggregate (r11): the triple-aggregate
+    # crossJoin form evaluated both rankings twice (the vec_ann_recall
+    # double-evaluation class — exchange reuse covers the shuffle write,
+    # not the post-shuffle fit/ranking work)
+    return exact.join(adc, ["vec_id"], "full_outer").agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__a").alias("n_adc"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+        F.round(
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__a").isNotNull(), 1))
+            / F.greatest(F.count("__e"), F.lit(1)),
+            9,
+        ).alias("recall"),
     )
 
 
