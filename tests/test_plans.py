@@ -883,3 +883,28 @@ def test_span_dedup_plans(spark, qs):
         for schema in PI.scan_read_schemas(df):
             assert "lang" not in schema and "source" not in schema, (name, schema)
     PI.assert_max_exchanges(report, 4)
+
+
+def test_recall_cells_single_evaluation(spark, qs):
+    """r11 regression gate for the double-evaluation class: the recall
+    measurement cells are ONE full-outer join + ONE aggregate, so each
+    pair leg's expensive stage appears exactly once in the physical plan.
+    The pre-r11 triple-aggregate crossJoin form evaluated both legs twice
+    (exchange reuse covers only the shuffle write, not the post-shuffle
+    applyInPandas GEMM / Jaccard re-rank work) — that form re-appearing
+    would double FlatMapGroupsInPandas (the blocked-GEMM exact leg of
+    vec_ann_recall) and re-introduce scalar-aggregate nested loops."""
+    ann = qs["vec_ann_recall"](spark, SF_DIR)
+    # simple mode: formatted mode prints each node twice (tree + details)
+    plan = PI.simple_plan(ann)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    # dedup_lsh_recall's single-pass form has NO nested loops at all;
+    # vec_pq_recall keeps exactly its two sanctioned broadcast scalar
+    # joins (the query-vector broadcast in brute_force_topk and the
+    # 1-row qrow broadcast building the ADC LUT) — the crossJoined
+    # scalar-count aggregates of the old form would push it past that.
+    for name, max_bnlj in (("dedup_lsh_recall", 0), ("vec_pq_recall", 2)):
+        p = PI.simple_plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, (name, p)
+        assert p.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, p)
