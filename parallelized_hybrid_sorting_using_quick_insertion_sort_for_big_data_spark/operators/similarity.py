@@ -1364,6 +1364,7 @@ def pq_adc_topk(
     round_digits: int = 9,
     fit_sample: int | None = None,
     checkpoint: bool = True,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """PQ serving via asymmetric distance computation (ADC): the query
     stays exact, every corpus vector is its reconstruction x̂ = ⊕_j
@@ -1380,11 +1381,17 @@ def pq_adc_topk(
 
     ``fit_sample``: md5-coin training sample for the codebook fit (see
     :func:`pq_fit`); the final code assignment and the ADC scan always
-    cover the full corpus."""
-    books = pq_fit(
-        df, m, k, iters, dim, id_col, vec_col, round_digits,
-        fit_sample=fit_sample, checkpoint=checkpoint,
-    )
+    cover the full corpus. ``books``: a pre-built codebook relation
+    (``pq_fit`` output) — the codebook feeds TWO consumers here (the code
+    assignment and the LUT), so callers composing several configs can
+    hand in ``pq_fit(..., checkpoint=False).localCheckpoint(eager=False)``:
+    the lazy checkpoint materializes once inside the first action and both
+    consumers reuse it, with no driver-blocking job at build time."""
+    if books is None:
+        books = pq_fit(
+            df, m, k, iters, dim, id_col, vec_col, round_digits,
+            fit_sample=fit_sample, checkpoint=checkpoint,
+        )
     codes = pq_codes(
         df, m, k, iters, dim, id_col, vec_col, round_digits, books=books
     )
