@@ -650,3 +650,38 @@ def test_nprobe_recall_monotone_in_probes(spark):
     assert by_q
     for q, rec in by_q.items():
         assert rec[1] <= rec[2] <= rec[4], (q, rec)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vec3 = st.lists(
+    st.sampled_from([0.0, 0.5, 1.0, -1.0, 2.0]), min_size=3, max_size=3
+)
+
+
+@given(st.lists(_vec3, min_size=2, max_size=18))
+@settings(max_examples=8, deadline=None)
+def test_contracted_equals_naive_exact_property(spark, vecs):
+    """Property pin for the r11 contraction: on ARBITRARY small corpora —
+    including natural exact-duplicate groups of any multiplicity (the tiny
+    component alphabet makes collisions likely) and zero-norm vectors
+    (dropped on both paths) — the contracted pair set equals the naive
+    cross-join exact pair set, pair for pair, with sims agreeing after
+    rounding."""
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    naive = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.exact_near_dup_pairs(corpus, threshold=0.8).collect()
+    }
+    contracted = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.exact_near_dup_pairs_contracted(
+            corpus, threshold=0.8, block_size=4
+        ).collect()
+    }
+    assert set(contracted) == set(naive)
+    for pair, sim in contracted.items():
+        assert abs(sim - naive[pair]) < 1e-8, (pair, sim, naive[pair])
