@@ -134,6 +134,7 @@ def exact_near_dup_pairs_blocked(
     block_size: int = 512,
     round_digits: int | None = 9,
     n_rows: int | None = None,
+    cap_blocks: bool = True,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via blocked matrix multiply.
 
@@ -157,6 +158,12 @@ def exact_near_dup_pairs_blocked(
     O(n²) decomposition — the docstring's per-bucket prescription is the
     real scale path). Block count affects only the physical grouping:
     the pair set and every rounded sim are block-layout-independent.
+
+    ``cap_blocks=False`` (r12, ADVICE r11) restores the pre-r11 semantics
+    where ``block_size`` is a hard CAP on rows per block (the divisor):
+    memory-constrained callers who sized ``block_size`` to bound each
+    task's sims matrix get that bound back, at the cost of block
+    replication growing linearly with the corpus.
     """
     import pandas as pd
 
@@ -166,7 +173,9 @@ def exact_near_dup_pairs_blocked(
         # frames — callers at scale should pass n_rows (or use
         # ``bucketed_near_dup_pairs``, which never needs a corpus-wide B)
         n_rows = df.count()
-    eff_block = min(max(block_size, -(-n_rows // 64)), 4096)
+    eff_block = (
+        min(max(block_size, -(-n_rows // 64)), 4096) if cap_blocks else block_size
+    )
     n_blocks = max(1, -(-n_rows // eff_block))
 
     vecs = df.select(
@@ -268,9 +277,17 @@ def exact_near_dup_pairs_contracted(
     contraction is one hash shuffle on the vector bytes — the same cost
     class as the exact-dedup operator — and is worth it whenever the corpus
     carries any material exact-duplicate mass (crawl corpora always do)."""
+    from pyspark.storagelevel import StorageLevel
+
     mem = df.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__rep", F.min("__id").over(Window.partitionBy("__v")))
+    # mem fans out to five consumers (reps + optional count, two member
+    # join sides, two intra self-join sides); exchange reuse covers only
+    # the shuffle WRITE, so without a pin each consumer re-runs the
+    # corpus-wide window (ADVICE r11). Persist follows the
+    # jaccard_pairs/minhash_lsh_pairs convention.
+    mem = mem.persist(StorageLevel.MEMORY_AND_DISK)
 
     reps = mem.where(F.col("__id") == F.col("__rep")).select(
         F.col("__id").alias(id_col), F.col("__v").alias(vec_col)

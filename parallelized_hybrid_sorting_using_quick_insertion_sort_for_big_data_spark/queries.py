@@ -81,8 +81,84 @@ _DRIVER_WINDOW = 50
 # first driver row; round 7 rotates the remaining 29 r04 names + the r05
 # block. NEVER assume old rows stay valid across a testdata regeneration
 # (r03 TIMESTAMP_NTZ incident; compare testdata_checksums_r05.txt first).
+#
+# SINCE ROUND 12 the window is DERIVED MECHANICALLY (VERDICT r11 item 1):
+#   python3 scripts/rotate_window.py --front <changed-this-round names...>
+# Derivation: FRONT = queries whose implementation/oracle changed this round
+# (they need a fresh driver row regardless of recency), then MUST = every
+# name whose newest driver row predates the last TWO recorded rounds and
+# that has no ORACLE_QUERIES parity pin (once this round's CORRECTNESS file
+# lands, "last 3 rounds" = last-2-on-disk + this window, so anything
+# stale-and-unpinned outside the window would turn the recency guard red),
+# then FILL = stale-but-pinned names oldest-checked-first. The committed
+# tuple is verified forward-looking by
+# tests/test_session.py::test_driver_window_survives_this_rounds_artifact
+# (which re-runs the same derivation check), so a hand edit that would go
+# red between sessions fails pytest NOW, not next round.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 11 WINDOW (50 exactly; pytest-guarded in test_session.py).
+    # ROUND 12 WINDOW — output of
+    #   scripts/rotate_window.py --front dedup_lsh_recall
+    # FRONT: dedup_lsh_recall (VERDICT r11 item 5: recall now measured on the
+    # deterministic md5-coin sampled pair set at scale; oracle regenerated).
+    # MUST (22): the 7 names the judge's r11 pytest run flagged
+    # (graph_bfs_levels … text_vocab_growth) plus the 15 r09-checked
+    # unpinned names that would fall out when CORRECTNESS_r12 lands.
+    # FILL (27): the full r07 block (17 names, the registry's oldest rows)
+    # then the r08 block alphabetically, as far as fits.
+    "dedup_lsh_recall",
+    "graph_bfs_levels",
+    "graph_lpa_communities",
+    "graph_triangle_count",
+    "pipeline_data_quality_audit",
+    "sample_weighted_topk",
+    "skew_twophase_share",
+    "text_vocab_growth",
+    "events_stream_sessionize",
+    "events_stream_stream_join",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "graph_kcore",
+    "mm_frame_sample",
+    "pipeline_scd2_merge",
+    "rel_correlated_subquery",
+    "rel_grouping_sets",
+    "rel_pivot_priority_by_year",
+    "rel_unpivot_part_metrics",
+    "rel_window_rank_functions",
+    "rel_window_running_totals",
+    "sort_within_partitions",
+    "vec_kmeans_ivf_topk",
+    "events_asof_join",
+    "events_range_join",
+    "events_sessionize",
+    "events_stream_enrich",
+    "events_stream_user_profile",
+    "graph_degree_distribution",
+    "mm_frame_inventory",
+    "mm_metadata_summary",
+    "rel_join_revenue_by_nation",
+    "rel_q1_pricing_summary",
+    "rel_semi_anti_join",
+    "rel_sql_q12_ship_classes",
+    "rel_sql_q13_customer_distribution",
+    "rel_sql_q15_top_supplier",
+    "rel_sql_q16_supplier_relationship",
+    "rel_sql_q20_part_promotion",
+    "rel_window_top_orders_per_segment",
+    "decontam_embedding",
+    "dedup_containment",
+    "dedup_segment_rewrite",
+    "dedup_sorted_neighborhood",
+    "events_attribution",
+    "events_hll_intersection",
+    "events_psi_drift",
+    "events_resample_interpolate",
+    "events_stream_attribution",
+    "events_stream_hll_daily",
+)
+
+_DRIVER_PRIORITY_R11: tuple[str, ...] = (
+    # ROUND 11 WINDOW (kept for the rotation audit trail).
     # Rotation per VERDICT r10 items 3 + 8: FRONT = the two queries whose
     # implementation changed this round (vec_ann_recall: single-pass
     # full-outer recall join replacing the triple-aggregate crossJoin;

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, text as T
+from ..operators import dedup, sampling, text as T
 from ..queries import query
 from ..sources.tables import load_table, spread_scan
 
@@ -1650,11 +1650,38 @@ _RC_SHIFT = 3_000_000
 # are seconds, with hundreds of planted pairs still measured at sf0.01).
 _RC_MOD = 5
 
+# r12 (VERDICT r11 item 5): on top of the mod-5 thinning, the measurement
+# corpus is BOUNDED to an expected _RC_CAP base documents by the md5-coin
+# sampler (operators/sampling.hash_bucket — the same coin the split/
+# downsample/PQ-fit operators use, replayed bit-for-bit by the oracle):
+# keep doc iff coin(doc_id) * n_base < _RC_CAP * DENOM, exact integer math
+# in both engines. The planted twin inherits its base doc's coin (the twin
+# is derived FROM the kept set), so planted pairs survive at the doc rate,
+# not its square. Consequence at scale: recall/precision are measured on a
+# deterministic ~_RC_CAP-doc pair sample, so the exact-Jaccard leg costs
+# O(cap^2) REGARDLESS of corpus size — the measurement no longer grows
+# with the corpus at all (sf1 was 41 s / slope 10.7x when the pair set
+# scaled 1:1 with the corpus). _RC_CAP = 80 deliberately binds a little
+# even at the driver's sf0.01 (100 base docs -> ~0.8 keep rate), so every
+# driver round value-checks the coin replay itself, and a ~80-pair sample
+# still pins recall to a few percent. The production LSH path
+# (dedup_minhash_lsh / minhash_lsh_pairs) is untouched — full corpus.
+_RC_CAP = 80
+
+_RC_COIN = f"({sampling.bucket_sql('doc_id', 'lshrc')})"
+
 _RECALL_CORPUS_SQL = f"""(
-  SELECT doc_id, text FROM documents WHERE doc_id % {_RC_MOD} = 0
+  WITH rc_base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % {_RC_MOD} = 0
+  ),
+  rc_n AS (SELECT count(*) AS n_base FROM rc_base),
+  rc_keep AS (
+    SELECT doc_id, text FROM rc_base, rc_n
+    WHERE {_RC_COIN} * n_base < {_RC_CAP} * {sampling.DENOM}
+  )
+  SELECT doc_id, text FROM rc_keep
   UNION ALL
-  SELECT doc_id + {_RC_SHIFT} AS doc_id, text || ' qq' AS text
-  FROM documents WHERE doc_id % {_RC_MOD} = 0
+  SELECT doc_id + {_RC_SHIFT} AS doc_id, text || ' qq' AS text FROM rc_keep
 ) corpus"""
 
 _LSH_RECALL_ORACLE = f"""
@@ -1700,13 +1727,29 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact capped-shingle Jaccard pair set, on a corpus with
     deterministically planted suffix-perturbed near-dups — one row
     (n_exact, n_lsh, n_hit, recall, est_precision), every leg and the
-    intersection independently recomputed by the generated oracle. At
-    corpus scale the exact leg runs on a SAMPLE; the measurement shape is
-    identical (the vec_ann_recall disposition)."""
-    docs = (
+    intersection independently recomputed by the generated oracle.
+
+    r12: the measurement corpus is BOUNDED — an expected ``_RC_CAP``-doc
+    md5-coin sample of the mod-5 base (coin * n_base < cap * DENOM, exact
+    integer math the oracle replays), twins derived from the kept set so
+    planted pairs survive at the doc rate. The exact-Jaccard leg is the
+    cell's entire cost and is O(cap^2) regardless of corpus size; the
+    production LSH path itself stays full-corpus elsewhere. The only
+    corpus-scale work left is the adaptive-fraction sizing count — a
+    driver-side scalar over a doc_id-pruned scan (the same sizing-job
+    disposition as exact_near_dup_pairs_blocked), turned into a literal so
+    the coin filter stays a plain pushed-into-scan predicate instead of a
+    per-leg 1-row broadcast join (the plan gate keeps this cell at zero
+    nested-loop joins)."""
+    base = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % _RC_MOD == 0)
         .select("doc_id", "text")
+    )
+    n_base = base.count()
+    docs = base.where(
+        sampling.hash_bucket(F.col("doc_id"), "lshrc") * F.lit(n_base)
+        < F.lit(_RC_CAP * sampling.DENOM)
     )
     corpus = docs.unionAll(
         docs.select(

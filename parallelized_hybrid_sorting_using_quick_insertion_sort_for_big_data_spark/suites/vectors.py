@@ -258,6 +258,15 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated the GEMM leg and the LSH leg TWICE each — exchange reuse
     # covers the shuffle write, not the post-shuffle applyInPandas/re-rank
     # work. This form runs each leg exactly once.
+    #
+    # PRECONDITION (ADVICE r11): both legs must be duplicate-free on
+    # (id_a, id_b) — a duplicated row would multiply counts through the
+    # full-outer join, where the old triple-aggregate counted legs
+    # independently. Holds by construction today (the GEMM emits each
+    # unordered pair once per unique pair_id; the LSH path distincts its
+    # band-bucket candidates) and is pytest-pinned at SF_DIR by
+    # tests/test_vectors.py::test_recall_leg_pairs_are_distinct, so an
+    # operator change dropping the dedup can't silently skew recall.
     return exact.join(ann, ["id_a", "id_b"], "full_outer").agg(
         F.count("__e").alias("n_exact"),
         F.count("__a").alias("n_ann"),

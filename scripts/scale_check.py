@@ -132,6 +132,20 @@ QUERIES = (
     "dedup_lsh_recall",
     "vec_pq_recall_sweep",
     "vec_ann_recall",
+    # round-12 (VERDICT r11 item 3): the streaming family — the only
+    # operator family with no slope evidence, and the family whose
+    # committed-bench cells inflate worst under host steal. These read the
+    # r12 10x EVENTS synth (10 user/event-id-shifted copies over the SAME
+    # 30-day range — state keys scale 10x, the window count stays fixed,
+    # which is the scale direction a production stream actually sees).
+    # Expected shapes: tumbling = watermarked shuffle agg, linear rows into
+    # a fixed window set; dedup = state-store insert per key, linear keys
+    # (2x-staged source doubles the row mass at every scale); attribution
+    # = sessionization via applyInPandasWithState, linear in per-user
+    # event mass (users scale, per-user history fixed).
+    "events_stream_tumbling",
+    "events_stream_dedup",
+    "events_stream_attribution",
 )
 
 
@@ -214,6 +228,41 @@ def build_sf1(spark) -> None:
             str(SF1 / "embeddings.parquet")
         )
         marker.touch()
+
+    # 10x events (round 12, for the streaming-family slope checks): copy i
+    # shifts event_id AND user_id by i·10M over the SAME 30-day window —
+    # state keys (dedup event_ids, per-user session/profile state) scale
+    # 10x while the window set stays fixed, the direction a production
+    # stream scales in. Built with pyarrow, NOT a Spark write: the source
+    # must stay ONE parquet file with the original physical schema
+    # (timestamp[us]) because the stream runners stage it per-trigger via
+    # shutil.copy. Marker forces the one-time overwrite of the plain
+    # sf0.1 copy that the generic table-copy loop above may have left.
+    ev_marker = SF1 / ".events10x_v1"
+    if not ev_marker.exists():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        base_t = pq.read_table(str(SF01 / "events.parquet"))
+        parts_t = []
+        for i in range(COPIES):
+            t = base_t
+            if i:
+                t = t.set_column(
+                    t.schema.get_field_index("event_id"),
+                    "event_id",
+                    pc.add(t["event_id"], i * SHIFT),
+                ).set_column(
+                    t.schema.get_field_index("user_id"),
+                    "user_id",
+                    pc.add(t["user_id"], i * SHIFT),
+                )
+            parts_t.append(t)
+        pq.write_table(
+            pa.concat_tables(parts_t), str(SF1 / "events.parquet")
+        )
+        ev_marker.touch()
 
 
 def median_time(fn, reps=3) -> tuple[float, list[float]]:

@@ -167,6 +167,35 @@ def test_every_query_is_recently_checked_or_parity_pinned():
     )
 
 
+def test_driver_window_survives_this_rounds_artifact():
+    """Forward-looking rotation guard (VERDICT r11 item 1): the hand-pasted
+    window went red BETWEEN sessions twice — the moment the round's
+    CORRECTNESS file landed, the 3-round recency window slid and queries
+    the list didn't anticipate fell out. Since round 12 the window comes
+    from scripts/rotate_window.py; this test replays its --check invariant:
+    every registry query must be covered by (last TWO on-disk rounds ∪ the
+    committed window ∪ parity pins ∪ the rows-only trio). If that holds
+    now, then after this round's artifact lands the 3-round guard sees a
+    superset — it cannot go red."""
+    import importlib.util
+    from pathlib import Path
+
+    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.queries as Q
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window", repo / "scripts" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    Q._ensure_loaded()
+    bad = rw.check(list(Q._DRIVER_PRIORITY))
+    assert not bad, (
+        f"{len(bad)} queries would fall out of the recency guard when this "
+        f"round's CORRECTNESS file lands — re-run scripts/rotate_window.py: {bad}"
+    )
+
+
 def test_bench_quiet_window_guard(monkeypatch):
     """bench.wait_for_quiet_window (VERDICT r08 item 7): returns quiet
     immediately when the probe is under threshold, and labels the run

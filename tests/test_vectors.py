@@ -222,6 +222,54 @@ def test_contracted_gemm_matches_blocked_exact(spark, emb):
     assert upper == blocked
 
 
+def test_recall_leg_pairs_are_distinct(spark):
+    """ADVICE r11: vec_ann_recall's single-pass full-outer form assumes both
+    pair legs are duplicate-free on (id_a, id_b) — a duplicated row would
+    multiply counts through the join, where the old triple-aggregate form
+    counted legs independently. The invariant holds by construction today;
+    this pin makes an operator change that drops the dedup fail loudly
+    instead of silently skewing recall."""
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.suites import (
+        vectors as V,
+    )
+
+    corpus, n = V._dup_corpus(spark, SF_DIR)
+    exact = similarity.exact_near_dup_pairs_blocked(
+        corpus, threshold=V._ANN_RECALL_T, n_rows=n
+    )
+    ann = similarity.lsh_portable_near_dup_pairs(
+        corpus, V._ANN_PLANES, threshold=V._ANN_RECALL_T
+    )
+    for label, leg in (("exact", exact), ("ann", ann)):
+        worst = (
+            leg.groupBy("id_a", "id_b")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert worst == 1, f"{label} leg emits duplicated pairs (max count {worst})"
+
+
+def test_blocked_gemm_cap_blocks_escape_hatch(spark, emb):
+    """cap_blocks=False (ADVICE r11) restores block_size as a hard per-block
+    row cap (the pre-r11 divisor semantics) for memory-constrained callers;
+    the pair set and sims stay block-layout-independent either way."""
+    corpus = _perturbed_corpus(spark, emb.limit(60))  # 120 rows
+    capped = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_blocked(
+            corpus, threshold=0.95, block_size=1
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in similarity.exact_near_dup_pairs_blocked(
+            corpus, threshold=0.95, block_size=1, cap_blocks=False
+        ).collect()
+    }
+    assert uncapped == capped and len(capped) >= 60
+
+
 def test_ivf_full_probe_equals_brute_force(spark, emb):
     """Probing EVERY cell makes IVF exhaustive: must equal the brute-force
     top-k exactly."""
