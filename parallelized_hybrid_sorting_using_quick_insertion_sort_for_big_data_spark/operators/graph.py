@@ -510,15 +510,22 @@ def kcore_oracle_sql(
 ) -> str:
     """Generated DuckDB oracle for :func:`kcore` — one (degree-filter,
     edge-filter) CTE pair per peel round. ``sym_edges_cte`` must define a
-    symmetric relation ``e0(src, dst)``."""
+    symmetric relation ``e0(src, dst)``.
+
+    Every per-round CTE is ``AS MATERIALIZED`` (r12): each ``e{i}`` is
+    referenced TWICE by round i+1 (the degree filter and the edge filter),
+    so DuckDB's default inline-if-cheap heuristic re-expanded the whole
+    peel chain 2^rounds times — the measured sf0.01 oracle went >550 s
+    un-hinted vs 1.5 s materialized, with identical output. Execution
+    hint only; the values the driver hashes are unchanged."""
     parts = [sym_edges_cte]
     for i in range(1, rounds + 1):
         prev = f"e{i - 1}"
         parts.append(
-            f"""k{i} AS (
+            f"""k{i} AS MATERIALIZED (
   SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT e.src, e.dst FROM {prev} e
   JOIN k{i} a ON a.node = e.src
   JOIN k{i} b ON b.node = e.dst

@@ -207,8 +207,11 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 2
 _KCORE_ROUNDS = 6
+# e0 is referenced twice by peel round 1 (and references `edges` twice
+# itself) — materialized for the same exponential-reinline reason as the
+# per-round CTEs in graph.kcore_oracle_sql (r12; execution hint only)
 _KCORE_SYM_CTE = f"""{_COPURCHASE_EDGES_CTE},
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b AS src, a AS dst FROM edges
 )"""
 _KCORE_ORACLE = graph.kcore_oracle_sql(_KCORE_SYM_CTE, k=_KCORE_K, rounds=_KCORE_ROUNDS)
