@@ -84,19 +84,81 @@ _DRIVER_WINDOW = 50
 #
 # SINCE ROUND 12 the window is DERIVED MECHANICALLY (VERDICT r11 item 1):
 #   python3 scripts/rotate_window.py --front <changed-this-round names...>
-# Derivation: FRONT = queries whose implementation/oracle changed this round
-# (they need a fresh driver row regardless of recency), then MUST = every
-# name whose newest driver row predates the last TWO recorded rounds and
-# that has no ORACLE_QUERIES parity pin (once this round's CORRECTNESS file
-# lands, "last 3 rounds" = last-2-on-disk + this window, so anything
-# stale-and-unpinned outside the window would turn the recency guard red),
-# then FILL = stale-but-pinned names oldest-checked-first. The committed
-# tuple is verified forward-looking by
+# Round 13 fixed the derivation horizon (VERDICT r12 item 1 / ADVICE r12
+# high): the r12 scheme keyed MUST off "the last TWO on-disk rounds", a set
+# that slides when the round's own CORRECTNESS artifact lands, so a name
+# checked exactly two rounds back could fall out at judge time
+# (vec_bucketed_near_dup, r10). The scheme is now TIME-INVARIANT: only 35
+# of the 211 registered queries lack an ORACLE_QUERIES parity pin, and
+# 35 < 50, so the window simply carries EVERY unpinned name EVERY round —
+# FRONT = changed-this-round names, MUST = all unpinned names
+# oldest-driver-row-first, FILL = pinned names oldest-checked-first. The
+# committed tuple is verified by
 # tests/test_session.py::test_driver_window_survives_this_rounds_artifact
-# (which re-runs the same derivation check), so a hand edit that would go
-# red between sessions fails pytest NOW, not next round.
+# via the invariant registry ⊆ (window ∪ pins ∪ rows-only), which holds (or
+# fails) identically no matter which CORRECTNESS artifacts are on disk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 12 WINDOW — output of
+    # ROUND 13 WINDOW — output of scripts/rotate_window.py (no --front: the
+    # round's code changes are harness/bench-side; stream-attribution's
+    # vectorized state path is covered by events_stream_attribution only if
+    # its semantics change — re-derive with --front if so).
+    # MUST (35) = the full unpinned set, led by vec_bucketed_near_dup (r10,
+    # the name the r12 horizon bug dropped) and the r11-checked block.
+    # FILL (15) = pinned names with the oldest driver rows (r08 block).
+    "vec_bucketed_near_dup",
+    "events_outlier_robust",
+    "events_resample_gapfill",
+    "events_stream_dedup",
+    "events_stream_tumbling",
+    "events_zorder_code",
+    "graph_pagerank_trade",
+    "text_bpe_merges",
+    "text_bpe_segmentation",
+    "text_crossdup_coverage",
+    "vec_quantize_int8",
+    "vec_semantic_dedup",
+    "vec_topk_with_metadata",
+    "events_stream_sessionize",
+    "events_stream_stream_join",
+    "graph_adamic_adar",
+    "graph_assortativity",
+    "graph_bfs_levels",
+    "graph_kcore",
+    "graph_lpa_communities",
+    "graph_triangle_count",
+    "mm_frame_sample",
+    "pipeline_data_quality_audit",
+    "pipeline_scd2_merge",
+    "rel_correlated_subquery",
+    "rel_grouping_sets",
+    "rel_pivot_priority_by_year",
+    "rel_unpivot_part_metrics",
+    "rel_window_rank_functions",
+    "rel_window_running_totals",
+    "sample_weighted_topk",
+    "skew_twophase_share",
+    "sort_within_partitions",
+    "text_vocab_growth",
+    "vec_kmeans_ivf_topk",
+    "events_stream_late_drop",
+    "events_stream_scd2_enrich",
+    "events_type_entropy",
+    "mm_frame_dedup_collapse",
+    "pipeline_cdc_apply",
+    "pipeline_fd_profile",
+    "pipeline_feature_assembly",
+    "pipeline_k_anonymity",
+    "pipeline_leakage_safe_split",
+    "pipeline_pretraining_corpus",
+    "pipeline_scd2_asof",
+    "rel_association_rules",
+    "rel_benford_digits",
+    "rel_chisq_independence",
+    "rel_copurchase_similarity",
+)
+
+_DRIVER_PRIORITY_R12: tuple[str, ...] = (
+    # ROUND 12 WINDOW (kept for the rotation audit trail) — output of
     #   scripts/rotate_window.py --front dedup_lsh_recall
     # FRONT: dedup_lsh_recall (VERDICT r11 item 5: recall now measured on the
     # deterministic md5-coin sampled pair set at scale; oracle regenerated).

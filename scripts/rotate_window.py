@@ -1,34 +1,42 @@
 #!/usr/bin/env python3
-"""Mechanically derive the 50-name `_DRIVER_PRIORITY` window (VERDICT r11 #1).
+"""Mechanically derive the 50-name `_DRIVER_PRIORITY` window (VERDICT r11 #1,
+horizon fixed per VERDICT r12 #1 / ADVICE r12 high).
 
 The correctness driver oracle-checks the FIRST `_DRIVER_WINDOW` entries of
 ``queries()`` each round, and the recency guard
 (tests/test_session.py::test_every_query_is_recently_checked_or_parity_pinned)
 requires every registered query to have a driver row within the last THREE
 recorded rounds, an ORACLE_QUERIES parity pin, or a slot in the current
-window. Hand-rotating the tuple went red between sessions twice (r10, r11):
-the moment the round's CORRECTNESS file lands, the 3-round window slides and
-queries the hand-written list didn't anticipate fall out.
+window. Hand-rotating the tuple went red between sessions twice (r10, r11);
+the round-12 mechanization went red a third time because its forward check
+keyed off "the last TWO on-disk rounds" — a set that SLIDES when the round's
+own CORRECTNESS artifact lands, so a name whose newest row was exactly two
+rounds back (vec_bucketed_near_dup, r10) fell out at judge time.
 
-This script derives the window from the on-disk history so the rotation is
-forward-proof by construction:
+Round-13 scheme — TIME-INVARIANT by construction. Only 35 of the 211
+registered queries lack an ORACLE_QUERIES parity pin (each pinned name is
+re-verified against its DuckDB oracle by an in-session parametrized
+test_oracle_parity every pytest run), and 35 < 50, so the window can simply
+carry EVERY unpinned name EVERY round:
 
 1. FRONT (``--front``): queries whose implementation/oracle changed this
    round — they need a fresh driver row regardless of recency.
-2. MUST: every registry name whose newest driver row is OLDER than the last
-   TWO recorded rounds and that has no parity pin / rows-only disposition.
-   After this round's CORRECTNESS file lands, "last 3 rounds" = (last two
-   on-disk rounds + this window); anything stale-and-unpinned outside the
-   window would turn the guard red. Ordered oldest-checked-first.
-3. FILL: remaining slots go to stale-but-pinned names, oldest-checked-first
-   (ties alphabetical), so parity-pinned queries still cycle through real
-   driver rows over time.
+2. MUST: every registry name with no parity pin / rows-only disposition,
+   ordered oldest-driver-row-first (never-checked sorts first). Not just
+   the stale ones — ALL of them, so coverage never depends on which
+   CORRECTNESS files happen to be on disk.
+3. FILL: remaining slots go to parity-pinned names, oldest-checked-first
+   (ties alphabetical), so pinned queries still cycle through real driver
+   rows over time.
 
-``--check`` mode verifies the FORWARD-LOOKING invariant instead of printing:
-registry ⊆ (last-2 rounds ∪ current window ∪ pins ∪ rows-only). If that
-holds when the window is committed, the existing 3-round guard cannot go red
-when this round's artifact lands. Consumed by
+``--check`` verifies the invariant: registry ⊆ (window ∪ pins ∪ rows-only).
+No on-disk-round term — the predicate evaluates identically before and after
+any number of CORRECTNESS artifacts land, so the recency guard (whose
+"recent" set only ever GROWS relative to this cover) cannot go red between
+sessions. Consumed by
 tests/test_session.py::test_driver_window_survives_this_rounds_artifact.
+If the unpinned set ever outgrows the window, derive() refuses loudly:
+the fix is adding parity pins, never hand-trimming MUST.
 """
 
 from __future__ import annotations
@@ -86,18 +94,15 @@ def parity_pinned() -> set[str]:
     return pinned
 
 
-def history() -> tuple[dict[str, int], set[str]]:
-    """(name -> newest round with a driver row, union of the last 2 rounds)."""
-    rounds = sorted(REPO.glob("CORRECTNESS_r*.json"))
+def newest_rows() -> dict[str, int]:
+    """name -> newest round with a driver row (age ordering only — coverage
+    deliberately does NOT read this; see module docstring)."""
     newest: dict[str, int] = {}
-    for p in rounds:
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
         rn = int(re.search(r"r(\d+)", p.name).group(1))
         for name in json.loads(p.read_text()):
             newest[name] = max(newest.get(name, 0), rn)
-    last2: set[str] = set()
-    for p in rounds[-2:]:
-        last2 |= set(json.loads(p.read_text()))
-    return newest, last2
+    return newest
 
 
 def registry_names() -> list[str]:
@@ -110,7 +115,7 @@ def registry_names() -> list[str]:
 
 def derive(front: list[str], window: int = 50) -> list[str]:
     names = registry_names()
-    newest, last2 = history()
+    newest = newest_rows()
     pinned = parity_pinned()
 
     for f in front:
@@ -125,10 +130,7 @@ def derive(front: list[str], window: int = 50) -> list[str]:
         (
             n
             for n in names
-            if n not in last2
-            and n not in pinned
-            and n not in ROWS_ONLY
-            and n not in out
+            if n not in pinned and n not in ROWS_ONLY and n not in out
         ),
         key=age_key,
     )
@@ -136,26 +138,22 @@ def derive(front: list[str], window: int = 50) -> list[str]:
     if len(out) > window:
         raise SystemExit(
             f"front({len(front)}) + must({len(must)}) = {len(out)} > {window}: "
-            "the unpinned-stale set no longer fits — add parity pins."
+            "the unpinned set no longer fits in the window — add parity pins "
+            "(ORACLE_QUERIES lists), never hand-trim MUST."
         )
-    fill = sorted(
-        (n for n in names if n not in out and n not in last2 and n not in ROWS_ONLY),
-        key=age_key,
-    )
+    fill = sorted((n for n in names if n not in out and n not in ROWS_ONLY), key=age_key)
     out += fill[: window - len(out)]
-    if len(out) < window:  # registry almost fully recent: top up with oldest overall
-        rest = sorted((n for n in names if n not in out and n not in ROWS_ONLY), key=age_key)
-        out += rest[: window - len(out)]
     return out
 
 
 def check(window_names: list[str]) -> list[str]:
-    """Forward-looking invariant: after THIS round's artifact lands, the
-    3-round guard sees (last-2-on-disk ∪ this window). Return violations."""
+    """Time-invariant cover: registry ⊆ window ∪ pins ∪ rows-only. Holds (or
+    fails) identically no matter which CORRECTNESS artifacts are on disk, so
+    a green commit cannot turn red when the round's artifact lands. Return
+    violations."""
     names = registry_names()
-    _, last2 = history()
     pinned = parity_pinned()
-    covered = last2 | set(window_names) | pinned | ROWS_ONLY
+    covered = set(window_names) | pinned | ROWS_ONLY
     return sorted(set(names) - covered)
 
 
@@ -167,15 +165,14 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.check:
+        registry_names()  # inserts REPO on sys.path (ADVICE r12: was below import)
         import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.queries as Q
 
-        sys.path.insert(0, str(REPO))
-        Q._ensure_loaded()
         bad = check(list(Q._DRIVER_PRIORITY))
         if bad:
-            print(f"RED after this round lands: {len(bad)} uncovered: {bad}")
+            print(f"NOT COVERED: {len(bad)} names outside window∪pins∪rows-only: {bad}")
             raise SystemExit(1)
-        print(f"OK: window of {len(Q._DRIVER_PRIORITY)} survives this round's artifact")
+        print(f"OK: window of {len(Q._DRIVER_PRIORITY)} covers every unpinned query")
         return
 
     names = derive(args.front, args.window)

@@ -168,15 +168,16 @@ def test_every_query_is_recently_checked_or_parity_pinned():
 
 
 def test_driver_window_survives_this_rounds_artifact():
-    """Forward-looking rotation guard (VERDICT r11 item 1): the hand-pasted
-    window went red BETWEEN sessions twice — the moment the round's
-    CORRECTNESS file landed, the 3-round recency window slid and queries
-    the list didn't anticipate fell out. Since round 12 the window comes
-    from scripts/rotate_window.py; this test replays its --check invariant:
-    every registry query must be covered by (last TWO on-disk rounds ∪ the
-    committed window ∪ parity pins ∪ the rows-only trio). If that holds
-    now, then after this round's artifact lands the 3-round guard sees a
-    superset — it cannot go red."""
+    """Forward-looking rotation guard (VERDICT r11 item 1; horizon fixed
+    per VERDICT r12 item 1): the hand-pasted window went red BETWEEN
+    sessions twice, and the first mechanized check a third time — its
+    "last TWO on-disk rounds" cover slid when the round's own CORRECTNESS
+    artifact landed. The invariant is now TIME-INVARIANT: every registry
+    query must be covered by (the committed window ∪ parity pins ∪ the
+    rows-only trio) — no on-disk-round term at all. The recency guard's
+    "recent" set is always a superset of the window (the driver checks
+    exactly the window each round), so if this cover holds at commit time
+    it holds at judge time no matter how many artifacts land in between."""
     import importlib.util
     from pathlib import Path
 
@@ -194,6 +195,52 @@ def test_driver_window_survives_this_rounds_artifact():
         f"{len(bad)} queries would fall out of the recency guard when this "
         f"round's CORRECTNESS file lands — re-run scripts/rotate_window.py: {bad}"
     )
+
+
+def test_rotation_check_is_artifact_independent(tmp_path, monkeypatch):
+    """Pin the r12 horizon fix (VERDICT r12 item 1): check()'s verdict must
+    not change when CORRECTNESS artifacts land. Simulate the exact failure
+    mode — evaluate check() against a clone of the repo layout, then land a
+    synthetic NEXT-round artifact (and delete old rounds entirely) and
+    re-evaluate: identical (empty) violation list every time. The r12
+    scheme failed precisely this: its cover read 'the last TWO on-disk
+    rounds', which slid when the round's own artifact dropped."""
+    import importlib.util
+    import json
+    import shutil
+    from pathlib import Path
+
+    import parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.queries as Q
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window_sim", repo / "scripts" / "rotate_window.py"
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+    Q._ensure_loaded()
+    window = list(Q._DRIVER_PRIORITY)
+    assert rw.check(window) == []
+
+    clone = tmp_path / "repo"
+    clone.mkdir()
+    (clone / "tests").symlink_to(repo / "tests")
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, clone / p.name)
+    monkeypatch.setattr(rw, "REPO", clone)
+
+    # the round's own artifact lands (driver rows = exactly the window)
+    (clone / "CORRECTNESS_r98.json").write_text(
+        json.dumps({n: {"rows_match": True} for n in window})
+    )
+    assert rw.check(window) == []
+    # a further round lands with a single-name artifact (worst-case slide)
+    (clone / "CORRECTNESS_r99.json").write_text(json.dumps({window[0]: {}}))
+    assert rw.check(window) == []
+    # even with NO history at all the cover must hold
+    for p in clone.glob("CORRECTNESS_r*.json"):
+        p.unlink()
+    assert rw.check(window) == []
 
 
 def test_bench_quiet_window_guard(monkeypatch):
