@@ -276,7 +276,17 @@ def exact_near_dup_pairs_contracted(
     distinct count is a real job over the contraction. At 100 TB the
     contraction is one hash shuffle on the vector bytes — the same cost
     class as the exact-dedup operator — and is worth it whenever the corpus
-    carries any material exact-duplicate mass (crawl corpora always do)."""
+    carries any material exact-duplicate mass (crawl corpora always do).
+
+    Cache retention (ADVICE r12): the contraction persists the corpus-wide
+    windowed projection (``mem``, MEMORY_AND_DISK) for its five consumers
+    and — like the file's other persists — does NOT unpersist it: the
+    returned DataFrame is lazy, so dropping the pin here would undo it
+    before the caller's action runs. Long multi-query driver sessions
+    should call ``spark.catalog.clearCache()`` (or ``bench.clear_caches``,
+    which the bench/measure harnesses already run between queries) to
+    release it; MEMORY_AND_DISK evicts under executor memory pressure
+    rather than OOMing in the meantime."""
     from pyspark.storagelevel import StorageLevel
 
     mem = df.select(

@@ -98,13 +98,17 @@ _DRIVER_WINDOW = 50
 # via the invariant registry ⊆ (window ∪ pins ∪ rows-only), which holds (or
 # fails) identically no matter which CORRECTNESS artifacts are on disk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 13 WINDOW — output of scripts/rotate_window.py (no --front: the
-    # round's code changes are harness/bench-side; stream-attribution's
-    # vectorized state path is covered by events_stream_attribution only if
-    # its semantics change — re-derive with --front if so).
+    # ROUND 13 WINDOW — output of
+    #   scripts/rotate_window.py --front events_stream_attribution \
+    #                                    events_stream_user_profile
+    # FRONT (2): both stateful-runner queries changed this round (VERDICT
+    # r12 item 4: vectorized-columns attribution state function + input-
+    # sized streaming shuffle partitions) — fresh driver rows required.
     # MUST (35) = the full unpinned set, led by vec_bucketed_near_dup (r10,
     # the name the r12 horizon bug dropped) and the r11-checked block.
-    # FILL (15) = pinned names with the oldest driver rows (r08 block).
+    # FILL (13) = pinned names with the oldest driver rows (r08 block).
+    "events_stream_attribution",
+    "events_stream_user_profile",
     "vec_bucketed_near_dup",
     "events_outlier_robust",
     "events_resample_gapfill",
@@ -153,8 +157,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_scd2_asof",
     "rel_association_rules",
     "rel_benford_digits",
-    "rel_chisq_independence",
-    "rel_copurchase_similarity",
 )
 
 _DRIVER_PRIORITY_R12: tuple[str, ...] = (

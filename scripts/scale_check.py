@@ -12,7 +12,7 @@ sf0.1 (the five measured queries read only `documents`).
 
 Run:  python scripts/scale_check.py
 Writes SCALE_CHECK_r{ROUND}.json (SPARK_GRAFT_ROUND, default 09) at the
-repo root: per query, median-of-3
+repo root: per query, one untimed warm-up then median-of-3
 times at sf0.1 and sf1 and the slope vs the 10× row ratio. Round 7 adds a
 10× embeddings synth (dim-rolled copies) for the vector-family queries.
 """
@@ -146,6 +146,14 @@ QUERIES = (
     "events_stream_tumbling",
     "events_stream_dedup",
     "events_stream_attribution",
+    # r13 (VERDICT r12 item 3) — the last two streaming rows. Stream-stream
+    # join: both sides watermarked with a bounded time condition, so buffer
+    # state is (rows within the join horizon) — linear rows in, fixed
+    # horizon; expect ~linear. User profile: additive per-key
+    # applyInPandasWithState accumulator — linear in per-key event mass,
+    # same per-key Python floor class as attribution (users scale 10x).
+    "events_stream_stream_join",
+    "events_stream_user_profile",
 )
 
 
@@ -265,13 +273,22 @@ def build_sf1(spark) -> None:
         ev_marker.touch()
 
 
-def median_time(fn, reps=3) -> tuple[float, list[float]]:
+def median_time(fn, reps=3, warmup=1) -> tuple[float, list[float], float]:
+    """One UNTIMED warm-up precedes the timed reps (VERDICT r12 item 8):
+    a cell's first execution carries the Python/Arrow worker spin-up +
+    codegen transient (r12 example: events_stream_tumbling sf0.1 reps
+    11.9/2.36/2.33 — median-of-3 only just absorbed the 11.9). The warm-up
+    duration is still recorded for transparency."""
+    t0 = time.perf_counter()
+    for _ in range(warmup):
+        fn()
+    warm = round(time.perf_counter() - t0, 3)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fn()
         ts.append(round(time.perf_counter() - t0, 3))
-    return sorted(ts)[len(ts) // 2], ts
+    return sorted(ts)[len(ts) // 2], ts, warm
 
 
 def main() -> None:
@@ -301,10 +318,10 @@ def main() -> None:
         row = {}
         for label, sf_dir in (("sf0.1", str(SF01)), ("sf1", str(SF1))):
             bench.clear_caches(spark)
-            med, reps = median_time(
+            med, reps, warm = median_time(
                 lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             )
-            row[label] = {"median_sec": med, "reps": reps}
+            row[label] = {"median_sec": med, "reps": reps, "warmup_sec": warm}
         ratio = round(row["sf1"]["median_sec"] / row["sf0.1"]["median_sec"], 2)
         row["slope_vs_10x_rows"] = ratio
         row["superlinear"] = ratio > 15.0  # 1.5× headroom over the 10× row ratio

@@ -456,6 +456,77 @@ def test_stream_attribution_equals_batch_and_carries_state(spark):
     assert crossing, "no attribution crossed a micro-batch boundary — vacuous"
 
 
+def test_attribution_vectorized_matches_rowloop_unit():
+    """Pin the vectorized attribution state function (VERDICT r12 item 4)
+    row-for-row to the per-row reference, across carried-state shapes:
+    no prior state, carried state with/without in-batch touches, purchases
+    before the batch's first touch, batches with no purchases, multi-chunk
+    iterators, and ts ties broken by event_id."""
+    import numpy as np
+    import pandas as pd
+
+    from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.streaming import (
+        stateful as st,
+    )
+
+    class FakeState:
+        def __init__(self, tup):
+            self.exists = tup is not None
+            self._tup = tup
+            self.updated = None
+
+        @property
+        def get(self):
+            return self._tup
+
+        def update(self, tup):
+            self.updated = tup
+
+    def canon(v):
+        if pd.isna(v):
+            return None
+        if isinstance(v, (float, np.floating)):
+            return round(float(v), 6)
+        if isinstance(v, (int, np.integer)):
+            return int(v)
+        return str(v)
+
+    def run(fn, pdf_chunks, carried):
+        state = FakeState(carried)
+        (out,) = list(fn((7,), iter(pdf_chunks), state))
+        # the rowloop form materializes None-bearing int columns as float64;
+        # fold both forms to nullable Int64 before comparing values
+        out = out.astype({"touch_event_id": "Int64", "gap_us": "Int64"})
+        rows = [tuple(canon(v) for v in r) for r in out.itertuples(index=False)]
+        return sorted(map(repr, rows)), state.updated
+
+    rng = np.random.default_rng(7)
+    types = np.array(["click", "view", "purchase", "refund"])
+    for case in range(40):
+        n = int(rng.integers(1, 30))
+        pdf = pd.DataFrame(
+            {
+                "user_id": np.full(n, 7, dtype=np.int64),
+                "event_id": rng.choice(10 * n, size=n, replace=False).astype(np.int64),
+                "ts_us": rng.integers(0, 5, size=n).astype(np.int64) * 1_000_000,
+                "event_type": rng.choice(types, size=n),
+                "value": rng.random(n).round(2),
+            }
+        )
+        carried = (
+            None
+            if case % 3 == 0
+            else (int(rng.integers(0, 5)), str(rng.choice(["click", "view"])), 0)
+        )
+        nsplit = int(rng.integers(1, 3))
+        chunks = [pdf.iloc[i::nsplit].reset_index(drop=True) for i in range(nsplit)]
+        chunks = [c for c in chunks if len(c)]
+        a_rows, a_state = run(st._update_attribution_rowloop, [c.copy() for c in chunks], carried)
+        b_rows, b_state = run(st._update_attribution, chunks, carried)
+        assert a_rows == b_rows, (case, a_rows, b_rows)
+        assert a_state == b_state, (case, a_state, b_state)
+
+
 def test_cusum_identity_and_flag_consistency(spark):
     """The window reformulation must behave like max(0, S+dev): s_stat is
     never negative, resets happen (some day returns to 0 after a positive
