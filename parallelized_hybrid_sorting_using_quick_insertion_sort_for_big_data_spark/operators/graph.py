@@ -73,9 +73,14 @@ def pagerank(
     if not (0 < damp_num < damp_den):
         raise ValueError(f"need 0 < damp_num < damp_den, got {damp_num}/{damp_den}")
 
+    # r13: pin the normalized edge list ONCE before anything consumes it —
+    # the same up-front pin label_propagation and triangle_counts already
+    # carry. Unpinned, the `nodes` checkpoint and the `edges_deg` checkpoint
+    # each re-evaluated the caller's edge derivation (for the trade graph:
+    # the fact join + distinct) from the scan.
     e = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -311,10 +316,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .select("src", "v", "w")
     )
     tri = wedges.join(oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"])
+    # r13: one pipelined 1→3 fan-out instead of a 3-way union of selections
+    # from `tri` — the union form re-executed the wedge join (the O(m^1.5)
+    # step) once per branch (exchange reuse covers the shuffle write, not
+    # the post-shuffle join work). Same multiset of nodes, same counts.
     per_node = (
-        tri.select(F.col("src").alias("node"))
-        .unionByName(tri.select(F.col("v").alias("node")))
-        .unionByName(tri.select(F.col("w").alias("node")))
+        tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__t"))
     )

@@ -363,7 +363,10 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes and ranking; full-probe==exact equivalence additionally
     pytest-asserted."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.centroid_vectors(emb)
+    # r13: the codebook feeds both the assignment and the probe ranking;
+    # unpinned, each consumer re-ran the corpus-wide centroid aggregation.
+    # Eager pin on the k-row codebook (same fix as vec_ivf_nprobe_recall).
+    cents = similarity.centroid_vectors(emb).localCheckpoint(eager=True)
     assigned = similarity.ivf_assign(emb, cents)
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -1220,8 +1223,19 @@ def vec_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     times); each ann leg scans only its probed cells. The oracle rebuilds
     codebook, assignment, probes, all three rankings and the overlaps."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.centroid_vectors(emb)
-    assigned = similarity.ivf_assign(emb, cents)
+    # r13: the docstring's sharing claim is now enforced in the plan. The
+    # codebook is consumed SIX times per run (once by the assignment, once
+    # by each leg's probe ranking, plus the assignment's own reference) and
+    # the corpus-wide assignment THREE times (one join per nprobe leg);
+    # unpinned, each consumer re-derived the centroid aggregation and the
+    # packed argmax from the parquet scan — the before plan carries 84
+    # Exchanges / 30 embeddings scans and zero planned reuse. Eager pin on
+    # the k-row codebook (trivial), lazy pin on the assignment so all three
+    # legs materialize it once inside the single measuring job (the
+    # vec_pq_recall_sweep lazy-checkpoint pattern). Results are identical —
+    # pinning changes execution, not the computation.
+    cents = similarity.centroid_vectors(emb).localCheckpoint(eager=True)
+    assigned = similarity.ivf_assign(emb, cents).localCheckpoint(eager=False)
     queries = emb.where(F.col("vec_id") % _NPROBE_QMOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
