@@ -1017,6 +1017,8 @@ def frame_byte_arrays(
     fs = FRAME_SIZE
 
     def expand(batches):
+        import numpy as np
+
         for pdf in batches:
             ids: list = []
             fnos: list = []
@@ -1024,11 +1026,14 @@ def frame_byte_arrays(
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None:
                     continue
-                b = txt.encode("utf-8")
-                for k in range(0, len(b), fs):
+                b = np.frombuffer(txt.encode("utf-8"), dtype=np.uint8)
+                for k in range(0, b.size, fs):
                     ids.append(did)
                     fnos.append(k // fs)
-                    arrs.append(list(b[k : k + fs]))
+                    # a numpy int64 slice, not list(bytes): Arrow takes the
+                    # array wholesale instead of re-boxing every byte as a
+                    # Python int (r13, guide §4.2)
+                    arrs.append(b[k : k + fs].astype(np.int64))
             yield pd.DataFrame({id_col: ids, "frame_no": fnos, "__bytes": arrs})
 
     return df.select(id_col, text_col).mapInPandas(
@@ -1041,6 +1046,7 @@ def ahash_sigs_from_frames(
     id_col: str = "doc_id",
     perturb_mod: int = 0,
     id_shift: int = 0,
+    twin: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The signature-aggregation half of :func:`ahash_frame_signatures`,
     over a prebuilt (id, frame_no, __bytes) relation. ``perturb_mod``
@@ -1048,47 +1054,73 @@ def ahash_sigs_from_frames(
     (identical to the fused form's global-offset perturbation);
     ``id_shift`` relabels ids — together they derive the planted
     'lossy re-encode' twin from the SAME frame relation, which is the
-    point of the split."""
-    bts = F.col("__bytes")
-    if perturb_mod:
-        k0 = F.col("frame_no").cast("long") * F.lit(FRAME_SIZE)
-        bts = F.transform(
-            F.col("__bytes"),
-            lambda v, i: F.pmod(
-                v + F.pmod(k0 + i.cast("long"), F.lit(perturb_mod)), F.lit(256)
-            ),
-        )
-    frames = frames.select(
-        (F.col(id_col) + F.lit(id_shift)).alias(id_col),
-        F.col("frame_no"),
-        bts.alias("__pb"),
-    )
-    pb = F.col("__pb")
-    fsum = F.aggregate(pb, F.lit(0).cast("long"), lambda s, v: s + v)
-    n = F.size(pb).cast("long")
+    point of the split.
 
-    def half(lo_bit: int, hi_bit: int) -> Column:
-        # Horner form (acc*2 + bit, MSB first): Σ bit_i · 2^(hi_bit - i)
-        # without needing a per-element shift amount (shiftleft takes only
-        # literal counts)
-        return F.aggregate(
-            F.sequence(F.lit(lo_bit), F.lit(hi_bit)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc * F.lit(2).cast("long")
-            + F.when(
-                (i < F.size(pb)) & (n * F.element_at(pb, i + 1) > F.col("__fsum")),
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
+    ``twin=(perturb_mod, id_shift)`` additionally emits a SECOND signature
+    variant from the same decoded byte matrix in the same pass — the rows
+    of ``base.unionAll(twin_variant)`` without shipping the frame bytes to
+    the Python workers twice (the planted-near-dup queries' shape)."""
+    # r13 (guide §4.2): the signature math — perturbation, frame sum, the
+    # 64 bit comparisons and both Horner packs — moved from interpreted JVM
+    # higher-order expressions (F.transform + three F.aggregate folds: a
+    # non-codegen per-element Catalyst eval, ~500 interpreted ops per
+    # frame) into ONE vectorized numpy batch pass. Bit-for-bit identical:
+    # every operation is int64 arithmetic (pad positions are masked out of
+    # both the frame sum and the bit tests exactly as the `i < size(pb)`
+    # guard did; a NULL byte array degenerates to sig (0, 0), matching the
+    # old null-comparison fold). Value-pinned by the signature tests in
+    # tests/test_multimodal.py and the analytic DuckDB oracles.
+    import pandas as pd
 
-    return (
-        frames.withColumn("__fsum", fsum)
-        .select(
-            F.col(id_col),
-            F.col("frame_no").cast("bigint").alias("frame_no"),
-            half(0, 31).alias("sig_hi"),
-            half(32, 63).alias("sig_lo"),
-        )
+    id_type = dict(frames.dtypes)[id_col]
+    fs = FRAME_SIZE
+    variants = [(perturb_mod, id_shift)] + ([twin] if twin is not None else [])
+
+    def _sigs(batches):
+        import numpy as np
+
+        w_hi = (1 << np.arange(31, -1, -1)).astype(np.int64)  # bits 0..31, MSB first
+        _EMPTY = np.zeros(0, dtype=np.int64)
+
+        for pdf in batches:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            arrs = [
+                np.asarray(a, dtype=np.int64) if a is not None else _EMPTY
+                for a in pdf["__bytes"]
+            ]
+            lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=nrow)
+            width = max(fs, int(lens.max()) if nrow else fs)
+            raw = np.zeros((nrow, width), dtype=np.int64)
+            for r, a in enumerate(arrs):
+                raw[r, : a.size] = a
+            pos = np.arange(width, dtype=np.int64)[None, :]
+            valid = pos < lens[:, None]
+            ids = pdf[id_col].to_numpy()
+            fnos = pdf["frame_no"].to_numpy(dtype=np.int64)
+            for pm, shift in variants:
+                padded = raw
+                if pm:
+                    k0 = fnos[:, None] * fs
+                    padded = (raw + (k0 + pos) % pm) % 256
+                padded = np.where(valid, padded, 0)
+                fsum = padded.sum(axis=1)
+                bits = ((lens[:, None] * padded) > fsum[:, None]) & valid
+                bits = bits[:, :64].astype(np.int64)
+                if width < 64:  # pad bit columns so both halves always slice 32
+                    bits = np.pad(bits, ((0, 0), (0, 64 - width)))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids + shift,
+                        "frame_no": fnos,
+                        "sig_hi": bits[:, :32] @ w_hi,
+                        "sig_lo": bits[:, 32:64] @ w_hi,
+                    }
+                )
+
+    return frames.select(id_col, "frame_no", "__bytes").mapInPandas(
+        _sigs, f"{id_col} {id_type}, frame_no bigint, sig_hi long, sig_lo long"
     )
 
 

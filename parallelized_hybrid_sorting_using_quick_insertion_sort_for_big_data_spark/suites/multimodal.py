@@ -628,18 +628,19 @@ def _ahash_planted_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash signatures of the corpus ∪ perturbed ('re-encoded') copy.
 
     The per-byte hex-slice expansion is the dominant cost of the whole
-    aHash family; it runs ONCE here (eager localCheckpoint on the
-    payload-free frame relation) and both signature variants — base and
-    perturbed twin — aggregate from the pinned frames. Before the split
-    each variant re-sliced the payload from scratch (~2x the map work,
-    measured ~25s → ~15s on the collapse query at sf0.1)."""
+    aHash family; it runs ONCE here and both signature variants — base and
+    perturbed twin — are emitted by ONE numpy pass over the decoded byte
+    matrix (r13: ``ahash_sigs_from_frames(..., twin=...)``). Before r13
+    the frame relation was eagerly pinned and each variant aggregated it
+    separately (two JVM fold passes + two Arrow transfers of the byte
+    arrays); before the r12 split each variant re-sliced the payload from
+    scratch (~2x the map work, measured ~25s → ~15s on the collapse query
+    at sf0.1). With a single consumer left, the decode output no longer
+    needs a checkpoint at all — decode → signatures is one pipelined
+    stage and only (id, frame_no, two BIGINTs) ever leave it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    frames = M.frame_byte_arrays(docs).localCheckpoint(eager=True)
-    base = M.ahash_sigs_from_frames(frames)
-    twin = M.ahash_sigs_from_frames(
-        frames, perturb_mod=_AHASH_PERTURB, id_shift=_FD_SHIFT
-    )
-    return base.unionAll(twin)
+    frames = M.frame_byte_arrays(docs)
+    return M.ahash_sigs_from_frames(frames, twin=(_AHASH_PERTURB, _FD_SHIFT))
 
 
 # ---------------------------------------------------------------------------
