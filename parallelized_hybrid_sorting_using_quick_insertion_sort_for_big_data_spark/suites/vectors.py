@@ -720,13 +720,16 @@ def vec_pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.where(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    # The exact top-10 is shared by all four legs; without the eager pin
-    # each leg's join would re-run the brute-force ranking (lazy plans) —
-    # 4x the most expensive stage for a 10-row relation.
+    # The exact top-10 is shared by all four legs; without the pin each
+    # leg's join would re-run the brute-force ranking (lazy plans) — 4x the
+    # most expensive stage for a 10-row relation. r13: the pin is LAZY so
+    # the exact ranking materializes inside the same single job as the four
+    # fits + ADC rankings (one driver-blocking job for the whole sweep)
+    # instead of paying its own job boundary first.
     exact = (
         similarity.brute_force_topk(qdf, emb, k=_PQ_RECALL_K)
         .select("vec_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = None
     for m, k in _PQ_SWEEP:
