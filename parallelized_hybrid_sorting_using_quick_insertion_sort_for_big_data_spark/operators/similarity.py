@@ -986,11 +986,15 @@ def kmeans_fit(
     k-means-on-Spark topology. Cells that lose all members drop out (both
     engines aggregate only over occupied cells).
 
-    Each round's codebook is pinned with an eager ``localCheckpoint`` (the
+    Each round's codebook is pinned with a LAZY ``localCheckpoint`` (the
     same lineage cut ``connected_components`` applies to its edge set):
     without it the logical plan nests one full assign+update under the
     next, growing the plan — and Catalyst's analysis time — geometrically
-    with ``iters``. The residue is ``iters`` checkpointed RDDs of k rows
+    with ``iters``. Lazy (r13, the pq_fit lesson) instead of eager: the
+    plan truncation is identical, but each round materializes inside the
+    next consumer's own job (the broadcast collect that ships the codebook)
+    rather than paying a separate driver-blocking checkpoint job per round.
+    The residue is ``iters`` checkpointed RDDs of k rows
     each (kilobytes) that stay registered for the session under classic
     PySpark (py4j never detaches the JVM dataset) — the right trade for a
     codebook; long-running apps fitting many models should checkpoint to a
@@ -1009,7 +1013,7 @@ def kmeans_fit(
         assigned = ivf_assign(df, cents, id_col, vec_col, round_digits)
         cents = centroid_vectors(
             assigned, label_col="cell", vec_col=vec_col
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return cents
 
 
