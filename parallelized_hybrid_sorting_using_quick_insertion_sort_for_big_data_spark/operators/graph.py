@@ -77,15 +77,23 @@ def pagerank(
     # the same up-front pin label_propagation and triangle_counts already
     # carry. Unpinned, the `nodes` checkpoint and the `edges_deg` checkpoint
     # each re-evaluated the caller's edge derivation (for the trade graph:
-    # the fact join + distinct) from the scan.
+    # the fact join + distinct) from the scan. Memory accounting at scale:
+    # this eagerly materializes the FULL normalized edge list to
+    # executor-local disk/memory for the whole iteration — edge-sized but
+    # fixed-width (16 B/edge), the standard Pregel working set; on a real
+    # cluster use spark.cleaner + DISK_ONLY-backed checkpoints if the edge
+    # list rivals executor storage.
     e = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
     ).localCheckpoint(eager=True)
+    # lazy: the n_nodes count right below is the materializing action, so
+    # the node set pays zero extra driver-blocking jobs (r14, guide §5 —
+    # the connected-components checksum device)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # one O(1)-row driver scalar: the node count (feeds the two literals)
     n_nodes = nodes.count()
@@ -118,6 +126,10 @@ def pagerank(
                 .cast("bigint")
                 .alias("rank"),
             )
+            # r14 measured NEGATIVE: lazy per-round checkpoints (the kcore/
+            # LPA conversion) were tried here and were consistently ~15-25%
+            # SLOWER in two same-session interleaved A/Bs (3.36→4.22 and
+            # 4.70→5.72 medians) — the per-round eager pin stays.
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -247,7 +259,12 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
                 ).alias("b")
             )
             .select(F.col("dst").alias("node"), F.col("b.l").alias("label"))
-            .localCheckpoint(eager=True)
+            # r14 (guide §5): lazy — plan depth is cut at build time either
+            # way; materialization joins the caller's single action instead
+            # of paying one driver-blocking job per round. Each round's
+            # labels feed exactly one consumer (the next round's nbr join),
+            # so laziness cannot duplicate work.
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -485,13 +502,30 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
 
     At 100 TB: per round one degree aggregation plus two node-keyed
     semi-joins — fixed-width bigint relations, monotonically shrinking;
-    lineage cut per round (pagerank device)."""
+    lineage cut per round (pagerank device).
+
+    r14 (guide §5): every per-round checkpoint is LAZY. The cut still
+    happens at build time (the returned frame scans a checkpoint RDD, so
+    plan depth stays constant in ``rounds``), but materialization moves
+    into the caller's action instead of one driver-blocking job per peel.
+    Each round's ``live`` has two consumers (degree agg + semi-join); the
+    checkpoint RDD's cache dedups their compute after the first partition
+    materializes, and a concurrent-stage overlap can at worst re-run one
+    round's reduce-side work — bounded, and strictly cheaper than the
+    per-round blocking job it replaces."""
     if k < 1 or rounds < 1:
         raise ValueError(f"k >= 1 and rounds >= 1 required, got k={k}, rounds={rounds}")
     live = edges.select(
         F.col("src").cast("bigint").alias("src"), F.col("dst").cast("bigint").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
+        # NOTE (r14, measured negative): an explicit repartition("src")
+        # shared by the degree agg and the src-side semi-join was tried to
+        # merge their exchanges — but AQE broadcasts `keep` at small keep
+        # sizes, which makes the join side exchange-free, and the explicit
+        # repartition then becomes a pure extra shuffle AQE cannot remove
+        # (final plans: 2 BHJ + 1 extra Exchange). The un-hinted shape
+        # lets AQE pick broadcast (small keep) or SMJ (node-scale keep).
         keep = (
             live.groupBy("src")
             .agg(F.count(F.lit(1)).alias("__d"))
@@ -502,7 +536,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             live.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return live.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
