@@ -67,22 +67,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8) -> DataFrame:
-    """Distinct char-n-gram shingles per document: (id, shingle).
-    Lowercased; documents shorter than n contribute their whole text.
-    The input is spread across cores first (no-op on already-parallel
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    distinct: bool = True,
+) -> DataFrame:
+    """Char-n-gram shingles per document: (id, shingle) — distinct per doc
+    by default. Lowercased; documents shorter than n contribute their whole
+    text. The input is spread across cores first (no-op on already-parallel
     scans) — shingling is per-row CPU work that otherwise runs on however
-    few partitions the corpus file produced."""
+    few partitions the corpus file produced.
+
+    ``distinct=False`` (r14, guide §2.4) skips the dedup ENTIRELY — and with
+    it a full shuffle of the corpus-sized shingle relation — for consumers
+    whose aggregation is duplicate-insensitive: MinHash takes a MIN per
+    (doc, permutation), and min over a multiset equals min over its support
+    set, so the signatures are bit-identical either way. Set-semantics
+    consumers (exact Jaccard counts shared shingles) keep the default."""
     from ..sources.tables import spread_scan
 
     df = spread_scan(df)
     t = F.trim(F.lower(F.col(text_col)))
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return (
-        df.select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("__i"))
-        .select(F.col(id_col), F.expr(f"substring(__t, __i, {n})").alias("shingle"))
-        .distinct()
+    sh = df.select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("__i")).select(
+        F.col(id_col), F.expr(f"substring(__t, __i, {n})").alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
 def jaccard_pairs(
@@ -188,7 +200,12 @@ def minhash_signatures(
         if portable
         else F.pmod(F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(_MH_PRIME))
     )
-    sh = shingles(df, text_col, id_col, n).withColumn("__h", base)
+    # distinct=False (r14, guide §2.4): min is duplicate-insensitive, so the
+    # shingle relation never shuffles at all — the only exchange left in the
+    # signature stage is the k-longs-per-doc partial-min aggregation. The
+    # former .distinct() was a full shuffle of the corpus-sized (id, shingle)
+    # relation purely to drop rows the min ignores.
+    sh = shingles(df, text_col, id_col, n, distinct=False).withColumn("__h", base)
     mins = [
         F.min(
             (F.col("__h") * F.lit(2 * j + 1) + F.lit(seed * 31 + j)) % F.lit(_MH_PRIME)
@@ -257,19 +274,24 @@ def minhash_lsh_pairs(
     rhs = band_rows.select(
         F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bkey"
     )
-    cand = (
-        lhs.join(rhs, ["band", "bkey"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    # r14 (guide §2.3): score and threshold BEFORE the candidate dedup, so
+    # the distinct shuffles (id_a, id_b, est_jaccard) — 3 fixed-width
+    # values — instead of two full signature arrays per row (2×num_hashes
+    # longs). est_jaccard is a pure function of the pair (signatures are
+    # per-id constants), so distinct-then-score and score-then-distinct
+    # produce the same rows; scoring per collision instead of per distinct
+    # pair re-runs the zip_with on band-duplicate candidates, a bounded
+    # (≤ bands×) map-side cost traded for a several-fold narrower shuffle.
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        cand.withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
+        lhs.join(rhs, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(num_hashes)))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
