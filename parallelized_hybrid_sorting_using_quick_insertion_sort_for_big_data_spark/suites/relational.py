@@ -2174,7 +2174,25 @@ def rel_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import behavior as _B
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r14 (guide §2.4): the explicit isNotNull on o_custkey is a PLAN
+    # alignment, not a filter — o_custkey is NOT NULL by the TPC-H spec,
+    # so zero rows change and the oracle needs no mirror. Without it the
+    # pair-join legs (which use cust as a join key) push
+    # IsNotNull(o_custkey) into THEIR orders scan while the item-sizes
+    # leg does not, the mismatched PushedFilters make the basket subtrees
+    # non-canonical, and AQE evaluates the whole scan→join→distinct→window
+    # chain twice (final plan: 4 fact scans, 2 reused exchanges). Stated
+    # once up front, every leg shares one canonical chain (2 scans, 3
+    # reused exchanges, one fewer Exchange); interleaved A/B medians
+    # 5.45→5.08 s. A localCheckpoint pin on `capped` was ALSO measured
+    # here and is ~25% SLOWER either eager or lazy (4.49 none vs
+    # 5.91/5.80 — the r12 association_rules negative reproduced): the
+    # cache round-trip costs more than the duplicate it removes.
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .where(F.col("o_custkey").isNotNull())
+    )
     baskets = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
@@ -2484,6 +2502,11 @@ def rel_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale nothing but the entity-keyed pair join touches fact rows.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14 examined: unlike rel_copurchase_similarity, this query's basket
+    # chain is ALREADY evaluated once at runtime (final plan: 2 fact scans
+    # before and after an isNotNull alignment experiment — the
+    # countDistinct leg's constraints line up here), so the copurchase
+    # scan-alignment fix is deliberately NOT applied.
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     baskets = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
