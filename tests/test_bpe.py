@@ -15,6 +15,8 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import pytest
+
 import __spark_entry__ as entrymod
 from parallelized_hybrid_sorting_using_quick_insertion_sort_for_big_data_spark.operators import (
     bpe,
@@ -62,6 +64,7 @@ def _run_both(spark, texts: list[str], rounds: int):
     return got, want, want_reprs, df
 
 
+@pytest.mark.slow
 def test_matches_reference_on_adversarial_shapes(spark):
     """Runs, alternations, palindromes: the two-pass replace must produce
     the same merge table as the textbook scan."""
@@ -109,6 +112,7 @@ def test_oracle_parity(spark):
         assert_matches_oracle(qs[name](spark, SF_DIR), oracles[name], SF_DIR)
 
 
+@pytest.mark.slow
 def test_rounds_beyond_exhaustion_are_noops(spark):
     """A vocabulary of 1-2 char tokens exhausts after at most a couple of
     merges; further rounds must be no-ops (absent from the merge table)

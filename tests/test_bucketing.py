@@ -123,6 +123,7 @@ def test_zorder_code_int32_inputs_nonnegative(spark):
     assert all(z >= 0 for z in got)
 
 
+@pytest.mark.slow
 def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
     """The point of the Morton curve: every output file covers a tight
     bounding box in BOTH dimensions, so min/max stats prune on either

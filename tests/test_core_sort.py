@@ -79,6 +79,7 @@ def test_edge_cardinalities(spark, n, parts):
     assert vals == sorted(vals)
 
 
+@pytest.mark.slow
 def test_duplicates_and_adversarial_orders(spark):
     """Ties-heavy / pre-sorted / reverse-sorted / constant inputs — quicksort
     worst cases for the reference's Lomuto pivot (QuickInsertionHeap.c:23-38);

@@ -112,6 +112,7 @@ def _brute_coverage(docs, n=3, min_df=2):
     return out
 
 
+@pytest.mark.slow
 def test_matches_brute_force_on_random_corpora(spark):
     """Randomized equivalence: 5 corpora of 12 docs over a 4-word alphabet
     (maximizing shared grams, overlaps, and within-doc repeats) must match

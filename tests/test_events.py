@@ -527,6 +527,7 @@ def test_attribution_vectorized_matches_rowloop_unit():
         assert a_state == b_state, (case, a_state, b_state)
 
 
+@pytest.mark.slow
 def test_cusum_identity_and_flag_consistency(spark):
     """The window reformulation must behave like max(0, S+dev): s_stat is
     never negative, resets happen (some day returns to 0 after a positive
@@ -588,6 +589,7 @@ def test_cusum_identity_and_flag_consistency(spark):
     assert saw_reset
 
 
+@pytest.mark.slow
 def test_survival_curve_monotone_and_accounted(spark):
     """KM invariants: n_risk strictly decreases over days, the risk set
     drains exactly by deaths+censored, and log-survival is non-increasing

@@ -34,6 +34,7 @@ def test_threshold_invariance(threshold):
     assert hybrid.hybrid_quickinsertion_sort(list(xs), threshold) == sorted(xs)
 
 
+@pytest.mark.slow
 def test_kernel_adversarial_shapes():
     """Lomuto last-pivot worst cases: pre-sorted, reversed, all-equal —
     the explicit stack must not blow up (cf. QuickInsertionHeap.cu:40-72)."""

@@ -137,6 +137,7 @@ def test_frame_near_dup_oracle_parity(spark):
     )
 
 
+@pytest.mark.slow
 def test_ahash_banded_join_equals_brute_force(spark):
     """Completeness of the 3-band pigeonhole at ham<=2, checked against an
     in-Spark brute-force cross join on a small synthetic corpus that
@@ -201,6 +202,7 @@ def test_ahash_signature_semantics(spark):
     assert rows[1] == (0, 0)
 
 
+@pytest.mark.slow
 def test_frame_dedup_collapse_properties(spark):
     """Cluster invariants at sf0.001: every cluster has >=2 members and
     exactly one canonical (the min packed key); every perturbed twin

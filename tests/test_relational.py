@@ -187,6 +187,7 @@ def test_scd2_merge_oracle_parity(spark):
     )
 
 
+@pytest.mark.slow
 def test_scd2_merge_semantics(spark):
     from pyspark.sql import functions as F
 

@@ -150,6 +150,7 @@ def test_pretraining_pipeline_exercises_every_drop_path(spark):
     assert all(r["n_kept"] > 0 and r["kept_tokens"] > 0 for r in out)
 
 
+@pytest.mark.slow
 def test_leakage_safe_split_never_separates_near_dups(spark):
     """The invariant the query exists for: no near-dup pair may straddle a
     split boundary (that's eval contamination), splits must cover every
@@ -228,6 +229,7 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
             assert abs(approx[p] - j) <= 0.35, (p, j, approx[p])
 
 
+@pytest.mark.slow
 def test_simhash_near_dups_align_with_jaccard(spark, docs):
     """High-Jaccard pairs should be close in SimHash space (sanity, not a
     tight bound — simhash is token-based, jaccard char-based)."""
@@ -870,6 +872,7 @@ def test_phrase_match_semantics(spark):
     assert got("zz qq") == {}
 
 
+@pytest.mark.slow
 def test_sorted_neighborhood_sound_and_catches_planted_dups(spark, docs):
     """SNM soundness: every emitted pair is a TRUE Jaccard-0.3 pair (the
     verify stage is exact, so SNM ⊆ exact-Jaccard pairs — only recall is
@@ -905,6 +908,7 @@ def test_sorted_neighborhood_sound_and_catches_planted_dups(spark, docs):
     assert (src, src + 90_000) in got or (src + 90_000, src) in got
 
 
+@pytest.mark.slow
 def test_lsh_recall_measurement_nondegenerate(spark):
     """The measurement must exercise both error directions' accounting:
     planted near-dups found (n_exact >= the 50 planted at sf0.001,
@@ -920,6 +924,7 @@ def test_lsh_recall_measurement_nondegenerate(spark):
     assert r["recall"] == round(r["n_hit"] / max(r["n_exact"], 1), 9)
 
 
+@pytest.mark.slow
 def test_duplicate_spans_matches_python_reference(spark):
     """Randomized cross-check (seeded): on corpora with planted repeated
     phrases, whole-doc copies, short docs, and empty docs, both span

@@ -60,6 +60,7 @@ def test_pq_codes_shape(spark):
     assert all(0 <= r["code"] < 8 for r in rows)
 
 
+@pytest.mark.slow
 def test_pq_recall_sweep_surface(spark):
     """The m×k sweep (VERDICT r08 item 5) emits one row per design point
     with a well-formed recall, and the m=4/k=8 row agrees exactly with a
@@ -250,6 +251,7 @@ def test_recall_leg_pairs_are_distinct(spark):
         assert worst == 1, f"{label} leg emits duplicated pairs (max count {worst})"
 
 
+@pytest.mark.slow
 def test_blocked_gemm_cap_blocks_escape_hatch(spark, emb):
     """cap_blocks=False (ADVICE r11) restores block_size as a hard per-block
     row cap (the pre-r11 divisor semantics) for memory-constrained callers;
@@ -555,6 +557,7 @@ def test_semantic_dedup_greedy_small_case(spark):
     assert kept == {0: True, 1: False, 2: False, 3: True}
 
 
+@pytest.mark.slow
 def test_zero_norm_vectors_never_raise(spark):
     """r09: a zero-norm vector in the corpus must yield NULL sim (dropped
     by thresholds / ranked last), never an ANSI DIVIDE_BY_ZERO task
@@ -673,6 +676,7 @@ def test_matryoshka_recall_bounds_and_self_consistency(spark):
         assert r["recall"] == round(r["n_hit"] / 10, 9)
 
 
+@pytest.mark.slow
 def test_cluster_balanced_sample_caps_every_cell(spark):
     rows = entrymod.queries()["sample_cluster_balanced"](spark, SF_DIR).collect()
     from collections import Counter
@@ -687,6 +691,7 @@ def test_cluster_balanced_sample_caps_every_cell(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+@pytest.mark.slow
 def test_nprobe_recall_monotone_in_probes(spark):
     """More probed cells can only ADD candidates, so per-query recall is
     non-decreasing in nprobe — the property that makes the sweep a valid
@@ -708,6 +713,7 @@ _vec3 = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(st.lists(_vec3, min_size=2, max_size=18))
 @settings(max_examples=8, deadline=None)
 def test_contracted_equals_naive_exact_property(spark, vecs):

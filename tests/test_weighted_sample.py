@@ -19,6 +19,7 @@ def _ids(df):
     return sorted(r["id"] for r in df.collect())
 
 
+@pytest.mark.slow
 def test_heavier_items_selected_more_often_across_salts(spark):
     # 40 items of weight 1 + 10 items of weight 16; draw k=10 with 12
     # different salts (independent deterministic draws). Expected heavy
