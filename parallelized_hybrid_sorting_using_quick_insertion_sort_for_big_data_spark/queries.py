@@ -98,37 +98,43 @@ _DRIVER_WINDOW = 50
 # via the invariant registry ⊆ (window ∪ pins ∪ rows-only), which holds (or
 # fails) identically no matter which CORRECTNESS artifacts are on disk.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # ROUND 13 WINDOW — output of
-    #   scripts/rotate_window.py --front events_stream_attribution \
-    #                                    events_stream_user_profile
-    # FRONT (2): both stateful-runner queries changed this round (VERDICT
-    # r12 item 4: vectorized-columns attribution state function + input-
-    # sized streaming shuffle partitions) — fresh driver rows required.
-    # MUST (35) = the full unpinned set, led by vec_bucketed_near_dup (r10,
-    # the name the r12 horizon bug dropped) and the r11-checked block.
-    # FILL (13) = pinned names with the oldest driver rows (r08 block).
-    "events_stream_attribution",
-    "events_stream_user_profile",
-    "vec_bucketed_near_dup",
+    # ROUND 14 WINDOW — output of
+    #   scripts/rotate_window.py --front <17 names, OPTIMIZATION_r14.md>
+    # FRONT (17): the seven r13 changed-path names whose oracle artifact
+    # predated final HEAD (VERDICT r13 item 1a: vec_ivf_nprobe_recall,
+    # vec_ivf_topk, vec_pq_recall_sweep, vec_ivfpq_topk,
+    # vec_kmeans_centroids, sample_cluster_balanced, mm_frame_near_dup)
+    # plus every r14-changed path (kcore/LPA lazy rounds, pagerank
+    # nodes pin, minhash family, copurchase scan alignment,
+    # association-rules/bfs examinations).
+    # MUST = the full unpinned set (time-invariant cover), FILL = pinned
+    # names oldest-checked-first.
+    "vec_ivf_nprobe_recall",
+    "vec_ivf_topk",
+    "vec_pq_recall_sweep",
+    "vec_ivfpq_topk",
+    "vec_kmeans_centroids",
+    "sample_cluster_balanced",
+    "mm_frame_near_dup",
+    "graph_kcore",
+    "graph_lpa_communities",
+    "graph_pagerank_trade",
+    "graph_bfs_levels",
+    "dedup_minhash_portable",
+    "dedup_incremental_minhash",
+    "text_minhash_doc_sketch",
+    "dedup_lsh_recall",
+    "rel_copurchase_similarity",
+    "rel_association_rules",
     "events_outlier_robust",
     "events_resample_gapfill",
     "events_stream_dedup",
-    "events_stream_tumbling",
-    "events_zorder_code",
-    "graph_pagerank_trade",
-    "text_bpe_merges",
-    "text_bpe_segmentation",
-    "text_crossdup_coverage",
-    "vec_quantize_int8",
-    "vec_semantic_dedup",
-    "vec_topk_with_metadata",
     "events_stream_sessionize",
     "events_stream_stream_join",
+    "events_stream_tumbling",
+    "events_zorder_code",
     "graph_adamic_adar",
     "graph_assortativity",
-    "graph_bfs_levels",
-    "graph_kcore",
-    "graph_lpa_communities",
     "graph_triangle_count",
     "mm_frame_sample",
     "pipeline_data_quality_audit",
@@ -142,21 +148,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_weighted_topk",
     "skew_twophase_share",
     "sort_within_partitions",
+    "text_bpe_merges",
+    "text_bpe_segmentation",
+    "text_crossdup_coverage",
     "text_vocab_growth",
+    "vec_bucketed_near_dup",
     "vec_kmeans_ivf_topk",
-    "events_stream_late_drop",
-    "events_stream_scd2_enrich",
-    "events_type_entropy",
-    "mm_frame_dedup_collapse",
-    "pipeline_cdc_apply",
-    "pipeline_fd_profile",
-    "pipeline_feature_assembly",
-    "pipeline_k_anonymity",
-    "pipeline_leakage_safe_split",
-    "pipeline_pretraining_corpus",
-    "pipeline_scd2_asof",
-    "rel_association_rules",
-    "rel_benford_digits",
+    "vec_quantize_int8",
+    "vec_semantic_dedup",
+    "vec_topk_with_metadata",
+    "rel_chisq_independence",
+    "rel_equifreq_binning",
 )
 
 _DRIVER_PRIORITY_R12: tuple[str, ...] = (
